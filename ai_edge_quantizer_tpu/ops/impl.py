@@ -1,0 +1,437 @@
+"""JAX implementations of every graph op.
+
+The executor evaluates a Graph by dispatching each op here. Every impl is
+traceable (jit-safe, static shapes). Quantized-tensor handling: the executor
+presents float inputs to generic impls (dequantizing stored int tensors) and
+re-quantizes outputs per the output tensor's params — the simulated-
+quantization contract. Hot ops (FULLY_CONNECTED / CONV / BATCH_MATMUL /
+attention) additionally have true integer-storage fast paths in `kernels/`
+used by the serving executor.
+
+Parity: the op vocabulary of the reference's LiteRT runtime (executed there
+by the TFLite C++ interpreter, here by XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_edge_quantizer_tpu.graph import ir
+
+
+@dataclasses.dataclass
+class OpContext:
+  """What an op impl can see."""
+
+  op: ir.Op
+  subgraph: ir.Subgraph
+  graph: ir.Graph
+
+  @property
+  def attrs(self) -> dict:
+    return self.op.attrs
+
+  def in_tensor(self, i: int) -> Optional[ir.Tensor]:
+    tid = self.op.inputs[i]
+    return self.subgraph.tensors[tid] if tid >= 0 else None
+
+  def out_tensor(self, i: int) -> ir.Tensor:
+    return self.subgraph.tensors[self.op.outputs[i]]
+
+
+OPS: dict = {}
+
+
+def register(name: str) -> Callable:
+  def deco(fn):
+    OPS[name] = fn
+    return fn
+  return deco
+
+
+def _fused_activation(x, kind: str):
+  if kind in (None, 'NONE'):
+    return x
+  if kind == 'RELU':
+    return jax.nn.relu(x)
+  if kind == 'RELU6':
+    return jnp.clip(x, 0.0, 6.0)
+  if kind == 'TANH':
+    return jnp.tanh(x)
+  raise ValueError(f'Unsupported fused activation: {kind}')
+
+
+# -- matmul family ----------------------------------------------------------
+
+
+@register('FULLY_CONNECTED')
+def fully_connected(ctx: OpContext, x, w, b=None):
+  """x [..., in] @ w[out, in]^T + b."""
+  y = jnp.einsum('...i,oi->...o', x, w,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+  if b is not None:
+    y = y + b
+  return _fused_activation(y, ctx.attrs.get('fused_activation', 'NONE'))
+
+
+@register('BATCH_MATMUL')
+def batch_matmul(ctx: OpContext, a, b):
+  adj_x = ctx.attrs.get('adj_x', False)
+  adj_y = ctx.attrs.get('adj_y', False)
+  if adj_x:
+    a = jnp.swapaxes(a, -1, -2)
+  if adj_y:
+    b = jnp.swapaxes(b, -1, -2)
+  return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+@register('EMBEDDING_LOOKUP')
+def embedding_lookup(ctx: OpContext, ids, table):
+  return jnp.take(table, ids.astype(jnp.int32), axis=0)
+
+
+# -- convolutions (NHWC activations; weight layouts per graph/builder.py) ---
+
+
+def _pad_str(p: str) -> str:
+  return p if isinstance(p, str) else 'SAME'
+
+
+@register('CONV_2D')
+def conv2d(ctx: OpContext, x, w, b=None):
+  s = int(ctx.attrs.get('stride', 1))
+  y = jax.lax.conv_general_dilated(
+      x, w, window_strides=(s, s), padding=_pad_str(
+          ctx.attrs.get('padding', 'SAME')),
+      dimension_numbers=('NHWC', 'OHWI', 'NHWC'),
+      preferred_element_type=jnp.float32,
+  ).astype(x.dtype)
+  if b is not None:
+    y = y + b
+  return _fused_activation(y, ctx.attrs.get('fused_activation', 'NONE'))
+
+
+@register('DEPTHWISE_CONV_2D')
+def depthwise_conv2d(ctx: OpContext, x, w, b=None):
+  s = int(ctx.attrs.get('stride', 1))
+  ch = w.shape[-1]
+  w_dw = jnp.transpose(w, (3, 1, 2, 0))  # [ch, kh, kw, 1]
+  y = jax.lax.conv_general_dilated(
+      x, w_dw, window_strides=(s, s),
+      padding=_pad_str(ctx.attrs.get('padding', 'SAME')),
+      dimension_numbers=('NHWC', 'OHWI', 'NHWC'),
+      feature_group_count=ch,
+      preferred_element_type=jnp.float32,
+  ).astype(x.dtype)
+  if b is not None:
+    y = y + b
+  return _fused_activation(y, ctx.attrs.get('fused_activation', 'NONE'))
+
+
+@register('CONV_2D_TRANSPOSE')
+def conv2d_transpose(ctx: OpContext, output_shape, w, x, b=None):
+  s = int(ctx.attrs.get('stride', 1))
+  # w is [out, kh, kw, in]; conv_transpose wants HWIO = [kh, kw, in, out].
+  w_t = jnp.transpose(w, (1, 2, 3, 0))
+  y = jax.lax.conv_transpose(
+      x, w_t, strides=(s, s),
+      padding=_pad_str(ctx.attrs.get('padding', 'SAME')),
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+  ).astype(x.dtype)
+  if b is not None:
+    y = y + b
+  return _fused_activation(y, ctx.attrs.get('fused_activation', 'NONE'))
+
+
+# -- pooling / resize -------------------------------------------------------
+
+
+def _pool(x, size, stride, padding, init, fn):
+  return jax.lax.reduce_window(
+      x, init, fn, window_dimensions=(1, size, size, 1),
+      window_strides=(1, stride, stride, 1), padding=padding)
+
+
+@register('AVERAGE_POOL_2D')
+def average_pool_2d(ctx: OpContext, x):
+  size = int(ctx.attrs.get('filter_size', 2))
+  s = int(ctx.attrs.get('stride', 2))
+  p = _pad_str(ctx.attrs.get('padding', 'VALID'))
+  sums = _pool(x, size, s, p, 0.0, jax.lax.add)
+  counts = _pool(jnp.ones_like(x), size, s, p, 0.0, jax.lax.add)
+  return sums / counts
+
+
+@register('MAX_POOL_2D')
+def max_pool_2d(ctx: OpContext, x):
+  size = int(ctx.attrs.get('filter_size', 2))
+  s = int(ctx.attrs.get('stride', 2))
+  return _pool(x, size, s, _pad_str(ctx.attrs.get('padding', 'VALID')),
+               -jnp.inf, jax.lax.max)
+
+
+@register('RESIZE_BILINEAR')
+def resize_bilinear(ctx: OpContext, x, size=None):
+  out_shape = ctx.out_tensor(0).shape
+  return jax.image.resize(x, out_shape, method='bilinear')
+
+
+@register('RESIZE_NEAREST_NEIGHBOR')
+def resize_nearest(ctx: OpContext, x, size=None):
+  out_shape = ctx.out_tensor(0).shape
+  return jax.image.resize(x, out_shape, method='nearest')
+
+
+@register('SPACE_TO_DEPTH')
+def space_to_depth(ctx: OpContext, x):
+  bs = int(ctx.attrs.get('block_size', 2))
+  n, h, w, c = x.shape
+  x = x.reshape(n, h // bs, bs, w // bs, bs, c)
+  x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+  return x.reshape(n, h // bs, w // bs, bs * bs * c)
+
+
+# -- shape ops --------------------------------------------------------------
+
+
+@register('RESHAPE')
+def reshape(ctx: OpContext, x, shape=None):
+  return jnp.reshape(x, ctx.out_tensor(0).shape)
+
+
+@register('TRANSPOSE')
+def transpose(ctx: OpContext, x, perm=None):
+  p = ctx.attrs.get('perm')
+  if p is None and perm is not None:
+    p = np.asarray(perm).tolist()
+  return jnp.transpose(x, p)
+
+
+@register('CONCATENATION')
+def concatenation(ctx: OpContext, *xs):
+  return jnp.concatenate(xs, axis=int(ctx.attrs.get('axis', -1)))
+
+
+@register('SLICE')
+def slice_op(ctx: OpContext, x, begin=None, size=None):
+  begin = ctx.attrs.get('begin', begin)
+  out_shape = ctx.out_tensor(0).shape
+  return jax.lax.dynamic_slice(x, [int(b) for b in np.asarray(begin)],
+                               out_shape)
+
+
+@register('STRIDED_SLICE')
+def strided_slice(ctx: OpContext, x, begin=None, end=None, strides=None):
+  begin = np.asarray(ctx.attrs.get('begin', begin)).astype(int)
+  end = np.asarray(ctx.attrs.get('end', end)).astype(int)
+  strides = np.asarray(ctx.attrs.get('strides', strides)).astype(int)
+  idx = tuple(slice(int(b), int(e), int(s))
+              for b, e, s in zip(begin, end, strides))
+  return x[idx]
+
+
+@register('SPLIT')
+def split(ctx: OpContext, axis, x):
+  n = int(ctx.attrs.get('num_splits', len(ctx.op.outputs)))
+  ax = int(np.asarray(axis)) if not isinstance(axis, int) else axis
+  return tuple(jnp.split(x, n, axis=ax))
+
+
+@register('PAD')
+def pad(ctx: OpContext, x, paddings=None):
+  p = np.asarray(ctx.attrs.get('paddings', paddings)).astype(int)
+  return jnp.pad(x, [(int(a), int(b)) for a, b in p])
+
+
+@register('PADV2')
+def padv2(ctx: OpContext, x, paddings=None, constant=None):
+  p = np.asarray(ctx.attrs.get('paddings', paddings)).astype(int)
+  cval = constant if constant is not None else ctx.attrs.get('constant', 0.0)
+  cval = jnp.asarray(cval).reshape(())
+  return jnp.pad(x, [(int(a), int(b)) for a, b in p],
+                 constant_values=cval)
+
+
+@register('MIRROR_PAD')
+def mirror_pad(ctx: OpContext, x, paddings=None):
+  p = np.asarray(ctx.attrs.get('paddings', paddings)).astype(int)
+  mode = ctx.attrs.get('mode', 'REFLECT').lower()
+  return jnp.pad(x, [(int(a), int(b)) for a, b in p], mode=mode)
+
+
+@register('GATHER')
+def gather(ctx: OpContext, x, indices):
+  return jnp.take(x, indices.astype(jnp.int32),
+                  axis=int(ctx.attrs.get('axis', 0)))
+
+
+@register('GATHER_ND')
+def gather_nd(ctx: OpContext, x, indices):
+  idx = indices.astype(jnp.int32)
+  return x[tuple(jnp.moveaxis(idx, -1, 0))]
+
+
+@register('PACK')
+def pack(ctx: OpContext, *xs):
+  return jnp.stack(xs, axis=int(ctx.attrs.get('axis', 0)))
+
+
+@register('UNPACK')
+def unpack(ctx: OpContext, x):
+  ax = int(ctx.attrs.get('axis', 0))
+  n = x.shape[ax]
+  parts = jnp.split(x, n, axis=ax)
+  return tuple(jnp.squeeze(p, axis=ax) for p in parts)
+
+
+@register('BROADCAST_TO')
+def broadcast_to(ctx: OpContext, x, shape=None):
+  return jnp.broadcast_to(x, ctx.out_tensor(0).shape)
+
+
+@register('DYNAMIC_UPDATE_SLICE')
+def dynamic_update_slice(ctx: OpContext, operand, update, start_indices):
+  starts = [start_indices[i].astype(jnp.int32)
+            for i in range(operand.ndim)]
+  return jax.lax.dynamic_update_slice(operand, update.astype(operand.dtype),
+                                      starts)
+
+
+# -- elementwise ------------------------------------------------------------
+
+
+def _register_binary(name: str, fn):
+  @register(name)
+  def _impl(ctx: OpContext, a, b, _fn=fn):
+    return _fn(a, b)
+
+
+_register_binary('ADD', jnp.add)
+_register_binary('SUB', jnp.subtract)
+_register_binary('MUL', jnp.multiply)
+_register_binary('DIV', jnp.divide)
+_register_binary('MAXIMUM', jnp.maximum)
+_register_binary('SQUARED_DIFFERENCE', lambda a, b: jnp.square(a - b))
+_register_binary('EQUAL', lambda a, b: jnp.equal(a, b))
+_register_binary('NOT_EQUAL', lambda a, b: jnp.not_equal(a, b))
+
+
+def _register_unary(name: str, fn):
+  @register(name)
+  def _impl(ctx: OpContext, x, _fn=fn):
+    return _fn(x)
+
+
+_register_unary('RELU', jax.nn.relu)
+_register_unary('TANH', jnp.tanh)
+_register_unary('LOGISTIC', jax.nn.sigmoid)
+_register_unary('RSQRT', jax.lax.rsqrt)
+_register_unary('SQRT', jnp.sqrt)
+_register_unary('HARD_SWISH', lambda x: x * jnp.clip(x + 3.0, 0, 6.0) / 6.0)
+
+
+@register('GELU')
+def gelu(ctx: OpContext, x):
+  return jax.nn.gelu(x, approximate=bool(ctx.attrs.get('approximate', True)))
+
+
+@register('SOFTMAX')
+def softmax(ctx: OpContext, x):
+  beta = float(ctx.attrs.get('beta', 1.0))
+  return jax.nn.softmax(beta * x, axis=-1)
+
+
+@register('MEAN')
+def mean(ctx: OpContext, x, axis=None):
+  ax = ctx.attrs.get('axis', axis)
+  ax = tuple(np.asarray(ax).reshape(-1).tolist()) if ax is not None else None
+  return jnp.mean(x, axis=ax,
+                  keepdims=bool(ctx.attrs.get('keep_dims', False)))
+
+
+@register('SUM')
+def sum_op(ctx: OpContext, x, axis=None):
+  ax = ctx.attrs.get('axis', axis)
+  ax = tuple(np.asarray(ax).reshape(-1).tolist()) if ax is not None else None
+  return jnp.sum(x, axis=ax,
+                 keepdims=bool(ctx.attrs.get('keep_dims', False)))
+
+
+@register('REDUCE_MIN')
+def reduce_min(ctx: OpContext, x, axis=None):
+  ax = ctx.attrs.get('axis', axis)
+  ax = tuple(np.asarray(ax).reshape(-1).tolist()) if ax is not None else None
+  return jnp.min(x, axis=ax,
+                 keepdims=bool(ctx.attrs.get('keep_dims', False)))
+
+
+@register('SELECT')
+def select(ctx: OpContext, cond, a, b):
+  return jnp.where(cond, a, b)
+
+
+@register('SELECT_V2')
+def select_v2(ctx: OpContext, cond, a, b):
+  return jnp.where(cond, a, b)
+
+
+# -- transformer ops (TPU-side additions) -----------------------------------
+
+
+@register('RMS_NORM')
+def rms_norm(ctx: OpContext, x, gamma=None):
+  eps = float(ctx.attrs.get('epsilon', 1e-6))
+  var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+  y = x * jax.lax.rsqrt(var + eps).astype(x.dtype)
+  if gamma is not None:
+    y = y * gamma
+  return y
+
+
+@register('ROPE')
+def rope(ctx: OpContext, x, positions):
+  """Rotary position embedding over the last dim (half-split convention)."""
+  base = float(ctx.attrs.get('rope_base', 10000.0))
+  head_dim = x.shape[-1]
+  half = head_dim // 2
+  freqs = base ** (-np.arange(0, half, dtype=np.float32) / half)
+  angles = positions[..., None].astype(jnp.float32) * freqs  # [..., half]
+  sin, cos = jnp.sin(angles), jnp.cos(angles)
+  # x shape [..., seq, heads, head_dim]; positions [..., seq].
+  sin = sin[..., None, :]
+  cos = cos[..., None, :]
+  x1, x2 = x[..., :half], x[..., half:]
+  return jnp.concatenate(
+      [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+@register('HADAMARD_ROTATION')
+def hadamard_rotation(ctx: OpContext, x):
+  """Block-diagonal normalized Hadamard rotation of the last dimension."""
+  hsize = int(ctx.attrs['hadamard_size'])
+  h = _normalized_hadamard_jnp(hsize)
+  shape = x.shape
+  blocks = shape[-1] // hsize
+  xr = x.reshape(shape[:-1] + (blocks, hsize))
+  y = jnp.einsum('...bi,ij->...bj', xr, h,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+  return y.reshape(shape)
+
+
+def _normalized_hadamard_jnp(size: int):
+  h = np.array([[1.0]], dtype=np.float32)
+  while h.shape[0] < size:
+    h = np.block([[h, h], [h, -h]])
+  return jnp.asarray(h / np.sqrt(size), dtype=jnp.float32)
+
+
+@register('STABLEHLO_COMPOSITE')
+def stablehlo_composite(ctx: OpContext, *xs):
+  raise NotImplementedError(
+      'Composite ops are executed via their side-effect subgraphs by the '
+      'executor, not via a direct impl.')

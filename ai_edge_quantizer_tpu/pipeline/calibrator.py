@@ -1,0 +1,135 @@
+"""Calibrator: the CALIBRATE pass.
+
+Runs the float model on sample data with every tensor captured (one jitted
+XLA program per signature — the TPU answer to LiteRT's
+`preserve_all_tensors`), then sweeps each op, dispatching its algorithm's
+calibration function and merging QSVs (EMA by default). Results are
+JSON-serializable and resumable.
+
+Parity: reference `calibrator.py` (`_PreserveAllTensorsCalibrator` flow; the
+profiler-based C++ mode's role — no host round-trip per tensor — is already
+covered here because capture happens on device inside one program).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from ai_edge_quantizer_tpu import qtyping
+from ai_edge_quantizer_tpu.algorithms import manager as algorithm_manager
+from ai_edge_quantizer_tpu.algorithms.registry import AlgorithmName
+from ai_edge_quantizer_tpu.execution import executor as executor_lib
+from ai_edge_quantizer_tpu.graph import ir
+from ai_edge_quantizer_tpu.recipe import recipe_manager as rm
+from ai_edge_quantizer_tpu.utils import calibration_utils
+
+
+class Calibrator:
+  """Collects per-tensor quantization statistics from sample data."""
+
+  def __init__(self, float_graph: ir.Graph):
+    self._graph = float_graph
+    if not ir.is_float_model(float_graph):
+      raise ValueError(
+          'The input model for calibration is not fully float.')
+    self._executor = executor_lib.GraphExecutor(float_graph)
+    self._model_qsvs: dict = {}
+    self._initialized_ops: set = set()
+    self._num_samples: int = 0
+
+  # -- public API -----------------------------------------------------------
+
+  def calibrate(
+      self,
+      calibration_dataset: dict,
+      model_recipe_manager: rm.RecipeManager,
+  ) -> None:
+    """calibration_dataset: {signature_key: iterable of {input_name: array}}."""
+    op_plans = {
+        key: self._plan_for_signature(key, model_recipe_manager)
+        for key in calibration_dataset
+    }
+    for signature_key, samples in calibration_dataset.items():
+      runner = self._executor.signature_runner(
+          signature_key, capture_all=True)
+      plan = op_plans[signature_key]
+      for sample in samples:
+        tensor_content_map = runner(sample)
+        self._calibrate_step(plan, tensor_content_map)
+        self._num_samples += 1
+
+  def get_model_qsvs(self) -> dict:
+    return self._model_qsvs
+
+  def load_model_qsvs(self, qsvs: dict) -> None:
+    self._model_qsvs = dict(qsvs)
+    # Treat all previously known ops as initialized.
+    self._initialized_ops = set()
+
+  def save_calibration_result(self, path: str) -> None:
+    calibration_utils.save_qsvs_to_json(
+        self._model_qsvs, path, num_samples=self._num_samples)
+
+  # -- internals ------------------------------------------------------------
+
+  def _plan_for_signature(
+      self, signature_key: str, model_recipe_manager: rm.RecipeManager
+  ) -> list:
+    """Resolve per-op (algorithm, config) once per signature."""
+    sig = self._graph.signature_by_key(signature_key)
+    sg_indices = [sig.subgraph_index]
+    plan = []
+    seen = set()
+    while sg_indices:
+      sg_idx = sg_indices.pop(0)
+      if sg_idx in seen:
+        continue
+      seen.add(sg_idx)
+      sg = self._graph.subgraphs[sg_idx]
+      for op_id, op in enumerate(sg.ops):
+        try:
+          op_key = qtyping.OpName(op.opcode)
+        except ValueError:
+          continue
+        if op_key in (qtyping.OpName.QUANTIZE, qtyping.OpName.DEQUANTIZE):
+          continue
+        scope = ir.get_op_scope(sg, op)
+        algorithm_name, op_quant_config = (
+            model_recipe_manager.get_quantization_configs(op_key, scope)
+        )
+        if algorithm_name == AlgorithmName.NO_QUANTIZE:
+          continue
+        # Composite side-effect subgraphs calibrate too.
+        sg_indices.extend(op.side_effect_subgraphs)
+        plan.append((sg_idx, op_id, op_key, algorithm_name, op_quant_config))
+    return plan
+
+  def _calibrate_step(self, plan: list, tensor_content_map: dict) -> None:
+    for sg_idx, op_id, op_key, algorithm_name, op_quant_config in plan:
+      sg = self._graph.subgraphs[sg_idx]
+      op = sg.ops[op_id]
+      graph_info = qtyping.GraphInfo(
+          subgraph=sg, buffers=self._graph.buffers)
+      op_info = qtyping.OpInfo(
+          op=op, op_name=op_key, subgraph_op_index=op_id,
+          op_quant_config=op_quant_config)
+      # One-time QSV init (weight min/max etc.).
+      op_token = (sg_idx, op_id)
+      if op_token not in self._initialized_ops:
+        init_fn = algorithm_manager.get_init_qsv_fn(algorithm_name, op_key)
+        if init_fn is not None:
+          for name, qsv in init_fn(op_info, graph_info).items():
+            self._model_qsvs.setdefault(name, qsv)
+        self._initialized_ops.add(op_token)
+      calib_fn = algorithm_manager.get_quantization_func(
+          algorithm_name, op_key, qtyping.QuantizeMode.CALIBRATE)
+      op_qsvs = calib_fn(op, graph_info, tensor_content_map)
+      update_fn = algorithm_manager.get_update_qsv_fn(algorithm_name, op_key)
+      for name, new_qsv in op_qsvs.items():
+        old = self._model_qsvs.get(name)
+        if old is None or not old:
+          self._model_qsvs[name] = new_qsv
+        else:
+          self._model_qsvs[name] = update_fn(old, new_qsv)

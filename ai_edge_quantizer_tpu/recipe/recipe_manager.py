@@ -151,6 +151,81 @@ class RecipeManager:
           algorithm_key,
       )
 
+  # -- convenience builders (kernel-constraint-enforcing) -------------------
+
+  def add_dynamic_config(
+      self,
+      regex: str,
+      operation_name: qtyping.OpName,
+      num_bits: int,
+      granularity=qtyping.QuantGranularity.CHANNELWISE,
+      algorithm_key: str = AlgorithmName.MIN_MAX_UNIFORM_QUANT,
+  ) -> None:
+    """Integer weights, runtime activation quantization. Weights symmetric
+    always (integer-kernel constraint)."""
+    self.add_quantization_config(
+        regex, operation_name,
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=num_bits, symmetric=True,
+                granularity=qtyping.QuantGranularity(granularity)),
+            compute_precision=qtyping.ComputePrecision.INTEGER,
+            explicit_dequantize=False,
+        ),
+        algorithm_key,
+    )
+
+  def add_weight_only_config(
+      self,
+      regex: str,
+      operation_name: qtyping.OpName,
+      num_bits: int,
+      granularity=qtyping.QuantGranularity.CHANNELWISE,
+      algorithm_key: str = AlgorithmName.MIN_MAX_UNIFORM_QUANT,
+  ) -> None:
+    """Integer weight storage + explicit dequantize; float compute."""
+    self.add_quantization_config(
+        regex, operation_name,
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=num_bits, symmetric=True,
+                granularity=qtyping.QuantGranularity(granularity)),
+            compute_precision=qtyping.ComputePrecision.FLOAT,
+            explicit_dequantize=True,
+        ),
+        algorithm_key,
+    )
+
+  def add_static_config(
+      self,
+      regex: str,
+      operation_name: qtyping.OpName,
+      activation_num_bits: int,
+      weight_num_bits: int,
+      weight_granularity=qtyping.QuantGranularity.CHANNELWISE,
+      algorithm_key: str = AlgorithmName.MIN_MAX_UNIFORM_QUANT,
+  ) -> None:
+    """Full static-range quantization. int16 activations must be symmetric,
+    int8 asymmetric (integer-kernel constraints)."""
+    if activation_num_bits not in (8, 16):
+      raise ValueError(
+          f'Static activation bits must be 8 or 16, got {activation_num_bits}.')
+    self.add_quantization_config(
+        regex, operation_name,
+        qtyping.OpQuantizationConfig(
+            activation_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=activation_num_bits,
+                symmetric=(activation_num_bits == 16),
+                granularity=qtyping.QuantGranularity.TENSORWISE),
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=weight_num_bits, symmetric=True,
+                granularity=qtyping.QuantGranularity(weight_granularity)),
+            compute_precision=qtyping.ComputePrecision.INTEGER,
+            explicit_dequantize=False,
+        ),
+        algorithm_key,
+    )
+
   def need_calibration(self) -> bool:
     for entries in self._scope_configs.values():
       for entry in entries:

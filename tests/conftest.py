@@ -1,13 +1,15 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force CPU with 8 virtual devices.
 
-All tests run on CPU with 8 virtual devices so sharding/collective code paths
-compile and execute without TPU hardware. Must run before jax is imported.
+Sharding/collective tests compile and run on a virtual 8-device CPU mesh so
+no TPU hardware is needed. Env vars must be set before jax initializes; the
+axon TPU plugin ignores JAX_PLATFORMS from some contexts, so we also set the
+config flag at import.
 """
 
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
   os.environ['XLA_FLAGS'] = (
@@ -15,3 +17,7 @@ if '--xla_force_host_platform_device_count' not in _flags:
   ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
