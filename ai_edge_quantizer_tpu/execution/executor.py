@@ -46,6 +46,10 @@ class GraphExecutor:
         if t.buffer >= 0 and graph.buffers[t.buffer].data is not None:
           data = graph.buffers[t.buffer].data
           jdtype = quant_arith.storage_dtype_of(t)
+          if jdtype == jnp.int64 and not jax.config.jax_enable_x64:
+            # int64 biases fit int32 on device (int64 storage is a
+            # serialization-format concern, not an arithmetic one here).
+            jdtype = jnp.int32
           self._weights[(sg_idx, tid)] = jnp.asarray(
               np.asarray(data).reshape(t.shape), dtype=jdtype)
     self._jit_cache: dict = {}

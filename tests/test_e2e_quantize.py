@@ -1,0 +1,224 @@
+"""End-to-end quantize -> execute -> validate tests (the analog of the
+reference's tests/end_to_end_tests tier)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import fixtures
+from ai_edge_quantizer_tpu import Quantizer
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.graph import serialize
+from ai_edge_quantizer_tpu.utils import test_data as test_data_lib
+
+
+def _run_both(float_graph, quantized_graph, seed=7):
+  rng = np.random.default_rng(seed)
+  sig = float_graph.signatures[0]
+  sg = float_graph.subgraphs[sig.subgraph_index]
+  inputs = {}
+  for name, tid in sig.inputs.items():
+    t = sg.tensors[tid]
+    inputs[name] = rng.standard_normal(size=t.shape).astype(np.float32)
+  f = GraphExecutor(float_graph).signature_runner()(inputs)
+  q = GraphExecutor(quantized_graph).signature_runner()(inputs)
+  return f, q
+
+
+class TestDynamicRange:
+
+  def test_int8_channelwise(self):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    cmp = qt.validate(num_samples=2)
+    r = cmp.get_signature_comparison_result()
+    assert r.output_tensors['dense2/out'] < 1e-2
+    # Weight error well under reference threshold 1e-2.
+    assert all(v < 1e-2 for v in r.constant_tensors.values())
+    _, frac = cmp.get_model_size_reduction()
+    assert frac > 0.65
+
+  def test_int4_blockwise(self):
+    g = fixtures.single_fc()
+    qt = Quantizer(g, 'dynamic_wi4_afp32_b32')
+    res = qt.quantize()
+    w = res.quantized_model.main_subgraph().tensor_by_name('fc/w')
+    assert w.dtype == 'int4'
+    assert w.quantization.block_size == 32
+    _, frac = qt.validate(num_samples=2).get_model_size_reduction()
+    assert frac > 0.75  # reference int4 blockwise threshold
+
+  def test_min_weight_elements_skips_small(self):
+    g = fixtures.two_layer_mlp()  # dense2 weight 16*32=512 < 1024
+    qt = Quantizer(g, 'dynamic_legacy_wi8_afp32')
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('dense1/w').dtype == 'int8'  # 2048 elems
+    assert sg.tensor_by_name('dense2/w').dtype == 'float32'  # 512 elems
+
+
+class TestWeightOnly:
+
+  @pytest.mark.parametrize('recipe,bits,min_reduction', [
+      ('default_af32w8float', 'int8', 0.65),
+      ('default_af32w4float', 'int4', 0.80),
+  ])
+  def test_weight_only(self, recipe, bits, min_reduction):
+    g = fixtures.single_fc()
+    qt = Quantizer(g, recipe)
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('fc/w').dtype == bits
+    # Explicit dequantize op present.
+    assert any(op.opcode == 'DEQUANTIZE' for op in sg.ops)
+    cmp = qt.validate(num_samples=2)
+    r = cmp.get_signature_comparison_result()
+    assert r.constant_tensors['fc/w'] < 1e-2
+    _, frac = cmp.get_model_size_reduction()
+    assert frac > min_reduction
+
+
+class TestStaticRange:
+
+  def _calib(self, g, n=20, seed=1):
+    return test_data_lib.create_random_dataset(g, num_samples=n, seed=seed)
+
+  def test_a8w8_all_tensors_integer(self):
+    g = fixtures.two_layer_mlp(in_dim=256, hidden=128, out_dim=32, batch=4)
+    qt = Quantizer(g, 'default_a8w8')
+    assert qt.need_calibration
+    cr = qt.calibrate(self._calib(g))
+    res = qt.quantize(cr)
+    sg = res.quantized_model.main_subgraph()
+    for t in sg.tensors:
+      assert t.dtype.startswith('int'), f'{t.name} is {t.dtype}'
+    # Output noise must be small RELATIVE to signal power (SNR > 100);
+    # absolute MSE scales with this fixture's large activation magnitudes.
+    cmp_snr = qt.validate(num_samples=4, error_metrics='snr')
+    snr = cmp_snr.get_signature_comparison_result().output_tensors[
+        'dense2/out']
+    assert snr > 100, snr
+
+  def test_a16w8_dtypes(self):
+    g = fixtures.two_layer_mlp(in_dim=256, hidden=128, out_dim=32, batch=4)
+    qt = Quantizer(g, 'default_a16w8')
+    cr = qt.calibrate(self._calib(g))
+    res = qt.quantize(cr)
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('x').dtype == 'int16'
+    assert sg.tensor_by_name('dense1/w').dtype == 'int8'
+    assert sg.tensor_by_name('dense1/b').dtype == 'int64'
+
+  def test_quantize_without_calibration_raises(self):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'default_a8w8')
+    with pytest.raises(RuntimeError, match='QSV'):
+      qt.quantize()
+
+  def test_calibration_save_resume(self, tmp_path):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'default_a8w8')
+    cr1 = qt.calibrate(self._calib(g, n=4))
+    from ai_edge_quantizer_tpu.utils import calibration_utils
+    path = str(tmp_path / 'calib.json')
+    calibration_utils.save_qsvs_to_json(cr1, path, num_samples=4)
+    loaded, meta = calibration_utils.load_qsvs_from_json(path)
+    assert meta['num_samples_calibrated'] == 4
+    np.testing.assert_allclose(loaded['dense1/out']['max'],
+                               cr1['dense1/out']['max'])
+    cr2 = qt.calibrate(self._calib(g, n=2, seed=9),
+                       previous_calibration_result=loaded)
+    assert set(cr2) == set(cr1)
+
+
+class TestMnistClassModel:
+
+  def test_conv_model_static(self):
+    g = fixtures.conv_fc_mnist()
+    qt = Quantizer(g, 'default_a8w8')
+    cr = qt.calibrate(test_data_lib.create_random_dataset(g, num_samples=10))
+    res = qt.quantize(cr)
+    sg = res.quantized_model.main_subgraph()
+    # All tensors integer under SRQ (reference mnist_test expectation).
+    for t in sg.tensors:
+      assert t.dtype.startswith('int'), f'{t.name}: {t.dtype}'
+    cmp = qt.validate(num_samples=2)
+    # Softmax output: fixed scale 1/256.
+    probs = sg.tensor_by_name('probs')
+    np.testing.assert_allclose(np.asarray(probs.quantization.scale),
+                               1.0 / 256)
+    assert cmp.get_all_tensor_results()['probs'] < 1e-2
+
+  def test_conv_model_dynamic(self):
+    g = fixtures.conv_fc_mnist()
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    qt.quantize()
+    r = qt.validate(num_samples=2).get_signature_comparison_result()
+    assert r.output_tensors['probs'] < 1e-3
+
+
+class TestSharedWeights:
+
+  def test_shared_tensor_same_config_no_duplication(self):
+    g = fixtures.shared_weight_two_fc()
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    # Same config for both consumers: weight quantized once, no duplicate.
+    assert sg.tensor_by_name('shared/w').dtype == 'int8'
+    assert sg.tensor_by_name('shared/w_duplicated_1') is None
+
+  def test_shared_tensor_conflicting_configs_duplicates(self):
+    g = fixtures.shared_weight_two_fc()
+    qt = Quantizer(g)
+    qt.add_dynamic_config('fc1.*', 'FULLY_CONNECTED', 8)
+    qt.add_weight_only_config('fc2.*', 'FULLY_CONNECTED', 4)
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    names = [t.name for t in sg.tensors]
+    assert any('duplicated' in n for n in names), names
+    f, q = _run_both(g, res.quantized_model)
+    mse = float(np.mean((np.asarray(f['out']) - np.asarray(q['out'])) ** 2))
+    assert mse < 1e-1
+
+  def test_shared_buffer_conflicting_configs_duplicates_buffer(self):
+    g = fixtures.shared_buffer_two_tensors()
+    qt = Quantizer(g)
+    qt.add_dynamic_config('fc1.*', 'FULLY_CONNECTED', 8)
+    qt.add_weight_only_config('fc2.*', 'FULLY_CONNECTED', 4)
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    wa, wb = sg.tensor_by_name('w_a'), sg.tensor_by_name('w_b')
+    assert wa.buffer != wb.buffer
+    assert wa.dtype == 'int8' and wb.dtype == 'int4'
+
+
+class TestSerialization:
+
+  def test_roundtrip_exact(self, tmp_path):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    path = str(tmp_path / 'm.aeqg')
+    res.export_model(path)
+    g2 = serialize.load_graph(path)
+    f1, _ = _run_both(g, res.quantized_model)
+    q1 = GraphExecutor(res.quantized_model).signature_runner()
+    q2 = GraphExecutor(g2).signature_runner()
+    rng = np.random.default_rng(3)
+    inp = {'x': rng.standard_normal((2, 64)).astype(np.float32)}
+    np.testing.assert_array_equal(
+        np.asarray(q1(inp)['out']), np.asarray(q2(inp)['out']))
+
+  def test_previous_quantized_model_validation(self, tmp_path):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    path = str(tmp_path / 'm.aeqg')
+    res.export_model(path)
+    qt2 = Quantizer(g, previous_quantized_model=path)
+    r = qt2.validate(num_samples=1).get_signature_comparison_result()
+    assert r.output_tensors['dense2/out'] < 1e-2
