@@ -36,11 +36,12 @@ class GraphBuilder:
   # -- tensors --------------------------------------------------------------
 
   def input(self, name: str, shape: Sequence[int],
-            dtype: str = 'float32') -> int:
+            dtype: str = 'float32',
+            user_name: Optional[str] = None) -> int:
     tid = self.subgraph.add_tensor(ir.Tensor(name=name, shape=tuple(shape),
                                              dtype=dtype))
     self.subgraph.inputs.append(tid)
-    self._sig_inputs[name.split('/')[-1]] = tid
+    self._sig_inputs[user_name or name.split('/')[-1]] = tid
     return tid
 
   def constant(self, name: str, data: np.ndarray,

@@ -1,0 +1,292 @@
+"""Gemma-class decoder-only transformer as Graph IR.
+
+Builds a multi-signature model (prefill + decode) over ONE shared weight
+store: both subgraphs alias the same buffers, exactly the shared-buffer
+situation the quantization planner handles. The KV cache is functional
+state: caches enter as signature inputs and leave as outputs, updated with
+DYNAMIC_UPDATE_SLICE (SAME_AS_OUTPUT scale semantics — the int8-cache
+quantization path), GQA via grouped broadcast batch-matmuls.
+
+Scope naming: tensors are named '<sig>/layer_<i>/<block>/...' so recipes
+select model regions by regex (the reference's per-scope recipes for GenAI,
+recipe.py:321-397).
+
+Parity note: the reference consumes such models as .tflite/.litertlm built
+elsewhere (toy Gemma fixture, quantizer_test.py:690-769); here the model
+family is part of the framework (models/), TPU-first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+
+from ai_edge_quantizer_tpu.graph import builder as builder_lib
+from ai_edge_quantizer_tpu.graph import ir
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+  vocab_size: int
+  embed_dim: int
+  num_layers: int
+  num_query_heads: int
+  num_kv_heads: int
+  head_dim: int
+  ffn_dim: int
+  max_seq_len: int
+  rope_base: float = 10000.0
+  norm_eps: float = 1e-6
+  tie_embedding: bool = True
+
+
+TOY_DECODER = DecoderConfig(
+    vocab_size=512, embed_dim=128, num_layers=2, num_query_heads=4,
+    num_kv_heads=2, head_dim=32, ffn_dim=256, max_seq_len=64)
+
+# Gemma-2B-shaped configuration (Gemma 1 2B: MQA with 1 KV head).
+GEMMA_2B = DecoderConfig(
+    vocab_size=256128, embed_dim=2048, num_layers=18, num_query_heads=8,
+    num_kv_heads=1, head_dim=256, ffn_dim=16384, max_seq_len=1024)
+
+# A mid-size config for benchmarking on a single chip without the 256k
+# embedding dominating build time.
+GEMMA_2B_LITE = DecoderConfig(
+    vocab_size=32000, embed_dim=2048, num_layers=18, num_query_heads=8,
+    num_kv_heads=1, head_dim=256, ffn_dim=16384, max_seq_len=1024)
+
+
+class _WeightStore:
+  """Creates each weight buffer once; later subgraphs alias it."""
+
+  def __init__(self, cfg: DecoderConfig, seed: int = 0):
+    self.cfg = cfg
+    self.rng = np.random.default_rng(seed)
+    self._buffers: dict = {}   # name -> (buffer_id, shape)
+    self._graph: Optional[ir.Graph] = None
+
+  def tensor(self, b: builder_lib.GraphBuilder, name: str, shape,
+             init_scale: float) -> int:
+    """Constant tensor aliasing the store's buffer for `name`."""
+    key = name.split('/', 1)[1] if '/' in name else name  # strip sig prefix
+    if key not in self._buffers:
+      data = (self.rng.standard_normal(size=shape) * init_scale).astype(
+          np.float32)
+      buf_id = b.graph.add_buffer(data)
+      self._buffers[key] = (buf_id, tuple(shape))
+    buf_id, stored_shape = self._buffers[key]
+    assert stored_shape == tuple(shape), (name, stored_shape, shape)
+    return b.shared_constant(name, buf_id, shape, 'float32')
+
+
+def _build_signature(
+    b: builder_lib.GraphBuilder,
+    store: _WeightStore,
+    sig: str,
+    batch: int,
+    seq_len: int,
+) -> None:
+  """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1)."""
+  cfg = store.cfg
+  B, T, D = batch, seq_len, cfg.embed_dim
+  NQ, NK, H = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+  G = NQ // NK
+  S = cfg.max_seq_len
+  F = cfg.ffn_dim
+
+  tokens = b.input(f'{sig}/tokens', (B, T), 'int32')
+  positions = b.input(f'{sig}/positions', (B, T), 'int32')
+  # Additive attention mask over the full cache: 0 for visible, -inf-like
+  # for hidden. Broadcasts over grouped score rows.
+  mask = b.input(f'{sig}/mask', (B, 1, G * T, S), 'float32')
+  # Cache write position as DUS start indices [b, head, pos, dim] = [0,0,p,0].
+  cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
+
+  embed_w = store.tensor(b, f'{sig}/embedder/w', (cfg.vocab_size, D),
+                         1.0 / math.sqrt(D))
+  x = b.op('EMBEDDING_LOOKUP', [tokens, embed_w], [(B, T, D)],
+           output_names=[f'{sig}/embedder/out'])
+  # Gemma scales embeddings by sqrt(dim).
+  esc = b.constant(f'{sig}/embed_scale', np.array([math.sqrt(D)], np.float32))
+  x = b.op('MUL', [x, esc], [(B, T, D)],
+           output_names=[f'{sig}/embed_scaled'])
+
+  kv_outs = []
+  for li in range(cfg.num_layers):
+    p = f'{sig}/layer_{li}'
+    k_cache = b.input(f'{p}/k_cache', (B, NK, S, H), 'float32',
+                      user_name=f'layer_{li}_k_cache_in')
+    v_cache = b.input(f'{p}/v_cache', (B, NK, S, H), 'float32',
+                      user_name=f'layer_{li}_v_cache_in')
+
+    # -- attention block --
+    gamma1 = store.tensor(b, f'{p}/pre_attn_norm/gamma', (D,), 0.1)
+    xn = b.op('RMS_NORM', [x, gamma1], [(B, T, D)],
+              output_names=[f'{p}/pre_attn_norm/out'],
+              attrs={'epsilon': cfg.norm_eps})
+    wq = store.tensor(b, f'{p}/attn/q/w', (NQ * H, D), 0.02)
+    wk = store.tensor(b, f'{p}/attn/k/w', (NK * H, D), 0.02)
+    wv = store.tensor(b, f'{p}/attn/v/w', (NK * H, D), 0.02)
+    q = b.op('FULLY_CONNECTED', [xn, wq, -1], [(B, T, NQ * H)],
+             output_names=[f'{p}/attn/q/out'],
+             attrs={'fused_activation': 'NONE'})
+    k = b.op('FULLY_CONNECTED', [xn, wk, -1], [(B, T, NK * H)],
+             output_names=[f'{p}/attn/k/out'],
+             attrs={'fused_activation': 'NONE'})
+    v = b.op('FULLY_CONNECTED', [xn, wv, -1], [(B, T, NK * H)],
+             output_names=[f'{p}/attn/v/out'],
+             attrs={'fused_activation': 'NONE'})
+
+    q4 = b.op('RESHAPE', [q], [(B, T, NQ, H)],
+              output_names=[f'{p}/attn/q_4d'],
+              attrs={'new_shape': [B, T, NQ, H]})
+    k4 = b.op('RESHAPE', [k], [(B, T, NK, H)],
+              output_names=[f'{p}/attn/k_4d'],
+              attrs={'new_shape': [B, T, NK, H]})
+    qr = b.op('ROPE', [q4, positions], [(B, T, NQ, H)],
+              output_names=[f'{p}/attn/q_rope'],
+              attrs={'rope_base': cfg.rope_base})
+    kr = b.op('ROPE', [k4, positions], [(B, T, NK, H)],
+              output_names=[f'{p}/attn/k_rope'],
+              attrs={'rope_base': cfg.rope_base})
+
+    # [B,T,NQ,H] -> [B,NQ,T,H] -> grouped [B,NK,G*T,H]
+    qt = b.op('TRANSPOSE', [qr], [(B, NQ, T, H)],
+              output_names=[f'{p}/attn/q_t'], attrs={'perm': [0, 2, 1, 3]})
+    qg = b.op('RESHAPE', [qt], [(B, NK, G * T, H)],
+              output_names=[f'{p}/attn/q_grouped'],
+              attrs={'new_shape': [B, NK, G * T, H]})
+    kt = b.op('TRANSPOSE', [kr], [(B, NK, T, H)],
+              output_names=[f'{p}/attn/k_t'], attrs={'perm': [0, 2, 1, 3]})
+    v4 = b.op('RESHAPE', [v], [(B, T, NK, H)],
+              output_names=[f'{p}/attn/v_4d'],
+              attrs={'new_shape': [B, T, NK, H]})
+    vt = b.op('TRANSPOSE', [v4], [(B, NK, T, H)],
+              output_names=[f'{p}/attn/v_t'], attrs={'perm': [0, 2, 1, 3]})
+
+    k_new = b.op('DYNAMIC_UPDATE_SLICE', [k_cache, kt, cache_pos],
+                 [(B, NK, S, H)], output_names=[f'{p}/k_cache_new'])
+    v_new = b.op('DYNAMIC_UPDATE_SLICE', [v_cache, vt, cache_pos],
+                 [(B, NK, S, H)], output_names=[f'{p}/v_cache_new'])
+    kv_outs.append((f'layer_{li}_k_cache', k_new))
+    kv_outs.append((f'layer_{li}_v_cache', v_new))
+
+    scores = b.op('BATCH_MATMUL', [qg, k_new], [(B, NK, G * T, S)],
+                  output_names=[f'{p}/attn/scores'], attrs={'adj_y': True})
+    ssc = b.constant(f'{p}/attn/score_scale',
+                     np.array([1.0 / math.sqrt(H)], np.float32))
+    scaled = b.op('MUL', [scores, ssc], [(B, NK, G * T, S)],
+                  output_names=[f'{p}/attn/scores_scaled'])
+    masked = b.op('ADD', [scaled, mask], [(B, NK, G * T, S)],
+                  output_names=[f'{p}/attn/scores_masked'])
+    probs = b.op('SOFTMAX', [masked], [(B, NK, G * T, S)],
+                 output_names=[f'{p}/attn/probs'])
+    ctx = b.op('BATCH_MATMUL', [probs, v_new], [(B, NK, G * T, H)],
+               output_names=[f'{p}/attn/ctx'], attrs={'adj_y': False})
+    ctx4 = b.op('RESHAPE', [ctx], [(B, NQ, T, H)],
+                output_names=[f'{p}/attn/ctx_4d'],
+                attrs={'new_shape': [B, NQ, T, H]})
+    ctx_t = b.op('TRANSPOSE', [ctx4], [(B, T, NQ, H)],
+                 output_names=[f'{p}/attn/ctx_t'],
+                 attrs={'perm': [0, 2, 1, 3]})
+    ctx2 = b.op('RESHAPE', [ctx_t], [(B, T, NQ * H)],
+                output_names=[f'{p}/attn/ctx_2d'],
+                attrs={'new_shape': [B, T, NQ * H]})
+    wo = store.tensor(b, f'{p}/attn/o/w', (D, NQ * H), 0.02)
+    attn_out = b.op('FULLY_CONNECTED', [ctx2, wo, -1], [(B, T, D)],
+                    output_names=[f'{p}/attn/o/out'],
+                    attrs={'fused_activation': 'NONE'})
+    x = b.op('ADD', [x, attn_out], [(B, T, D)],
+             output_names=[f'{p}/attn_residual'])
+
+    # -- ffn block (GeGLU) --
+    gamma2 = store.tensor(b, f'{p}/pre_ffn_norm/gamma', (D,), 0.1)
+    fn = b.op('RMS_NORM', [x, gamma2], [(B, T, D)],
+              output_names=[f'{p}/pre_ffn_norm/out'],
+              attrs={'epsilon': cfg.norm_eps})
+    wg = store.tensor(b, f'{p}/ffw/gate/w', (F, D), 0.02)
+    wu = store.tensor(b, f'{p}/ffw/up/w', (F, D), 0.02)
+    wd = store.tensor(b, f'{p}/ffw/down/w', (D, F), 0.02)
+    gate = b.op('FULLY_CONNECTED', [fn, wg, -1], [(B, T, F)],
+                output_names=[f'{p}/ffw/gate/out'],
+                attrs={'fused_activation': 'NONE'})
+    gact = b.op('GELU', [gate], [(B, T, F)],
+                output_names=[f'{p}/ffw/gelu'])
+    up = b.op('FULLY_CONNECTED', [fn, wu, -1], [(B, T, F)],
+              output_names=[f'{p}/ffw/up/out'],
+              attrs={'fused_activation': 'NONE'})
+    prod = b.op('MUL', [gact, up], [(B, T, F)],
+                output_names=[f'{p}/ffw/prod'])
+    down = b.op('FULLY_CONNECTED', [prod, wd, -1], [(B, T, D)],
+                output_names=[f'{p}/ffw/down/out'],
+                attrs={'fused_activation': 'NONE'})
+    x = b.op('ADD', [x, down], [(B, T, D)],
+             output_names=[f'{p}/ffn_residual'])
+
+  gamma_f = store.tensor(b, f'{sig}/final_norm/gamma', (D,), 0.1)
+  xf = b.op('RMS_NORM', [x, gamma_f], [(B, T, D)],
+            output_names=[f'{sig}/final_norm/out'],
+            attrs={'epsilon': cfg.norm_eps})
+  if cfg.tie_embedding:
+    # Tied logits head: the FC consumes the embedding table's buffer — the
+    # classic shared-buffer case the planner must reconcile or duplicate.
+    buf_id, shape = store._buffers['embedder/w']
+    logits_w = b.shared_constant(f'{sig}/logits/w', buf_id, shape, 'float32')
+  else:
+    logits_w = store.tensor(b, f'{sig}/logits/w', (cfg.vocab_size, D),
+                            1.0 / math.sqrt(D))
+  logits = b.op('FULLY_CONNECTED', [xf, logits_w, -1],
+                [(B, T, cfg.vocab_size)],
+                output_names=[f'{sig}/logits'],
+                attrs={'fused_activation': 'NONE'})
+  b.output(logits, user_name='logits')
+  for name, tid in kv_outs:
+    b.output(tid, user_name=name)
+
+
+def build_decoder(
+    cfg: DecoderConfig = TOY_DECODER,
+    batch: int = 1,
+    prefill_len: int = 16,
+    seed: int = 0,
+    signatures=('prefill', 'decode'),
+) -> ir.Graph:
+  """Multi-signature decoder graph over one shared weight store."""
+  graph = ir.Graph()
+  store = _WeightStore(cfg, seed=seed)
+  for sig in signatures:
+    b = builder_lib.GraphBuilder(sig, graph=graph)
+    seq = prefill_len if sig == 'prefill' else 1
+    _build_signature(b, store, sig, batch, seq)
+    b.finalize(signature_key=sig)
+  return graph
+
+
+def make_inputs(cfg: DecoderConfig, sig: str, batch: int, seq_len: int,
+                start_pos: int = 0, seed: int = 0) -> dict:
+  """Random-but-valid inputs (+ zero caches) for one signature call."""
+  rng = np.random.default_rng(seed)
+  B, T, S = batch, seq_len, cfg.max_seq_len
+  G = cfg.num_query_heads // cfg.num_kv_heads
+  mask = np.full((B, 1, G * T, S), -1e9, np.float32)
+  for t in range(T):
+    limit = start_pos + t + 1
+    for g in range(G):
+      mask[:, :, g * T + t, :limit] = 0.0
+  inputs = {
+      'tokens': rng.integers(0, cfg.vocab_size, size=(B, T)).astype(
+          np.int32),
+      'positions': (np.arange(T, dtype=np.int32)[None, :] + start_pos
+                    ).repeat(B, 0),
+      'mask': mask,
+      'cache_pos': np.array([0, 0, start_pos, 0], np.int32),
+  }
+  for li in range(cfg.num_layers):
+    inputs[f'layer_{li}_k_cache_in'] = np.zeros(
+        (B, cfg.num_kv_heads, S, cfg.head_dim), np.float32)
+    inputs[f'layer_{li}_v_cache_in'] = np.zeros(
+        (B, cfg.num_kv_heads, S, cfg.head_dim), np.float32)
+  return inputs
