@@ -1,0 +1,150 @@
+"""GPTQ: Hessian-weighted optimal brain surgeon weight quantization
+(arXiv:2210.17323).
+
+Calibration accumulates the input-activation Hessian 2/n * XᵀX per FC
+input; materialization quantizes weight columns one at a time, propagating
+the quantization error through the inverse-Hessian (lazy block updates,
+block size 64). FULLY_CONNECTED only; Hessians merge across calibration
+batches sample-weighted (utils/qsv_utils.gptq_and_moving_average_update).
+
+Parity: reference `algorithms/uniform_quantize/gptq.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional
+
+import numpy as np
+import scipy.linalg
+
+from ai_edge_quantizer_tpu import qtyping
+from ai_edge_quantizer_tpu.algorithms.uniform import engine
+from ai_edge_quantizer_tpu.algorithms.uniform import min_max
+from ai_edge_quantizer_tpu.algorithms.uniform import quant_numerics as qn
+
+ALGORITHM_KEY = 'GPTQ'
+
+_DAMP_FACTOR = 0.01
+_OBS_BLOCK = 64
+_CALIBRATION_VALID_RANGE = (-3e38, 3e38)
+
+
+def calibrate(
+    op,
+    graph_info: qtyping.GraphInfo,
+    tensor_content_map: Mapping[str, np.ndarray],
+    inputs_to_ignore=None,
+    outputs_to_ignore=None,
+) -> dict:
+  """Min/max + input Hessian 2/n * XᵀX for the op's activations."""
+  op_qsvs: dict = {}
+  lo, hi = _CALIBRATION_VALID_RANGE
+  tensors = graph_info.subgraph.tensors
+
+  def collect(tid: int) -> None:
+    t = tensors[tid]
+    if engine.tensor_data_of(graph_info, t) is not None:
+      return
+    content = np.asarray(tensor_content_map[t.name], np.float32)
+    x = content.reshape(-1, content.shape[-1])
+    num_samples = content.shape[0]
+    qsv_shape = (1,) * content.ndim
+    mask = (content > lo) & (content < hi)
+    vals = content[mask] if np.any(mask) else content
+    op_qsvs[t.name] = {
+        'min': np.min(vals).reshape(qsv_shape),
+        'max': np.max(vals).reshape(qsv_shape),
+        'hessian': (2.0 / num_samples) * (x.T @ x),
+        'num_samples': num_samples,
+    }
+
+  inputs_to_ignore = set(inputs_to_ignore or [])
+  for pos, tid in enumerate(op.inputs):
+    if tid >= 0 and engine.is_quantized_tensor(tensors[tid]):
+      inputs_to_ignore.add(pos)
+  outputs_to_ignore = set(outputs_to_ignore or [])
+  for pos, tid in enumerate(op.inputs):
+    if tid >= 0 and pos not in inputs_to_ignore:
+      collect(tid)
+  for pos, tid in enumerate(op.outputs):
+    if tid >= 0 and pos not in outputs_to_ignore:
+      collect(tid)
+  return op_qsvs
+
+
+def _inverse_via_cholesky(hessian: np.ndarray,
+                          damp_factor: float = _DAMP_FACTOR) -> np.ndarray:
+  """H⁻¹ with diagonal damping, via Cholesky + triangular inversion."""
+  h = np.array(hessian, dtype=np.float64)
+  diag = np.diag(h).copy()
+  diag = np.where(diag != 0, diag, 1.0)
+  np.fill_diagonal(h, diag + damp_factor * np.mean(diag))
+  l = np.linalg.cholesky(h)
+  l_inv, err = scipy.linalg.lapack.dtrtri(l, lower=True)
+  if err != 0:
+    raise RuntimeError(f'Triangular inversion failed (info={err}).')
+  return (l_inv.T @ l_inv).astype(np.float32)
+
+
+def apply_gptq(
+    weights: np.ndarray,
+    quant_params: qtyping.UniformQuantParams,
+    hessian: np.ndarray,
+    block_size: int = _OBS_BLOCK,
+) -> qtyping.UniformQuantParams:
+  """Column-by-column OBS quantization with lazy error propagation.
+
+  weights: [out, in]; hessian over the `in` dimension.
+  """
+  w = weights.astype(np.float32).copy()
+  h_inv = _inverse_via_cholesky(hessian)
+  n_cols = h_inv.shape[0]
+  storage = qn.storage_dtype(quant_params.num_bits)
+  q_out = np.zeros_like(w, dtype=storage)
+  is_blockwise = quant_params.block_size > 0
+
+  def column_params(col_idx: int) -> qtyping.UniformQuantParams:
+    if not is_blockwise:
+      return quant_params
+    b = col_idx // quant_params.block_size
+    return dataclasses.replace(
+        quant_params,
+        scale=np.asarray(quant_params.scale)[:, b],
+        zero_point=np.asarray(quant_params.zero_point)[:, b],
+        quantized_dimension=0,
+        block_size=0,
+    )
+
+  for start in range(0, n_cols, block_size):
+    end = min(start + block_size, n_cols)
+    wb = w[:, start:end]
+    err = np.zeros_like(wb)
+    for i in range(end - start):
+      col = start + i
+      p = column_params(col)
+      q = qn.quantize_array(wb[:, i:i + 1], p)
+      dq = qn.dequantize_array(q, p).reshape(-1)
+      q_out[:, col] = q.reshape(-1)
+      err[:, i] = (wb[:, i] - dq) / h_inv[col, col]
+      if i < end - start - 1:
+        wb[:, i + 1:] -= np.outer(err[:, i], h_inv[col, col + 1:end])
+    w[:, end:] -= err @ h_inv[start:end, end:]
+  return dataclasses.replace(quant_params, quantized_data=q_out)
+
+
+def get_tensor_quant_params(
+    op_info: qtyping.OpInfo,
+    tensor_quant_config: qtyping.TensorQuantizationConfig,
+    tensor_content: Optional[np.ndarray] = None,
+    tensor_qsv: Optional[dict[str, Any]] = None,
+) -> qtyping.UniformQuantParams:
+  act_qsv = tensor_qsv.get('activation_tensor_qsv') if tensor_qsv else None
+  base = min_max.get_tensor_quant_params(
+      op_info, tensor_quant_config, tensor_content, tensor_qsv)
+  if tensor_content is None:
+    return base
+  if act_qsv is None or 'hessian' not in act_qsv:
+    return base  # no Hessian collected (e.g. activation not calibrated)
+  base = dataclasses.replace(base, quantized_data=None)
+  return apply_gptq(tensor_content, base, act_qsv['hessian'])

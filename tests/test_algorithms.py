@@ -1,0 +1,202 @@
+"""Algorithm-level tests: OCTAV, MSE, GPTQ, Hadamard, recovery, fp16."""
+
+import numpy as np
+import pytest
+
+import fixtures
+from ai_edge_quantizer_tpu import Quantizer, qtyping
+from ai_edge_quantizer_tpu.algorithms.uniform import (
+    dequant_recovery, gptq, hadamard, mse, octav, quant_numerics as qn)
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.graph.builder import GraphBuilder
+from ai_edge_quantizer_tpu.utils import test_data as tdl
+
+_G = qtyping.QuantGranularity
+
+
+def _fc_op_info(cfg):
+  from ai_edge_quantizer_tpu.graph import ir
+  op = ir.Op(opcode='FULLY_CONNECTED', inputs=[0, 1, -1], outputs=[2])
+  return qtyping.OpInfo(op=op, op_name=qtyping.OpName.FULLY_CONNECTED,
+                       subgraph_op_index=0, op_quant_config=cfg)
+
+
+def _wcfg(bits=4, gran=_G.CHANNELWISE, symmetric=True):
+  return qtyping.TensorQuantizationConfig(
+      num_bits=bits, symmetric=symmetric, granularity=gran)
+
+
+class TestOctav:
+
+  def test_octav_beats_minmax_with_outliers(self):
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(32, 256)).astype(np.float32)
+    w[0, 0] = 8.0  # moderate outlier stretches the min/max scale
+    cfg = qtyping.OpQuantizationConfig(weight_tensor_config=_wcfg(4))
+    info = _fc_op_info(cfg)
+    from ai_edge_quantizer_tpu.algorithms.uniform import min_max
+    p_mm = min_max.get_tensor_quant_params(info, _wcfg(4), w)
+    p_oc = octav.get_tensor_quant_params(info, _wcfg(4), w)
+    err_mm = np.mean((qn.dequantize_array(p_mm.quantized_data, p_mm) - w) ** 2)
+    err_oc = np.mean((qn.dequantize_array(p_oc.quantized_data, p_oc) - w) ** 2)
+    assert err_oc < err_mm
+
+  def test_octav_e2e_accuracy(self):
+    g = fixtures.single_fc()
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', 'FULLY_CONNECTED',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=_wcfg(8),
+            compute_precision=qtyping.ComputePrecision.FLOAT,
+            explicit_dequantize=True),
+        algorithm_key='OCTAV')
+    qt.quantize()
+    r = qt.validate(num_samples=2).get_signature_comparison_result()
+    assert r.constant_tensors['fc/w'] < 1e-3  # reference OCTAV threshold
+
+  def test_octav_rejects_asymmetric(self):
+    cfg = _wcfg(4, symmetric=False)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    with pytest.raises(ValueError, match='symmetric'):
+      octav.get_tensor_quant_params(info, cfg, np.ones((4, 8), np.float32))
+
+
+class TestMse:
+
+  def test_scale_is_rms_multiple(self):
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(8, 64)).astype(np.float32)
+    cfg = _wcfg(8)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    p = mse.get_tensor_quant_params(info, cfg, w)
+    rms = np.sqrt(np.mean(w ** 2, axis=1))
+    np.testing.assert_allclose(p.scale, 0.05408 * rms, rtol=1e-5)
+
+  def test_blockwise_rejected(self):
+    cfg = _wcfg(4, gran=_G.BLOCKWISE_32)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    with pytest.raises(ValueError, match='[Bb]lockwise'):
+      mse.get_tensor_quant_params(info, cfg, np.ones((4, 64), np.float32))
+
+
+class TestGptq:
+
+  def test_hessian_accumulation(self):
+    g = fixtures.single_fc()
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', 'FULLY_CONNECTED',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=_wcfg(4),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key='GPTQ')
+    assert qt.need_calibration
+    cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=6))
+    assert 'hessian' in cr['x']
+    assert cr['x']['hessian'].shape == (64, 64)
+    res = qt.quantize(cr)
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('fc/w').dtype == 'int4'
+    r = qt.validate(num_samples=2).get_signature_comparison_result()
+    assert r.output_tensors['fc/out'] < 5e-2
+
+  def test_gptq_improves_output_over_minmax(self):
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(64, 128)).astype(np.float32)
+    x = rng.normal(size=(256, 128)).astype(np.float32)
+    hessian = 2.0 / x.shape[0] * (x.T @ x)
+    cfg = _wcfg(2)  # very low bits: OBS compensation matters
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    from ai_edge_quantizer_tpu.algorithms.uniform import min_max
+    p_mm = min_max.get_tensor_quant_params(info, cfg, w)
+    import dataclasses as dc
+    p_gptq = gptq.apply_gptq(w, dc.replace(p_mm, quantized_data=None),
+                             hessian)
+    y = x @ w.T
+    y_mm = x @ qn.dequantize_array(p_mm.quantized_data, p_mm).T
+    y_gq = x @ qn.dequantize_array(p_gptq.quantized_data, p_gptq).T
+    assert np.mean((y - y_gq) ** 2) < np.mean((y - y_mm) ** 2)
+
+
+class TestHadamard:
+
+  def test_rotation_is_involutory(self):
+    x = np.random.default_rng(3).normal(size=(4, 64)).astype(np.float32)
+    r = hadamard.rotate_last_dim(hadamard.rotate_last_dim(x, 32), 32)
+    np.testing.assert_allclose(r, x, atol=1e-5)
+
+  @pytest.mark.parametrize('algo,inserted_op', [
+      ('HADAMARD_ROTATION', 'HADAMARD_ROTATION'),
+      ('DECOMPOSED_HADAMARD_ROTATION', 'BATCH_MATMUL'),
+  ])
+  def test_fc_e2e(self, algo, inserted_op):
+    g = fixtures.single_fc()
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', 'FULLY_CONNECTED',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=_wcfg(4),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key=algo)
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('fc/w').dtype == 'int4'
+    assert any(op.opcode == inserted_op for op in sg.ops)
+    # Quantized output must track the float model closely.
+    rng = np.random.default_rng(5)
+    inp = {'x': rng.standard_normal((2, 64)).astype(np.float32)}
+    yf = GraphExecutor(g).signature_runner()(inp)['out']
+    yq = GraphExecutor(res.quantized_model).signature_runner()(inp)['out']
+    corr = np.corrcoef(np.asarray(yf).ravel(), np.asarray(yq).ravel())[0, 1]
+    assert corr > 0.99
+
+
+class TestDequantRecovery:
+
+  def test_recovers_exact_grid(self):
+    rng = np.random.default_rng(4)
+    scale = 0.02
+    q = rng.integers(-8, 8, size=(16, 32)).astype(np.float32)
+    w = (q * scale).astype(np.float32)
+    cfg = _wcfg(4, gran=_G.CHANNELWISE)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    p = dequant_recovery.get_tensor_quant_params(info, cfg, w)
+    recovered = qn.dequantize_array(p.quantized_data, p)
+    np.testing.assert_allclose(recovered, w, atol=1e-5)
+
+  def test_rejects_non_grid_weights(self):
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(16, 64)).astype(np.float32)  # continuous values
+    cfg = _wcfg(4)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    with pytest.raises((ValueError, RuntimeError)):
+      dequant_recovery.get_tensor_quant_params(info, cfg, w)
+
+
+class TestFloatCasting:
+
+  def test_fp16_weights(self):
+    g = fixtures.single_fc()
+    qt = Quantizer(g, 'default_fp16')
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('fc/w').dtype == 'float16'
+    assert any(op.opcode == 'DEQUANTIZE' for op in sg.ops)
+    cmp = qt.validate(num_samples=2)
+    r = cmp.get_signature_comparison_result()
+    assert r.output_tensors['fc/out'] < 1e-5
+    _, frac = cmp.get_model_size_reduction()
+    assert 0.4 < frac < 0.6  # ~50%
+
+  def test_invalid_config_rejected(self):
+    from ai_edge_quantizer_tpu.recipe import recipe_manager as rm
+    mgr = rm.RecipeManager()
+    with pytest.raises(ValueError):
+      mgr.add_quantization_config(
+          '.*', qtyping.OpName.FULLY_CONNECTED,
+          qtyping.OpQuantizationConfig(
+              weight_tensor_config=_wcfg(8),  # INT dtype: invalid for fp16
+              compute_precision=qtyping.ComputePrecision.FLOAT,
+              explicit_dequantize=True),
+          algorithm_key='float_casting')
