@@ -73,8 +73,10 @@ class _WeightStore:
     """Constant tensor aliasing the store's buffer for `name`."""
     key = name.split('/', 1)[1] if '/' in name else name  # strip sig prefix
     if key not in self._buffers:
-      data = (self.rng.standard_normal(size=shape) * init_scale).astype(
-          np.float32)
+      # Native-f32 generation + in-place scale: avoids f64 temporaries and
+      # fresh large allocations (page-fault bound on big models).
+      data = self.rng.standard_normal(size=shape, dtype=np.float32)
+      data *= init_scale
       buf_id = b.graph.add_buffer(data)
       self._buffers[key] = (buf_id, tuple(shape))
     buf_id, stored_shape = self._buffers[key]

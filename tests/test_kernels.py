@@ -1,0 +1,102 @@
+"""Kernel tests: Pallas fused dequant-matmul vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai_edge_quantizer_tpu.kernels import pallas_qmatmul, qmatmul
+
+
+def _quantized_weight(rng, n, k, bits=8):
+  w = rng.normal(size=(n, k)).astype(np.float32) * 0.1
+  qmax = 2 ** (bits - 1) - 1
+  scale = np.abs(w).max(axis=1) / qmax
+  w_q = np.clip(np.round(w / scale[:, None]), -qmax - 1, qmax).astype(np.int8)
+  return w_q, scale.astype(np.float32)
+
+
+class TestQmatmulRef:
+
+  def test_channelwise_matches_dense(self):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 128)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, 64, 128)
+    y = qmatmul.qmatmul_ref(jnp.asarray(x), jnp.asarray(w_q),
+                            jnp.asarray(scale))
+    dense = x @ (w_q.astype(np.float32) * scale[:, None]).T
+    np.testing.assert_allclose(np.asarray(y), dense, rtol=1e-4, atol=1e-4)
+
+  def test_blockwise_matches_dense(self):
+    rng = np.random.default_rng(1)
+    n, k, bs = 32, 128, 32
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    w = rng.normal(size=(n, k)).astype(np.float32) * 0.1
+    scale = (np.abs(w.reshape(n, k // bs, bs)).max(axis=-1) / 7).astype(
+        np.float32)
+    w_q = np.clip(np.round(w.reshape(n, k // bs, bs) / scale[..., None]),
+                  -8, 7).astype(np.int8).reshape(n, k)
+    y = qmatmul.qmatmul_ref(jnp.asarray(x), jnp.asarray(w_q),
+                            jnp.asarray(scale), block_size=bs)
+    dense_w = (w_q.reshape(n, k // bs, bs) * scale[..., None]).reshape(n, k)
+    np.testing.assert_allclose(np.asarray(y), x @ dense_w.T,
+                               rtol=1e-4, atol=1e-4)
+
+  def test_drq_close_to_float(self):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, 128, 256)
+    y_drq = qmatmul.drq_matmul_ref(jnp.asarray(x), jnp.asarray(w_q),
+                                   jnp.asarray(scale))
+    dense = x @ (w_q.astype(np.float32) * scale[:, None]).T
+    # DRQ adds activation-quantization noise; still close.
+    err = np.mean((np.asarray(y_drq) - dense) ** 2)
+    assert err < np.mean(dense ** 2) * 1e-3
+
+
+class TestPallasKernel:
+  """Run via the Pallas interpreter on CPU; on TPU the same code compiles
+  to Mosaic."""
+
+  @pytest.mark.parametrize('m,n,k', [(4, 256, 512), (16, 512, 256)])
+  def test_channelwise(self, m, n, k):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, n, k)
+    y = pallas_qmatmul.qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        interpret=True)
+    expected = np.asarray(qmatmul.qmatmul_ref(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale)))
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+
+  def test_with_bias_and_3d_input(self):
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, 256)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, 256, 256)
+    bias = rng.normal(size=(256,)).astype(np.float32)
+    y = pallas_qmatmul.qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        bias=jnp.asarray(bias), interpret=True)
+    expected = np.asarray(qmatmul.qmatmul_ref(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        bias=jnp.asarray(bias)))
+    assert y.shape == (2, 3, 256)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+
+  def test_blockwise(self):
+    rng = np.random.default_rng(5)
+    n, k, bs = 256, 256, 64
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    w = rng.normal(size=(n, k)).astype(np.float32) * 0.1
+    scale = (np.abs(w.reshape(n, k // bs, bs)).max(axis=-1) / 7).astype(
+        np.float32)
+    w_q = np.clip(np.round(w.reshape(n, k // bs, bs) / scale[..., None]),
+                  -8, 7).astype(np.int8).reshape(n, k)
+    y = pallas_qmatmul.qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        block_size=bs, interpret=True)
+    expected = np.asarray(qmatmul.qmatmul_ref(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale), block_size=bs))
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-3, atol=1e-3)
