@@ -226,19 +226,25 @@ def quantize_array(
   out_dtype = storage_dtype(params.num_bits)
 
   if data.ndim >= 2 and data.nbytes > _CHUNK_BYTES:
-    flat = data.reshape(-1, data.shape[-1])
-    s2 = np.broadcast_to(scale, data.shape).reshape(flat.shape)
-    z2 = np.broadcast_to(zp, data.shape).reshape(flat.shape)
-    out = np.empty(flat.shape, dtype=out_dtype)
-    rows = max(1, _CHUNK_BYTES // max(1, flat.shape[-1] * data.dtype.itemsize))
-    for r in range(0, flat.shape[0], rows):
-      sl = slice(r, min(r + rows, flat.shape[0]))
-      q = flat[sl] / s2[sl]
-      q += z2[sl]
+    # Chunk along axis 0 with one reused f32 scratch buffer: fresh large
+    # allocations are page-fault bound, so everything runs in place.
+    s_b = np.broadcast_to(scale, data.shape)
+    z_b = np.broadcast_to(zp, data.shape)
+    out = np.empty(data.shape, dtype=out_dtype)
+    row_bytes = max(1, data[0:1].nbytes)
+    rows = max(1, _CHUNK_BYTES // row_bytes)
+    scratch = np.empty((min(rows, data.shape[0]),) + data.shape[1:],
+                       dtype=np.float32)
+    for r in range(0, data.shape[0], rows):
+      sl = slice(r, min(r + rows, data.shape[0]))
+      n = sl.stop - sl.start
+      q = scratch[:n]
+      np.divide(data[sl], s_b[sl], out=q)
+      np.add(q, z_b[sl], out=q)
       np.rint(q, out=q)
       np.clip(q, qmin, qmax, out=q)
-      out[sl] = q.astype(out_dtype)
-    return out.reshape(data.shape)
+      out[sl] = q  # cast on assignment
+    return out
 
   q = data / scale
   q = q + zp
