@@ -1,0 +1,208 @@
+"""Op-architecture tests: per-op materialization emits the right
+transformations and params, WITHOUT executing a model.
+
+The analog of the reference's
+`algorithms/uniform_quantize/op_architecture_tests/` tier: build a tiny
+graph around one op, run the params generator, and assert on the
+producer/consumer transformation structure.
+"""
+
+import numpy as np
+import pytest
+
+from ai_edge_quantizer_tpu import qtyping
+from ai_edge_quantizer_tpu.graph.builder import GraphBuilder
+from ai_edge_quantizer_tpu.pipeline.params_generator import ParamsGenerator
+from ai_edge_quantizer_tpu.recipe import recipe_manager as rm
+
+_QT = qtyping.QuantTransformation
+_G = qtyping.QuantGranularity
+
+
+def _srq_recipe():
+  mgr = rm.RecipeManager()
+  mgr.add_quantization_config(
+      '.*', qtyping.OpName.ALL_SUPPORTED,
+      qtyping.OpQuantizationConfig(
+          activation_tensor_config=qtyping.TensorQuantizationConfig(
+              num_bits=8, symmetric=False, granularity=_G.TENSORWISE),
+          weight_tensor_config=qtyping.TensorQuantizationConfig(
+              num_bits=8, symmetric=True, granularity=_G.CHANNELWISE),
+          compute_precision=qtyping.ComputePrecision.INTEGER))
+  return mgr
+
+
+def _drq_recipe(op='FULLY_CONNECTED', bits=8):
+  mgr = rm.RecipeManager()
+  mgr.add_dynamic_config('.*', qtyping.OpName(op), bits)
+  return mgr
+
+
+def _mock_qsvs(graph):
+  """Synthetic activation min/max for every tensor."""
+  qsvs = {}
+  for sg in graph.subgraphs:
+    for t in sg.tensors:
+      qsvs[t.name] = {'min': np.array([-1.0], np.float32),
+                      'max': np.array([1.0], np.float32)}
+  return qsvs
+
+
+def _consumer_trans(params, name):
+  return [c.transformations for c in params[name].consumers or []]
+
+
+def _producer_trans(params, name):
+  p = params[name].producer
+  return p.transformations if p else None
+
+
+class TestFcModes:
+
+  def _fc_graph(self):
+    rng = np.random.default_rng(0)
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 16))
+    y = b.fully_connected(x, rng.normal(size=(8, 16)).astype(np.float32),
+                          rng.normal(size=8).astype(np.float32), name='fc')
+    b.output(y)
+    return b.finalize()
+
+  def test_drq_transformations(self):
+    g = self._fc_graph()
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _drq_recipe())
+    assert _consumer_trans(params, 'fc/w') == [[_QT.QUANTIZE_TENSOR]]
+    assert _consumer_trans(params, 'fc/b') == [[_QT.NO_QUANTIZE]]
+    assert _consumer_trans(params, 'x') == [[_QT.NO_QUANTIZE]]
+    w = params['fc/w'].consumers[0].parameters
+    assert w.num_bits == 8 and w.quantized_dimension == 0
+    assert w.quantized_data is not None
+
+  def test_weight_only_transformations(self):
+    g = self._fc_graph()
+    mgr = rm.RecipeManager()
+    mgr.add_weight_only_config('.*', qtyping.OpName.FULLY_CONNECTED, 4)
+    params = ParamsGenerator(g).generate_quantization_parameters(mgr)
+    assert _consumer_trans(params, 'fc/w') == [[_QT.ADD_DEQUANTIZE]]
+    assert _consumer_trans(params, 'fc/b') == [[_QT.NO_QUANTIZE]]
+
+  def test_srq_transformations(self):
+    g = self._fc_graph()
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _srq_recipe(), _mock_qsvs(g))
+    assert _consumer_trans(params, 'fc/w') == [[_QT.QUANTIZE_TENSOR]]
+    # Bias quantized at input_scale * weight_scale, int32.
+    b = params['fc/b'].consumers[0].parameters
+    assert b.num_bits == 32
+    np.testing.assert_allclose(
+        b.scale,
+        params['x'].consumers[0].parameters.scale
+        * params['fc/w'].consumers[0].parameters.scale, rtol=1e-6)
+    # Activation edges: ADD_QUANTIZE in, ADD_DEQUANTIZE out.
+    assert [_QT.ADD_QUANTIZE] in _consumer_trans(params, 'x')
+    assert _producer_trans(params, 'fc/out') == [_QT.ADD_DEQUANTIZE]
+
+  def test_min_weight_elements(self):
+    g = self._fc_graph()  # weight has 128 elements
+    mgr = rm.RecipeManager()
+    mgr.add_quantization_config(
+        '.*', qtyping.OpName.FULLY_CONNECTED,
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=8, symmetric=True, granularity=_G.CHANNELWISE),
+            compute_precision=qtyping.ComputePrecision.INTEGER,
+            min_weight_elements=1000))
+    params = ParamsGenerator(g).generate_quantization_parameters(mgr)
+    assert _consumer_trans(params, 'fc/w') == [[_QT.NO_QUANTIZE]]
+
+
+class TestScaleConstraints:
+
+  def test_same_as_input_scale_reshape(self):
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 4, 4))
+    y = b.op('RESHAPE', [x], [(1, 16)], output_names=['reshaped'],
+             attrs={'new_shape': [1, 16]})
+    b.output(y)
+    g = b.finalize()
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _srq_recipe(), _mock_qsvs(g))
+    in_params = params['x'].consumers[0].parameters
+    out_params = params['reshaped'].producer.parameters
+    np.testing.assert_array_equal(in_params.scale, out_params.scale)
+    np.testing.assert_array_equal(in_params.zero_point, out_params.zero_point)
+
+  def test_same_as_output_scale_concat(self):
+    b = GraphBuilder('main')
+    x1 = b.input('x1', (1, 4))
+    x2 = b.input('x2', (1, 4))
+    y = b.op('CONCATENATION', [x1, x2], [(1, 8)], output_names=['cat'],
+             attrs={'axis': -1})
+    b.output(y)
+    g = b.finalize()
+    qsvs = _mock_qsvs(g)
+    qsvs['cat'] = {'min': np.array([-2.0], np.float32),
+                   'max': np.array([2.0], np.float32)}
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _srq_recipe(), qsvs)
+    out_params = params['cat'].producer.parameters
+    for name in ('x1', 'x2'):
+      cat_consumer = [c for c in params[name].consumers
+                      if c.transformations != [_QT.NO_QUANTIZE]][0]
+      np.testing.assert_array_equal(cat_consumer.parameters.scale,
+                                    out_params.scale)
+
+  @pytest.mark.parametrize('op,scale8', [
+      ('SOFTMAX', 1.0 / 256), ('LOGISTIC', 1.0 / 256), ('TANH', 1.0 / 128),
+  ])
+  def test_fixed_output_scales(self, op, scale8):
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 8))
+    y = b.unary(op, x, name=f'{op.lower()}_out')
+    b.output(y)
+    g = b.finalize()
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _srq_recipe(), _mock_qsvs(g))
+    out_params = params[f'{op.lower()}_out'].producer.parameters
+    np.testing.assert_allclose(np.asarray(out_params.scale).ravel()[0],
+                               scale8)
+
+  def test_structural_ops_ignore_parameter_operands(self):
+    # int32 shape/axis operands are never quantized.
+    b = GraphBuilder('main')
+    x = b.input('x', (2, 8))
+    axis = b.constant('axis', np.array(0, np.int32))
+    s0, s1 = b.op('SPLIT', [axis, x], [(1, 8), (1, 8)],
+                  output_names=['s0', 's1'], attrs={'num_splits': 2})
+    b.output(s0)
+    b.output(s1)
+    g = b.finalize()
+    params = ParamsGenerator(g).generate_quantization_parameters(
+        _srq_recipe(), _mock_qsvs(g))
+    assert _consumer_trans(params, 'axis') == [[_QT.NO_QUANTIZE]]
+
+
+class TestGranularities:
+
+  @pytest.mark.parametrize('gran,expected_scale_shape', [
+      (_G.TENSORWISE, (1,)),
+      (_G.CHANNELWISE, (8,)),
+      (_G.BLOCKWISE_32, (8, 2)),
+  ])
+  def test_weight_scale_shapes(self, gran, expected_scale_shape):
+    rng = np.random.default_rng(1)
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 64))
+    y = b.fully_connected(x, rng.normal(size=(8, 64)).astype(np.float32),
+                          None, name='fc')
+    b.output(y)
+    g = b.finalize()
+    mgr = rm.RecipeManager()
+    mgr.add_dynamic_config('.*', qtyping.OpName.FULLY_CONNECTED, 4,
+                           granularity=gran)
+    params = ParamsGenerator(g).generate_quantization_parameters(mgr)
+    w = params['fc/w'].consumers[0].parameters
+    assert np.asarray(w.scale).shape == expected_scale_shape
+    if gran == _G.BLOCKWISE_32:
+      assert w.block_size == 32
