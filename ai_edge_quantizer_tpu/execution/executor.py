@@ -141,6 +141,33 @@ class GraphExecutor:
       self._eval_quantized_fc(ctx, sg, op, env)
       return
 
+    if (
+        self.use_fused_kernels
+        and opcode == 'EMBEDDING_LOOKUP'
+        and len(op.inputs) > 1
+        and sg.tensors[op.inputs[1]].quantization is not None
+        and sg.tensors[op.inputs[1]].quantization.block_size == 0
+        and sg.tensors[op.inputs[1]].quantization.quantized_dimension
+        in (0, None)
+    ):
+      # Gather int rows FIRST, dequantize only the gathered rows — never
+      # materialize a dequantized copy of the whole table.
+      ids = env[op.inputs[0]].astype(jnp.int32)
+      table_t = sg.tensors[op.inputs[1]]
+      rows = jnp.take(env[op.inputs[1]], ids, axis=0)
+      q = table_t.quantization
+      scale = jnp.asarray(np.asarray(q.scale, np.float32).reshape(-1))
+      zp = jnp.asarray(np.asarray(q.zero_point).reshape(-1).astype(np.int32))
+      if scale.size == 1:
+        out = (rows.astype(jnp.float32) - zp[0]) * scale[0]
+      else:
+        # Per-row (vocab-dim) params gather alongside the rows.
+        row_scale = jnp.take(scale, ids, axis=0)[..., None]
+        row_zp = jnp.take(zp, ids, axis=0)[..., None]
+        out = (rows.astype(jnp.float32) - row_zp) * row_scale
+      self._store_outputs(sg, op, (out,), env)
+      return
+
     impl_fn = ops_impl.OPS.get(opcode)
     if impl_fn is None:
       raise NotImplementedError(f'No executor impl for op {opcode!r}.')

@@ -60,25 +60,37 @@ GEMMA_2B_LITE = DecoderConfig(
 
 
 class _WeightStore:
-  """Creates each weight buffer once; later subgraphs alias it."""
+  """Creates each weight buffer once; later subgraphs alias it.
 
-  def __init__(self, cfg: DecoderConfig, seed: int = 0):
+  With materialize=False, buffers stay empty (data=None) and `init_specs`
+  records (shape, init_scale) per key so weights can be generated ON DEVICE
+  later (models.gemma.device_materialize_quantized) — host memory never
+  touches the fp32 weights.
+  """
+
+  def __init__(self, cfg: DecoderConfig, seed: int = 0,
+               materialize: bool = True):
     self.cfg = cfg
+    self.materialize = materialize
     self.rng = np.random.default_rng(seed)
     self._buffers: dict = {}   # name -> (buffer_id, shape)
-    self._graph: Optional[ir.Graph] = None
+    self.init_specs: dict = {}  # key -> (shape, init_scale)
 
   def tensor(self, b: builder_lib.GraphBuilder, name: str, shape,
              init_scale: float) -> int:
     """Constant tensor aliasing the store's buffer for `name`."""
     key = name.split('/', 1)[1] if '/' in name else name  # strip sig prefix
     if key not in self._buffers:
-      # Native-f32 generation + in-place scale: avoids f64 temporaries and
-      # fresh large allocations (page-fault bound on big models).
-      data = self.rng.standard_normal(size=shape, dtype=np.float32)
-      data *= init_scale
+      if self.materialize:
+        # Native-f32 generation + in-place scale: avoids f64 temporaries
+        # and fresh large allocations (page-fault bound on big models).
+        data = self.rng.standard_normal(size=shape, dtype=np.float32)
+        data *= init_scale
+      else:
+        data = None
       buf_id = b.graph.add_buffer(data)
       self._buffers[key] = (buf_id, tuple(shape))
+      self.init_specs[key] = (tuple(shape), init_scale)
     buf_id, stored_shape = self._buffers[key]
     assert stored_shape == tuple(shape), (name, stored_shape, shape)
     return b.shared_constant(name, buf_id, shape, 'float32')
@@ -255,16 +267,85 @@ def build_decoder(
     prefill_len: int = 16,
     seed: int = 0,
     signatures=('prefill', 'decode'),
+    materialize_weights: bool = True,
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
-  store = _WeightStore(cfg, seed=seed)
+  store = _WeightStore(cfg, seed=seed, materialize=materialize_weights)
   for sig in signatures:
     b = builder_lib.GraphBuilder(sig, graph=graph)
     seq = prefill_len if sig == 'prefill' else 1
     _build_signature(b, store, sig, batch, seq)
     b.finalize(signature_key=sig)
+  graph.metadata['weight_init_specs'] = store.init_specs
   return graph
+
+
+def device_materialize_quantized(
+    graph: ir.Graph,
+    fc_bits: int = 4,
+    embedding_bits: int = 8,
+    seed: int = 0,
+):
+  """Generate + quantize the decoder's weights ON DEVICE.
+
+  For a graph built with materialize_weights=False: every FC/embedding
+  weight is drawn with the TPU PRNG, per-channel symmetric-quantized on
+  device, and stamped into the IR (int storage dtype + QuantizationInfo).
+  Returns the executor weight dict {(sg_idx, tensor_id): device array}. The
+  host never holds the fp32 weights — this is the serving-scale
+  quantization path (the offline numpy pipeline stays bit-identical for
+  models that fit host memory).
+  """
+  import jax
+  import jax.numpy as jnp
+
+  specs = graph.metadata.get('weight_init_specs', {})
+  weights: dict = {}
+  quantized_buffers: dict = {}  # buffer id -> (array, scale, bits)
+  for sg_idx, sg in enumerate(graph.subgraphs):
+    fc_weight_tids = {op.inputs[1] for op in sg.ops
+                      if op.opcode == 'FULLY_CONNECTED'
+                      and len(op.inputs) > 1 and op.inputs[1] >= 0}
+    emb_weight_tids = {op.inputs[1] for op in sg.ops
+                       if op.opcode == 'EMBEDDING_LOOKUP'
+                       and len(op.inputs) > 1 and op.inputs[1] >= 0}
+    for tid, t in enumerate(sg.tensors):
+      if t.buffer < 0:
+        continue
+      key = t.name.split('/', 1)[1] if '/' in t.name else t.name
+      shape, init_scale = specs.get(key, (t.shape, 0.02))
+      prng = jax.random.PRNGKey(
+          (seed * 1_000_003 + abs(hash(key))) % (2**31))
+      if t.buffer in quantized_buffers:
+        arr, scale, bits = quantized_buffers[t.buffer]
+        if scale is not None:
+          t.quantization = ir.QuantizationInfo(
+              scale=scale, zero_point=np.zeros_like(scale, np.int8),
+              quantized_dimension=0, num_bits=bits)
+          t.dtype = ir.dtype_for_bits(bits)
+        weights[(sg_idx, tid)] = arr
+        continue
+      if tid in fc_weight_tids or tid in emb_weight_tids:
+        bits = fc_bits if tid in fc_weight_tids else embedding_bits
+        qmax = float(2 ** (bits - 1) - 1)
+        w = jax.random.normal(prng, shape, jnp.float32) * init_scale
+        absmax = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-9)
+        scale_dev = absmax / qmax
+        w_q = jnp.clip(jnp.round(w / scale_dev[:, None]), -qmax, qmax
+                       ).astype(jnp.int8)
+        scale = np.asarray(jax.device_get(scale_dev), np.float32)
+        t.quantization = ir.QuantizationInfo(
+            scale=scale, zero_point=np.zeros_like(scale, np.int8),
+            quantized_dimension=0, num_bits=bits)
+        t.dtype = ir.dtype_for_bits(bits)
+        weights[(sg_idx, tid)] = w_q
+        quantized_buffers[t.buffer] = (w_q, scale, bits)
+      else:
+        w = jax.random.normal(prng, shape, jnp.float32) * init_scale
+        weights[(sg_idx, tid)] = w
+        quantized_buffers[t.buffer] = (w, None, None)
+  return weights
 
 
 def make_inputs(cfg: DecoderConfig, sig: str, batch: int, seq_len: int,

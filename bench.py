@@ -43,18 +43,21 @@ def main():
       f'dim={cfg.embed_dim} batch={batch} backend={jax.default_backend()}')
 
   t0 = time.time()
+  # Structure on host, weights generated + int4/int8-quantized ON DEVICE —
+  # the host never materializes the fp32 weights.
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
-                              signatures=('decode',))
-  log(f'build: {time.time()-t0:.1f}s')
-
+                              signatures=('decode',),
+                              materialize_weights=False)
+  log(f'build graph: {time.time()-t0:.1f}s')
   t0 = time.time()
-  qt = Quantizer(graph)
-  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
-  qt.add_dynamic_config('.*', 'EMBEDDING_LOOKUP', 8)
-  quantized = qt.quantize().quantized_model
-  log(f'quantize: {time.time()-t0:.1f}s')
+  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                               embedding_bits=8)
+  jax.block_until_ready(list(weights.values()))
+  log(f'device quantize: {time.time()-t0:.1f}s')
+  quantized = graph
 
   ex = executor_lib.GraphExecutor(quantized)
+  ex._weights = weights
   sig = quantized.signature_by_key('decode')
   import functools
   fn = functools.partial(
@@ -63,7 +66,6 @@ def main():
 
   inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
   inputs = {k: jax.device_put(v) for k, v in inputs.items()}
-  weights = {k: jax.device_put(v) for k, v in ex._weights.items()}
 
   weight_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                      for v in weights.values())
