@@ -102,8 +102,15 @@ def _build_signature(
     sig: str,
     batch: int,
     seq_len: int,
+    cache_update: str = 'dus',
 ) -> None:
-  """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1)."""
+  """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
+
+  cache_update: 'dus' writes all rows at one shared position
+  (DYNAMIC_UPDATE_SLICE, the SAME_AS_OUTPUT-scale int8-cache path);
+  'onehot' scatters per-row positions via masked blend (continuous
+  batching: every sequence in the batch writes its own cache slot).
+  """
   cfg = store.cfg
   B, T, D = batch, seq_len, cfg.embed_dim
   NQ, NK, H = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
@@ -116,8 +123,15 @@ def _build_signature(
   # Additive attention mask over the full cache: 0 for visible, -inf-like
   # for hidden. Broadcasts over grouped score rows.
   mask = b.input(f'{sig}/mask', (B, 1, G * T, S), 'float32')
-  # Cache write position as DUS start indices [b, head, pos, dim] = [0,0,p,0].
-  cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
+  cache_pos = -1
+  cache_onehot = -1
+  if cache_update == 'dus':
+    # Cache write position as DUS start indices [b, head, pos, dim].
+    cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
+  else:
+    # Per-row scatter mask: cache_onehot[b, 0, s, 0] = 1 at row b's write
+    # positions (T ones per row).
+    cache_onehot = b.input(f'{sig}/cache_onehot', (B, 1, S, 1), 'float32')
 
   embed_w = store.tensor(b, f'{sig}/embedder/w', (cfg.vocab_size, D),
                          1.0 / math.sqrt(D))
@@ -127,6 +141,10 @@ def _build_signature(
   esc = b.constant(f'{sig}/embed_scale', np.array([math.sqrt(D)], np.float32))
   x = b.op('MUL', [x, esc], [(B, T, D)],
            output_names=[f'{sig}/embed_scaled'])
+
+  one_const = -1
+  if cache_update != 'dus':
+    one_const = b.constant(f'{sig}/one', np.array([1.0], np.float32))
 
   kv_outs = []
   for li in range(cfg.num_layers):
@@ -181,10 +199,29 @@ def _build_signature(
     vt = b.op('TRANSPOSE', [v4], [(B, NK, T, H)],
               output_names=[f'{p}/attn/v_t'], attrs={'perm': [0, 2, 1, 3]})
 
-    k_new = b.op('DYNAMIC_UPDATE_SLICE', [k_cache, kt, cache_pos],
-                 [(B, NK, S, H)], output_names=[f'{p}/k_cache_new'])
-    v_new = b.op('DYNAMIC_UPDATE_SLICE', [v_cache, vt, cache_pos],
-                 [(B, NK, S, H)], output_names=[f'{p}/v_cache_new'])
+    if cache_update == 'dus':
+      k_new = b.op('DYNAMIC_UPDATE_SLICE', [k_cache, kt, cache_pos],
+                   [(B, NK, S, H)], output_names=[f'{p}/k_cache_new'])
+      v_new = b.op('DYNAMIC_UPDATE_SLICE', [v_cache, vt, cache_pos],
+                   [(B, NK, S, H)], output_names=[f'{p}/v_cache_new'])
+    else:
+      # Per-row one-hot blend: cache*(1-m) + new*m. Decode only (T == 1).
+      if T != 1:
+        raise ValueError('onehot cache update supports decode (T=1) only.')
+      inv = b.op('SUB', [one_const, cache_onehot], [(B, 1, S, 1)],
+                 output_names=[f'{p}/cache_keep_mask'])
+      k_keep = b.op('MUL', [k_cache, inv], [(B, NK, S, H)],
+                    output_names=[f'{p}/k_keep'])
+      k_put = b.op('MUL', [kt, cache_onehot], [(B, NK, S, H)],
+                   output_names=[f'{p}/k_put'])
+      k_new = b.op('ADD', [k_keep, k_put], [(B, NK, S, H)],
+                   output_names=[f'{p}/k_cache_new'])
+      v_keep = b.op('MUL', [v_cache, inv], [(B, NK, S, H)],
+                    output_names=[f'{p}/v_keep'])
+      v_put = b.op('MUL', [vt, cache_onehot], [(B, NK, S, H)],
+                   output_names=[f'{p}/v_put'])
+      v_new = b.op('ADD', [v_keep, v_put], [(B, NK, S, H)],
+                   output_names=[f'{p}/v_cache_new'])
     kv_outs.append((f'layer_{li}_k_cache', k_new))
     kv_outs.append((f'layer_{li}_v_cache', v_new))
 
@@ -268,6 +305,7 @@ def build_decoder(
     seed: int = 0,
     signatures=('prefill', 'decode'),
     materialize_weights: bool = True,
+    decode_cache_update: str = 'dus',
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
@@ -275,7 +313,9 @@ def build_decoder(
   for sig in signatures:
     b = builder_lib.GraphBuilder(sig, graph=graph)
     seq = prefill_len if sig == 'prefill' else 1
-    _build_signature(b, store, sig, batch, seq)
+    _build_signature(b, store, sig, batch, seq,
+                     cache_update=(decode_cache_update if sig == 'decode'
+                                   else 'dus'))
     b.finalize(signature_key=sig)
   graph.metadata['weight_init_specs'] = store.init_specs
   return graph
@@ -373,3 +413,26 @@ def make_inputs(cfg: DecoderConfig, sig: str, batch: int, seq_len: int,
     inputs[f'layer_{li}_v_cache_in'] = np.zeros(
         (B, cfg.num_kv_heads, S, cfg.head_dim), np.float32)
   return inputs
+
+
+def build_serving_decoder(
+    cfg: DecoderConfig,
+    batch_slots: int,
+    prefill_len: int = 16,
+    seed: int = 0,
+    materialize_weights: bool = True,
+) -> ir.Graph:
+  """Serving-shaped graph: prefill at batch=1 (per-request admission) +
+  decode at batch=batch_slots with per-slot one-hot cache updates, one
+  shared weight store."""
+  graph = ir.Graph()
+  store = _WeightStore(cfg, seed=seed, materialize=materialize_weights)
+  b = builder_lib.GraphBuilder('prefill', graph=graph)
+  _build_signature(b, store, 'prefill', 1, prefill_len, cache_update='dus')
+  b.finalize(signature_key='prefill')
+  b = builder_lib.GraphBuilder('decode', graph=graph)
+  _build_signature(b, store, 'decode', batch_slots, 1,
+                   cache_update='onehot')
+  b.finalize(signature_key='decode')
+  graph.metadata['weight_init_specs'] = store.init_specs
+  return graph

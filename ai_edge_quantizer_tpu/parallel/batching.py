@@ -1,0 +1,209 @@
+"""Continuous-batching decode server.
+
+Serves a quantized decoder over a fixed pool of batch slots: requests are
+admitted into free slots (prefill runs per request and writes that slot's
+KV cache), then ONE jitted batched decode step advances every active slot
+per tick — sequences join and leave the batch without ever stalling the
+others. KV caches live on device for the server's lifetime; per-slot write
+positions use the model's one-hot scatter cache update.
+
+Multi-host scaling: shard the slot pool over the 'dp' mesh axis (each host
+runs its own admission queue; weights replicated or 'tp'-sharded via
+parallel.sharding); tokens/s scales with hosts since decode steps are
+batch-local.
+
+This subsystem is NEW relative to the reference (SURVEY.md §2.6: the
+reference has no serving runtime); its calibration-facing seams (KV-cache
+scale alignment) come from utils/calibration_utils.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_edge_quantizer_tpu.execution import executor as executor_lib
+from ai_edge_quantizer_tpu.graph import ir
+from ai_edge_quantizer_tpu.models import gemma
+
+
+@dataclasses.dataclass
+class Request:
+  request_id: int
+  prompt: np.ndarray          # [T] int32 token ids
+  max_new_tokens: int
+  generated: list = dataclasses.field(default_factory=list)
+  done: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+  request: Optional[Request] = None
+  pos: int = 0  # next cache write position
+
+  @property
+  def active(self) -> bool:
+    return self.request is not None
+
+
+class DecodeServer:
+  """Continuous batching over a quantized multi-signature decoder graph."""
+
+  def __init__(
+      self,
+      graph: ir.Graph,
+      cfg: gemma.DecoderConfig,
+      batch_slots: int,
+      weights: Optional[dict] = None,
+      sample_fn: Optional[Callable] = None,
+      prefill_batch: int = 1,
+  ):
+    """graph must have 'decode' (batch=batch_slots, onehot cache update)
+    and 'prefill' (batch=1) signatures."""
+    self.cfg = cfg
+    self.batch_slots = batch_slots
+    self.graph = graph
+    self._executor = executor_lib.GraphExecutor(graph)
+    if weights is not None:
+      self._executor._weights = weights
+    self._slots = [_Slot() for _ in range(batch_slots)]
+    self._queue: collections.deque = collections.deque()
+    self._next_id = 0
+    self._sample = sample_fn or (lambda logits: int(np.argmax(logits)))
+
+    dec_sig = graph.signature_by_key('decode')
+    self._decode_fn = jax.jit(functools.partial(
+        self._executor._run_signature, dec_sig.subgraph_index, 'decode',
+        False))
+    pre_sig = graph.signature_by_key('prefill')
+    self._prefill_fn = jax.jit(functools.partial(
+        self._executor._run_signature, pre_sig.subgraph_index, 'prefill',
+        False))
+    self._prefill_len = graph.subgraphs[
+        pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape[1]
+
+    S, NK, H = cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim
+    self._caches = {}
+    for li in range(cfg.num_layers):
+      self._caches[f'layer_{li}_k_cache_in'] = jnp.zeros(
+          (batch_slots, NK, S, H), jnp.float32)
+      self._caches[f'layer_{li}_v_cache_in'] = jnp.zeros(
+          (batch_slots, NK, S, H), jnp.float32)
+    self._last_tokens = np.zeros((batch_slots, 1), np.int32)
+
+  # -- public API -----------------------------------------------------------
+
+  def submit(self, prompt, max_new_tokens: int = 16) -> int:
+    req = Request(self._next_id, np.asarray(prompt, np.int32),
+                  max_new_tokens)
+    self._next_id += 1
+    self._queue.append(req)
+    return req.request_id
+
+  def has_work(self) -> bool:
+    return bool(self._queue) or any(s.active for s in self._slots)
+
+  def step(self) -> dict:
+    """Admit waiting requests, run one batched decode tick.
+
+    Returns {request_id: newly generated token} for this tick.
+    """
+    self._admit()
+    active = [i for i, s in enumerate(self._slots) if s.active]
+    if not active:
+      return {}
+    out = self._decode_fn(self._executor._weights, self._decode_inputs())
+    for li in range(self.cfg.num_layers):
+      self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
+      self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
+    logits = np.asarray(out['logits'])  # [B, 1, vocab]
+    emitted = {}
+    for i in active:
+      slot = self._slots[i]
+      token = self._sample(logits[i, 0])
+      slot.request.generated.append(token)
+      emitted[slot.request.request_id] = token
+      self._last_tokens[i, 0] = token
+      slot.pos += 1
+      if (
+          len(slot.request.generated) >= slot.request.max_new_tokens
+          or slot.pos >= self.cfg.max_seq_len
+      ):
+        slot.request.done = True
+        slot.request = None
+    return emitted
+
+  def run_to_completion(self, max_ticks: int = 10000) -> None:
+    for _ in range(max_ticks):
+      if not self.has_work():
+        return
+      self.step()
+
+  # -- internals ------------------------------------------------------------
+
+  def _admit(self) -> None:
+    for i, slot in enumerate(self._slots):
+      if slot.active or not self._queue:
+        continue
+      req = self._queue.popleft()
+      self._prefill_into_slot(i, req)
+
+  def _prefill_into_slot(self, slot_idx: int, req: Request) -> None:
+    cfg = self.cfg
+    T = self._prefill_len
+    prompt = req.prompt[:T]
+    pad = T - prompt.size
+    tokens = np.concatenate(
+        [prompt, np.zeros(pad, np.int32)])[None, :]
+    inputs = gemma.make_inputs(cfg, 'prefill', 1, T, start_pos=0)
+    inputs['tokens'] = tokens
+    # Mask out padded prompt positions.
+    G = cfg.num_query_heads // cfg.num_kv_heads
+    mask = np.asarray(inputs['mask'])
+    if pad:
+      mask[:, :, :, prompt.size:T] = -1e9
+    inputs['mask'] = mask
+    out = self._prefill_fn(self._executor._weights, inputs)
+    # Write the prefilled caches into this slot's rows.
+    for li in range(cfg.num_layers):
+      for kind in ('k', 'v'):
+        key = f'layer_{li}_{kind}_cache_in'
+        new_rows = out[f'layer_{li}_{kind}_cache']
+        self._caches[key] = jax.lax.dynamic_update_slice(
+            self._caches[key], new_rows.astype(jnp.float32),
+            (slot_idx, 0, 0, 0))
+    logits = np.asarray(out['logits'])[0, prompt.size - 1]
+    first_token = self._sample(logits)
+    req.generated.append(first_token)
+    slot = self._slots[slot_idx]
+    slot.request = req
+    slot.pos = prompt.size
+    self._last_tokens[slot_idx, 0] = first_token
+
+  def _decode_inputs(self) -> dict:
+    cfg = self.cfg
+    B, S = self.batch_slots, cfg.max_seq_len
+    G = cfg.num_query_heads // cfg.num_kv_heads
+    positions = np.zeros((B, 1), np.int32)
+    onehot = np.zeros((B, 1, S, 1), np.float32)
+    mask = np.full((B, 1, G, S), -1e9, np.float32)
+    for i, slot in enumerate(self._slots):
+      if not slot.active:
+        continue
+      positions[i, 0] = slot.pos
+      onehot[i, 0, slot.pos, 0] = 1.0
+      mask[i, :, :, :slot.pos + 1] = 0.0
+    inputs = {
+        'tokens': self._last_tokens.copy(),
+        'positions': positions,
+        'mask': mask,
+        'cache_onehot': onehot,
+    }
+    inputs.update(self._caches)
+    return inputs
