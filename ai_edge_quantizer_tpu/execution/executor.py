@@ -53,6 +53,39 @@ class GraphExecutor:
           self._weights[(sg_idx, tid)] = jnp.asarray(
               np.asarray(data).reshape(t.shape), dtype=jdtype)
     self._jit_cache: dict = {}
+    # Keys of FC weights converted to packed-int4 serving layout
+    # (uint8 [N, K//2], split-half; see kernels/pallas_qmatmul.py).
+    self._packed_int4_keys: set = set()
+
+  def prepare_serving_weights(self) -> None:
+    """Convert eligible int4 FC weights to the packed serving layout.
+
+    Halves the HBM bytes streamed per decode step; the fused Pallas kernel
+    unpacks in VMEM. Symmetric per-channel int4 FC weights only.
+    """
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      fc_weight_tids = {
+          op.inputs[1] for op in sg.ops
+          if op.opcode == 'FULLY_CONNECTED' and len(op.inputs) > 1
+          and op.inputs[1] >= 0
+      }
+      for tid in fc_weight_tids:
+        key = (sg_idx, tid)
+        t = sg.tensors[tid]
+        if key not in self._weights or key in self._packed_int4_keys:
+          continue
+        q = t.quantization
+        if (
+            t.dtype != 'int4' or q is None or q.block_size != 0
+            or not np.all(np.asarray(q.zero_point) == 0)
+            or t.shape[-1] % 2 != 0
+            or t.shape[0] % 128 != 0
+        ):
+          continue
+        from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+        self._weights[key] = pallas_qmatmul.pack_int4_split(
+            self._weights[key])
+        self._packed_int4_keys.add(key)
 
   # -- public API -----------------------------------------------------------
 
@@ -213,6 +246,17 @@ class GraphExecutor:
     bias = None
     if b_tid >= 0:
       bias = self._dequant_view(sg, b_tid, env)
+
+    sg_idx = self.graph.subgraphs.index(sg)
+    if (sg_idx, op.inputs[1]) in self._packed_int4_keys:
+      from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+      x_f = self._dequant_view(sg, op.inputs[0], env)
+      y = pallas_qmatmul.qmatmul_pallas_int4_packed(
+          x_f, w_q, jnp.asarray(np.asarray(q.scale, np.float32)), bias=bias)
+      y = ops_impl._fused_activation(
+          y, op.attrs.get('fused_activation', 'NONE'))
+      self._store_outputs(sg, op, (y,), env)
+      return
 
     x_val = env[op.inputs[0]]
     symmetric = bool(np.all(np.asarray(q.zero_point) == 0))

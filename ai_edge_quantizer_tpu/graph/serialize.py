@@ -251,6 +251,14 @@ def load_graph(path: str) -> ir.Graph:
   return graph
 
 
+def load_model(path: str) -> ir.Graph:
+  """Load a model by extension: .aeqg (native) or .tflite (imported)."""
+  if path.endswith('.tflite'):
+    from ai_edge_quantizer_tpu.graph import tflite_import
+    return tflite_import.load_tflite(path)
+  return load_graph(path)
+
+
 def model_size_bytes(graph: ir.Graph) -> int:
   """On-disk size estimate = packed constant bits / 8."""
   return graph.total_constant_bits() // 8

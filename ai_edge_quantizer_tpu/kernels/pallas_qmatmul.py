@@ -36,9 +36,9 @@ def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
       dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32,
   )
-  y = acc * s_ref[:].reshape(1, -1)
+  y = acc * s_ref[:]
   if b_ref is not None:
-    y = y + b_ref[:].reshape(1, -1)
+    y = y + b_ref[:]
   o_ref[:] = y
 
 
@@ -61,6 +61,97 @@ def _blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
   if b_ref is not None:
     y = y + b_ref[:].reshape(1, -1)
   o_ref[:] = y
+
+
+def pack_int4_split(w_q: jax.Array) -> jax.Array:
+  """Pack int4 values (int8 container) [N, K] -> uint8 [N, K//2].
+
+  Split-half layout: byte j holds (w[j] & 0xF) | (w[j + K/2] << 4), so the
+  kernel unpacks with two mask/shift ops and NO interleave — the two
+  half-matrices contract against the matching halves of x.
+  """
+  n, k = w_q.shape
+  lo = w_q[:, : k // 2].astype(jnp.uint8) & 0xF
+  hi = w_q[:, k // 2:].astype(jnp.uint8) & 0xF
+  return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def _int4_channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+  """o[M, BN] = x[M, K] . unpack(w[BN, K//2])^T * s[BN], split-half."""
+  # Widen to int32 FIRST: sub-word bitwise ops on uint8 are not Mosaic-
+  # friendly; int32 mask/shift/xor lower cleanly to the VPU.
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.float32)  # sign-extend 4-bit
+  hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.float32)
+  k2 = w32.shape[1]
+  x = x_ref[:]
+  acc = jax.lax.dot_general(
+      x[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  acc += jax.lax.dot_general(
+      x[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  y = acc * s_ref[:]
+  if b_ref is not None:
+    y = y + b_ref[:]
+  o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def qmatmul_pallas_int4_packed(
+    x: jax.Array,
+    w_packed: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+  """x [..., K] . packed int4 weights [N, K//2] -> [..., N].
+
+  Streams HALF the bytes of the int8-container path — the 2x HBM-bandwidth
+  win that sets int4 decode throughput.
+  """
+  n, k2 = w_packed.shape
+  k = k2 * 2
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  x2 = x.reshape(m, k).astype(jnp.float32)
+  m_pad = _round_up(max(m, 8), 8)
+  if m_pad != m:
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+  bn = min(bn, n)
+  if n % bn != 0:
+    raise ValueError(f'N={n} not divisible by tile {bn}.')
+  operands = [x2, w_packed, scale.astype(jnp.float32).reshape(1, n)]
+  in_specs = [
+      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+  ]
+  if bias is not None:
+    in_specs.append(
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    body = _int4_channelwise_kernel
+  else:
+    body = lambda x_ref, w_ref, s_ref, o_ref: _int4_channelwise_kernel(
+        x_ref, w_ref, s_ref, None, o_ref)
+  out = pl.pallas_call(
+      body,
+      grid=(n // bn,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=m_pad * k * 4 + n * k2 + m_pad * n * 4,
+          transcendentals=0),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
 
 
 @functools.partial(
@@ -102,8 +193,8 @@ def qmatmul_pallas(
     scale = scale.reshape(n, nblocks)
   else:
     kernel = _channelwise_kernel
-    s_spec = pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)
-    scale = scale.reshape(n)
+    s_spec = pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    scale = scale.reshape(1, n)
 
   in_specs = [
       pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -113,8 +204,8 @@ def qmatmul_pallas(
   operands = [x2, w_q, scale]
   if has_bias:
     in_specs.append(
-        pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM))
-    operands.append(bias.astype(jnp.float32).reshape(n))
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = kernel
   else:
     body = lambda x_ref, w_ref, s_ref, o_ref: kernel(

@@ -68,11 +68,11 @@ class Quantizer:
       previous_quantized_model: Optional[Union[str, ir.Graph]] = None,
   ):
     self.float_model: ir.Graph = (
-        graph_serialize.load_graph(float_model)
+        graph_serialize.load_model(float_model)
         if isinstance(float_model, str) else float_model
     )
     self._previous_quantized_model: Optional[ir.Graph] = (
-        graph_serialize.load_graph(previous_quantized_model)
+        graph_serialize.load_model(previous_quantized_model)
         if isinstance(previous_quantized_model, str)
         else previous_quantized_model
     )

@@ -58,6 +58,14 @@ def main():
 
   ex = executor_lib.GraphExecutor(quantized)
   ex._weights = weights
+  if os.environ.get('AEQT_BENCH_PACKED', '1') == '1' and \
+      jax.default_backend() == 'tpu':
+    t0 = time.time()
+    ex.prepare_serving_weights()  # packed-int4 + fused Pallas kernel path
+    jax.block_until_ready(list(ex._weights.values()))
+    log(f'pack int4 weights: {time.time()-t0:.1f}s '
+        f'({len(ex._packed_int4_keys)} packed)')
+  weights = ex._weights
   sig = quantized.signature_by_key('decode')
   import functools
   fn = functools.partial(

@@ -1,0 +1,77 @@
+"""Microbenchmark: qmatmul variants on the decode-shape hot case.
+
+Run on TPU: python scripts/microbench_qmatmul.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '.')
+
+from ai_edge_quantizer_tpu.kernels import pallas_qmatmul, qmatmul  # noqa: E402
+
+
+def timeit(fn, *args, iters=50):
+  out = fn(*args)
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  return (time.perf_counter() - t0) / iters
+
+
+def main():
+  m, n, k = 8, 16384, 2048
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+  w_q = jnp.asarray(
+      rng.integers(-7, 8, size=(n, k)), jnp.int8)
+  scale = jnp.asarray(rng.random(n) * 0.01 + 0.001, jnp.float32)
+  w_packed = pallas_qmatmul.pack_int4_split(w_q)
+  w_bytes_int8 = n * k
+  w_bytes_int4 = n * k // 2
+
+  print(f'case: [{m},{k}] x [{n},{k}]^T on {jax.devices()[0]}', flush=True)
+
+  fns = {
+      'xla_dequant_einsum': jax.jit(
+          lambda x, w, s: qmatmul.qmatmul_ref(x, w, s)),
+      'xla_int8_drq': jax.jit(
+          lambda x, w, s: qmatmul.drq_matmul_ref(x, w, s)),
+      'pallas_int8': jax.jit(
+          lambda x, w, s: pallas_qmatmul.qmatmul_pallas(x, w, s)),
+  }
+  for name, fn in fns.items():
+    try:
+      dt = timeit(fn, x, w_q, scale)
+      gbps = w_bytes_int8 / dt / 1e9
+      print(f'{name:22s} {dt*1e6:8.1f} us  {gbps:7.1f} GB/s weight stream',
+            flush=True)
+    except Exception as e:
+      print(f'{name:22s} FAILED: {type(e).__name__}: {str(e)[:200]}',
+            flush=True)
+
+  try:
+    fn4 = jax.jit(lambda x, w, s: pallas_qmatmul.qmatmul_pallas_int4_packed(
+        x, w, s))
+    dt = timeit(fn4, x, w_packed, scale)
+    gbps = w_bytes_int4 / dt / 1e9
+    print(f'{"pallas_int4_packed":22s} {dt*1e6:8.1f} us  {gbps:7.1f} GB/s '
+          f'weight stream (half bytes)', flush=True)
+    # correctness vs reference
+    ref = qmatmul.qmatmul_ref(x, w_q, scale)
+    got = fn4(x, w_packed, scale)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    print(f'int4 packed max err vs ref: {err:.2e}', flush=True)
+  except Exception as e:
+    print(f'pallas_int4_packed FAILED: {type(e).__name__}: {str(e)[:300]}',
+          flush=True)
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,69 @@
+"""TFLite importer tests (migration path from the reference toolchain)."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip('tensorflow')
+
+from ai_edge_quantizer_tpu import Quantizer  # noqa: E402
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor  # noqa
+from ai_edge_quantizer_tpu.graph import tflite_import  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def mlp_tflite(tmp_path_factory):
+  rng = np.random.default_rng(0)
+
+  class M(tf.Module):
+
+    def __init__(self):
+      self.w1 = tf.constant(rng.normal(size=(16, 32)).astype(np.float32) * .3)
+      self.b1 = tf.constant(rng.normal(size=(32,)).astype(np.float32) * .1)
+      self.w2 = tf.constant(rng.normal(size=(32, 8)).astype(np.float32) * .3)
+
+    @tf.function(input_signature=[tf.TensorSpec((1, 16), tf.float32)])
+    def __call__(self, x):
+      h = tf.nn.relu(tf.matmul(x, self.w1) + self.b1)
+      return tf.matmul(h, self.w2)
+
+  m = M()
+  conv = tf.lite.TFLiteConverter.from_concrete_functions(
+      [m.__call__.get_concrete_function()], m)
+  path = tmp_path_factory.mktemp('tfl') / 'mlp.tflite'
+  path.write_bytes(conv.convert())
+  return m, str(path)
+
+
+class TestTfliteImport:
+
+  def test_structure(self, mlp_tflite):
+    _, path = mlp_tflite
+    g = tflite_import.load_tflite(path)
+    sg = g.main_subgraph()
+    assert [op.opcode for op in sg.ops] == ['FULLY_CONNECTED',
+                                            'FULLY_CONNECTED']
+    assert sg.ops[0].attrs['fused_activation'] == 'RELU'
+    assert g.signatures[0].signature_key == 'serving_default'
+
+  def test_execution_matches_tf(self, mlp_tflite):
+    m, path = mlp_tflite
+    g = tflite_import.load_tflite(path)
+    x = np.random.default_rng(1).normal(size=(1, 16)).astype(np.float32)
+    sig = g.signatures[0]
+    out = GraphExecutor(g).signature_runner(sig.signature_key)(
+        {list(sig.inputs)[0]: x})
+    y_tf = m(tf.constant(x)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(list(out.values())[0]), y_tf, atol=1e-5)
+
+  def test_quantize_imported_model(self, mlp_tflite):
+    _, path = mlp_tflite
+    qt = Quantizer(path, 'dynamic_wi8_afp32')  # path directly
+    res = qt.quantize()
+    dtypes = {t.dtype for sg in res.quantized_model.subgraphs
+              for t in sg.tensors if t.buffer >= 0 and t.shape
+              and len(t.shape) == 2}
+    assert 'int8' in dtypes
+    r = qt.validate(num_samples=2).get_signature_comparison_result(
+        'serving_default')
+    assert all(v < 1e-2 for v in r.output_tensors.values())
