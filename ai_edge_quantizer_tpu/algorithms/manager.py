@@ -57,7 +57,11 @@ def _register_min_max_style_algorithm(
     REGISTRY.register_op(
         algorithm_key,
         op_name,
-        init_qsv_fn=min_max.init_qsvs,
+        init_qsv_fn=functools.partial(
+            min_max.init_qsvs,
+            inputs_to_ignore=list(spec.inputs_to_ignore),
+            outputs_to_ignore=list(spec.outputs_to_ignore),
+        ),
         calibration_fn=functools.partial(
             min_max.min_max_calibrate,
             inputs_to_ignore=list(spec.inputs_to_ignore),

@@ -145,7 +145,9 @@ class Quantizer:
     for sig in self.float_model.signatures:
       sg = self.float_model.subgraphs[sig.subgraph_index]
       for t in sg.tensors:
-        if t.name in empty:
+        # Only value-carrying (float) tensors need ranges; int32 structure
+        # operands (axes/indices) legitimately have empty QSVs.
+        if t.name in empty and t.dtype == 'float32':
           raise ValueError(
               f'Missing QSVs (min/max) for tensor {t.name!r} in signature '
               f'{sig.signature_key!r}; was this signature calibrated?')

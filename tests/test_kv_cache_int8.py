@@ -1,0 +1,82 @@
+"""int8 KV-cache quantization: DUS same-as-output scales + cross-signature
+(prefill/decode) QSV alignment — the GenAI cache-quantization flow."""
+
+import numpy as np
+import pytest
+
+from ai_edge_quantizer_tpu import Quantizer
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.models import gemma
+from ai_edge_quantizer_tpu.utils import calibration_utils
+
+
+def _calib_data(cfg, batch, prefill_len, n=4):
+  rng = np.random.default_rng(0)
+  data = {'prefill': [], 'decode': []}
+  for _ in range(n):
+    pi = gemma.make_inputs(cfg, 'prefill', batch, prefill_len, start_pos=0,
+                           seed=int(rng.integers(1 << 30)))
+    data['prefill'].append(pi)
+    di = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=prefill_len,
+                           seed=int(rng.integers(1 << 30)))
+    # Decode sees a warm cache: reuse random cache contents.
+    for k in di:
+      if 'cache_in' in k:
+        di[k] = rng.standard_normal(di[k].shape).astype(np.float32) * 0.3
+    data['decode'].append(di)
+  return data
+
+
+@pytest.fixture(scope='module')
+def int8_cache_model():
+  cfg = gemma.TOY_DECODER
+  g = gemma.build_decoder(cfg, batch=1, prefill_len=8)
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 8)
+  # int8 static quantization scoped to the KV-cache update ops only.
+  qt.add_static_config('.*cache_new.*', 'DYNAMIC_UPDATE_SLICE', 8, 8)
+  assert qt.need_calibration
+  qsvs = qt.calibrate(_calib_data(cfg, 1, 8))
+  # Align cache ranges across prefill and decode programs.
+  align = calibration_utils.CalibrationQsvAlignmentUtils(g)
+  for li in range(cfg.num_layers):
+    for kind in ('k', 'v'):
+      align.align_quant_stats(qsvs, [
+          ('prefill', f'layer_{li}_{kind}_cache'),
+          ('decode', f'layer_{li}_{kind}_cache'),
+          ('decode', f'layer_{li}_{kind}_cache_in'),
+      ])
+  res = qt.quantize(qsvs)
+  return cfg, g, res.quantized_model, qt
+
+
+class TestInt8KvCache:
+
+  def test_cache_tensors_are_int8(self, int8_cache_model):
+    cfg, _, qg, _ = int8_cache_model
+    for sig_key in ('prefill', 'decode'):
+      sg = qg.subgraph_for_signature(sig_key)
+      t = sg.tensor_by_name(f'{sig_key}/layer_0/k_cache_new')
+      assert t.dtype == 'int8', (sig_key, t.dtype)
+      assert t.quantization is not None
+
+  def test_prefill_decode_cache_scales_match(self, int8_cache_model):
+    cfg, _, qg, _ = int8_cache_model
+    pre = qg.subgraph_for_signature('prefill').tensor_by_name(
+        'prefill/layer_0/k_cache_new')
+    dec = qg.subgraph_for_signature('decode').tensor_by_name(
+        'decode/layer_0/k_cache_new')
+    np.testing.assert_allclose(np.asarray(pre.quantization.scale),
+                               np.asarray(dec.quantization.scale))
+
+  def test_quantized_pipeline_still_generates(self, int8_cache_model):
+    cfg, g, qg, _ = int8_cache_model
+    ex = GraphExecutor(qg)
+    fex = GraphExecutor(g)
+    pin = gemma.make_inputs(cfg, 'prefill', 1, 8, start_pos=0, seed=3)
+    qout = ex.signature_runner('prefill')(pin)
+    fout = fex.signature_runner('prefill')(pin)
+    ql = np.asarray(qout['logits'])
+    fl = np.asarray(fout['logits'])
+    corr = np.corrcoef(ql.ravel(), fl.ravel())[0, 1]
+    assert corr > 0.98, corr
