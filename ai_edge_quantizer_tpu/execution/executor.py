@@ -36,9 +36,15 @@ from ai_edge_quantizer_tpu.ops import impl as ops_impl
 class GraphExecutor:
   """Executes Graph signatures as jitted functions."""
 
-  def __init__(self, graph: ir.Graph, use_fused_kernels: bool = True):
+  def __init__(self, graph: ir.Graph, use_fused_kernels: bool = True,
+               activation_dtype: str = 'float32'):
+    """activation_dtype: 'float32' (default, bit-faithful to the offline
+    pipeline) or 'bfloat16' (serving mode: all float activations — including
+    KV caches — flow bf16, halving activation HBM traffic and feeding the
+    MXU natively)."""
     self.graph = graph
     self.use_fused_kernels = use_fused_kernels
+    self._act_dtype = quant_arith.STORAGE_JNP_DTYPES[activation_dtype]
     # Constant tensors, keyed (subgraph_idx, tensor_id), in storage dtype.
     self._weights: dict = {}
     for sg_idx, sg in enumerate(graph.subgraphs):
@@ -133,6 +139,8 @@ class GraphExecutor:
           val.dtype, jnp.floating):
         val = quant_arith.quantize(
             val, t.quantization, quant_arith.storage_dtype_of(t))
+      elif t.dtype == 'float32' and val.dtype != self._act_dtype:
+        val = val.astype(self._act_dtype)
       env[tid] = val
 
     for op in sg.ops:
@@ -151,7 +159,8 @@ class GraphExecutor:
     val = env[tid]
     if t.quantization is not None and not jnp.issubdtype(
         val.dtype, jnp.floating):
-      return quant_arith.dequantize(val, t.quantization)
+      return quant_arith.dequantize(val, t.quantization,
+                                    out_dtype=self._act_dtype)
     return val
 
   def _eval_op(self, sg_idx: int, sg: ir.Subgraph, op: ir.Op,
@@ -222,8 +231,8 @@ class GraphExecutor:
         if jnp.issubdtype(val.dtype, jnp.floating):
           val = quant_arith.quantize(
               val, t.quantization, quant_arith.storage_dtype_of(t))
-      elif t.dtype == 'float32' and val.dtype != jnp.float32:
-        val = val.astype(jnp.float32)
+      elif t.dtype == 'float32' and val.dtype != self._act_dtype:
+        val = val.astype(self._act_dtype)
       env[tid] = val
 
   # -- quantized FULLY_CONNECTED fast paths ---------------------------------

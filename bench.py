@@ -56,7 +56,8 @@ def main():
   log(f'device quantize: {time.time()-t0:.1f}s')
   quantized = graph
 
-  ex = executor_lib.GraphExecutor(quantized)
+  act_dtype = os.environ.get('AEQT_BENCH_ACT_DTYPE', 'bfloat16')
+  ex = executor_lib.GraphExecutor(quantized, activation_dtype=act_dtype)
   ex._weights = weights
   if os.environ.get('AEQT_BENCH_PACKED', '1') == '1' and \
       jax.default_backend() == 'tpu':
@@ -68,39 +69,48 @@ def main():
   weights = ex._weights
   sig = quantized.signature_by_key('decode')
   import functools
-  fn = functools.partial(
+  run_sig = functools.partial(
       ex._run_signature, sig.subgraph_index, 'decode', False)
-  jitted = jax.jit(fn)
 
-  inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
-  inputs = {k: jax.device_put(v) for k, v in inputs.items()}
+  cache_keys = [f'layer_{li}_{kind}_cache_in'
+                for li in range(cfg.num_layers) for kind in ('k', 'v')]
+
+  def step_fn(w, static_inputs, caches):
+    inp = dict(static_inputs)
+    inp.update(caches)
+    out = run_sig(w, inp)
+    new_caches = {
+        f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
+        for li in range(cfg.num_layers) for kind in ('k', 'v')
+    }
+    return out['logits'], new_caches
+
+  # Donate the caches: the decode loop updates them in place (no
+  # copy-on-write of 300+ MB of KV state per step).
+  jitted = jax.jit(step_fn, donate_argnums=(2,))
+
+  all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
+  caches = {k: jax.device_put(all_inputs.pop(k)) for k in cache_keys}
+  static_inputs = {k: jax.device_put(v) for k, v in all_inputs.items()}
 
   weight_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                      for v in weights.values())
-  log(f'device weight bytes: {weight_bytes/2**30:.2f} GiB')
-
-  def step(w, inp):
-    out = jitted(w, inp)
-    # Feed updated caches back (steady-state decode).
-    nxt = dict(inp)
-    for li in range(cfg.num_layers):
-      nxt[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
-      nxt[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
-    return out, nxt
+  log(f'device weight bytes: {weight_bytes/2**30:.2f} GiB '
+      f'(activations {act_dtype})')
 
   t0 = time.time()
-  out, inputs = step(weights, inputs)
-  jax.block_until_ready(out['logits'])
+  logits, caches = jitted(weights, static_inputs, caches)
+  jax.block_until_ready(logits)
   log(f'compile+first step: {time.time()-t0:.1f}s')
 
   for _ in range(warmup - 1):
-    out, inputs = step(weights, inputs)
-  jax.block_until_ready(out['logits'])
+    logits, caches = jitted(weights, static_inputs, caches)
+  jax.block_until_ready(logits)
 
   t0 = time.time()
   for _ in range(steps):
-    out, inputs = step(weights, inputs)
-  jax.block_until_ready(out['logits'])
+    logits, caches = jitted(weights, static_inputs, caches)
+  jax.block_until_ready(logits)
   elapsed = time.time() - t0
   tokens_s = batch * steps / elapsed
   log(f'{steps} steps in {elapsed:.3f}s -> {tokens_s:.1f} tokens/s')

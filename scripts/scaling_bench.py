@@ -1,0 +1,66 @@
+"""Multi-device scaling benchmark: tokens/s vs mesh size.
+
+On a TPU pod slice, run under `jax.distributed` per host:
+    python scripts/scaling_bench.py            # all devices, dp = hosts
+On CPU (validation): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+
+Measures steady-state decode throughput of the int4 flagship at dp=1 vs
+dp=N with the batch sharded over 'dp' and weights tp-sharded — the >=85%
+scaling target from BASELINE.md.
+"""
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from ai_edge_quantizer_tpu.execution import executor as executor_lib  # noqa
+from ai_edge_quantizer_tpu.models import gemma  # noqa: E402
+from ai_edge_quantizer_tpu.parallel import mesh as mesh_lib  # noqa: E402
+from ai_edge_quantizer_tpu.parallel import sharding as sharding_lib  # noqa
+
+
+def measure(cfg, batch, n_devices, dp, steps=8):
+  graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
+                              signatures=('decode',),
+                              materialize_weights=False)
+  weights = gemma.device_materialize_quantized(graph)
+  ex = executor_lib.GraphExecutor(graph)
+  ex._weights = weights
+  mesh = mesh_lib.make_mesh(n_devices, dp=dp)
+  fn, sharded_weights = sharding_lib.sharded_signature_runner(
+      ex, 'decode', mesh)
+  inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=32)
+  out = fn(sharded_weights, inputs)
+  jax.block_until_ready(out['logits'])
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    out = fn(sharded_weights, inputs)
+  jax.block_until_ready(out['logits'])
+  dt = (time.perf_counter() - t0) / steps
+  return batch / dt
+
+
+def main():
+  n = len(jax.devices())
+  preset = os.environ.get('AEQT_SCALING_PRESET', 'toy')
+  cfg = gemma.TOY_DECODER if preset == 'toy' else gemma.GEMMA_2B_LITE
+  base_batch = int(os.environ.get('AEQT_SCALING_BATCH', '8'))
+
+  # 1 "host" worth of devices vs all devices.
+  half = max(1, n // 2)
+  r1 = measure(cfg, base_batch, half, dp=1)
+  r2 = measure(cfg, base_batch * 2, n, dp=2)
+  scaling = r2 / (2 * r1)
+  print(f'devices={half} dp=1: {r1:.1f} tokens/s')
+  print(f'devices={n} dp=2: {r2:.1f} tokens/s')
+  print(f'scaling efficiency (1 -> 2 host-equivalents): {scaling:.1%}')
+
+
+if __name__ == '__main__':
+  main()

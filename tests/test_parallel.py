@@ -1,0 +1,83 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: sharded quantized
+decode must match single-device results; shardings must follow the
+quantized-dim rule."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from ai_edge_quantizer_tpu import Quantizer
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.models import gemma
+from ai_edge_quantizer_tpu.parallel import mesh as mesh_lib
+from ai_edge_quantizer_tpu.parallel import sharding as sharding_lib
+
+
+@pytest.fixture(scope='module')
+def quantized_toy_decode():
+  cfg = gemma.TOY_DECODER
+  g = gemma.build_decoder(cfg, batch=2, prefill_len=4,
+                          signatures=('decode',))
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 8)
+  return cfg, qt.quantize().quantized_model
+
+
+class TestMesh:
+
+  def test_mesh_shapes(self):
+    assert len(jax.devices()) == 8, 'conftest must force 8 CPU devices'
+    m = mesh_lib.make_mesh(8)
+    assert dict(m.shape) == {'dp': 1, 'tp': 8}
+    m2 = mesh_lib.make_mesh(8, dp=2)
+    assert dict(m2.shape) == {'dp': 2, 'tp': 4}
+    with pytest.raises(ValueError):
+      mesh_lib.make_mesh(8, dp=3, tp=3)
+
+
+class TestShardedDecode:
+
+  def test_weight_sharding_rules(self, quantized_toy_decode):
+    cfg, graph = quantized_toy_decode
+    mesh = mesh_lib.make_mesh(4, dp=1)
+    ex = GraphExecutor(graph)
+    shardings = sharding_lib.weight_shardings(graph, ex._weights, mesh)
+    sg = graph.subgraphs[0]
+    for (sg_idx, tid), sh in shardings.items():
+      t = sg.tensors[tid]
+      if 'ffw/gate/w' in t.name:
+        # Column parallel: quantized (out) dim sharded.
+        assert sh.spec == P('tp', None), t.name
+      if 'ffw/down/w' in t.name:
+        # Row parallel hint: contraction dim sharded.
+        assert sh.spec == P(None, 'tp'), t.name
+
+  def test_sharded_matches_single_device(self, quantized_toy_decode):
+    cfg, graph = quantized_toy_decode
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=2)
+    ex = GraphExecutor(graph)
+    single = ex.signature_runner('decode')(inputs)
+
+    mesh = mesh_lib.make_mesh(8, dp=2)
+    fn, sharded_weights = sharding_lib.sharded_signature_runner(
+        ex, 'decode', mesh)
+    sharded = fn(sharded_weights, inputs)
+    np.testing.assert_allclose(
+        np.asarray(single['logits']), np.asarray(sharded['logits']),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(single['layer_0_k_cache']),
+        np.asarray(sharded['layer_0_k_cache']), rtol=1e-4, atol=1e-4)
+
+  def test_scales_shard_congruently(self, quantized_toy_decode):
+    """Sharded einsum on the quantized dim must keep per-channel scales
+    consistent — verified end to end by numerical equality above; here we
+    additionally check the packed executor path survives a tp mesh."""
+    cfg, graph = quantized_toy_decode
+    mesh = mesh_lib.make_mesh(2, dp=1)
+    ex = GraphExecutor(graph)
+    fn, sw = sharding_lib.sharded_signature_runner(ex, 'decode', mesh)
+    out = fn(sw, gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=1))
+    assert np.isfinite(np.asarray(out['logits'])).all()
