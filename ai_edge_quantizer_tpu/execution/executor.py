@@ -33,6 +33,27 @@ from ai_edge_quantizer_tpu.kernels import qmatmul as qmm
 from ai_edge_quantizer_tpu.ops import impl as ops_impl
 
 
+# Operand positions that carry graph structure (shapes, axes, strides,
+# split counts) rather than data; see _eval_op.
+_STRUCTURAL_OPERANDS = {
+    'RESHAPE': (1,),
+    'TRANSPOSE': (1,),
+    'SPLIT': (0,),
+    'SLICE': (1, 2),
+    'STRIDED_SLICE': (1, 2, 3),
+    'PAD': (1,),
+    'PADV2': (1,),
+    'MIRROR_PAD': (1,),
+    'BROADCAST_TO': (1,),
+    'RESIZE_BILINEAR': (1,),
+    'RESIZE_NEAREST_NEIGHBOR': (1,),
+    'MEAN': (1,),
+    'SUM': (1,),
+    'REDUCE_MIN': (1,),
+    'CONV_2D_TRANSPOSE': (0,),
+}
+
+
 class GraphExecutor:
   """Executes Graph signatures as jitted functions."""
 
@@ -213,11 +234,20 @@ class GraphExecutor:
     impl_fn = ops_impl.OPS.get(opcode)
     if impl_fn is None:
       raise NotImplementedError(f'No executor impl for op {opcode!r}.')
+    structural = _STRUCTURAL_OPERANDS.get(opcode, ())
     args = []
-    for tid in op.inputs:
+    for pos, tid in enumerate(op.inputs):
       if tid < 0:
         continue  # absent optional operand (e.g. bias)
-      args.append(self._dequant_view(sg, tid, env))
+      t = sg.tensors[tid]
+      if pos in structural and t.buffer >= 0 and \
+          self.graph.buffers[t.buffer].data is not None:
+        # Structural operands (shapes/axes/strides) must be CONCRETE at
+        # trace time — read from the graph, never from traced args.
+        args.append(np.asarray(
+            self.graph.buffers[t.buffer].data).reshape(t.shape))
+      else:
+        args.append(self._dequant_view(sg, tid, env))
     result = impl_fn(ctx, *args)
     if not isinstance(result, tuple):
       result = (result,)
