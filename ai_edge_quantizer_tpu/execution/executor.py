@@ -84,11 +84,13 @@ class GraphExecutor:
     # (uint8 [N, K//2], split-half; see kernels/pallas_qmatmul.py).
     self._packed_int4_keys: set = set()
 
-  def prepare_serving_weights(self) -> None:
+  def prepare_serving_weights(self, min_weight_params: int = 2**21) -> None:
     """Convert eligible int4 FC weights to the packed serving layout.
 
     Halves the HBM bytes streamed per decode step; the fused Pallas kernel
-    unpacks in VMEM. Symmetric per-channel int4 FC weights only.
+    unpacks in VMEM. Symmetric per-channel int4 FC weights only. Weights
+    under `min_weight_params` stay on the XLA path — per-kernel launch
+    overhead outweighs the bandwidth saving for small matrices.
     """
     for sg_idx, sg in enumerate(self.graph.subgraphs):
       fc_weight_tids = {
@@ -107,6 +109,7 @@ class GraphExecutor:
             or not np.all(np.asarray(q.zero_point) == 0)
             or t.shape[-1] % 2 != 0
             or t.shape[0] % 128 != 0
+            or t.num_elements < min_weight_params
         ):
           continue
         from ai_edge_quantizer_tpu.kernels import pallas_qmatmul

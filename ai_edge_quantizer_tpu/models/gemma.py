@@ -103,6 +103,7 @@ def _build_signature(
     batch: int,
     seq_len: int,
     cache_update: str = 'dus',
+    fused_projections: bool = False,
 ) -> None:
   """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
 
@@ -159,18 +160,35 @@ def _build_signature(
     xn = b.op('RMS_NORM', [x, gamma1], [(B, T, D)],
               output_names=[f'{p}/pre_attn_norm/out'],
               attrs={'epsilon': cfg.norm_eps})
-    wq = store.tensor(b, f'{p}/attn/q/w', (NQ * H, D), 0.02)
-    wk = store.tensor(b, f'{p}/attn/k/w', (NK * H, D), 0.02)
-    wv = store.tensor(b, f'{p}/attn/v/w', (NK * H, D), 0.02)
-    q = b.op('FULLY_CONNECTED', [xn, wq, -1], [(B, T, NQ * H)],
-             output_names=[f'{p}/attn/q/out'],
-             attrs={'fused_activation': 'NONE'})
-    k = b.op('FULLY_CONNECTED', [xn, wk, -1], [(B, T, NK * H)],
-             output_names=[f'{p}/attn/k/out'],
-             attrs={'fused_activation': 'NONE'})
-    v = b.op('FULLY_CONNECTED', [xn, wv, -1], [(B, T, NK * H)],
-             output_names=[f'{p}/attn/v/out'],
-             attrs={'fused_activation': 'NONE'})
+    if fused_projections:
+      # One fused QKV matmul: fewer, larger kernels (serving-optimal).
+      qkv_dim = (NQ + 2 * NK) * H
+      wqkv = store.tensor(b, f'{p}/attn/qkv/w', (qkv_dim, D), 0.02)
+      qkv = b.op('FULLY_CONNECTED', [xn, wqkv, -1], [(B, T, qkv_dim)],
+                 output_names=[f'{p}/attn/qkv/out'],
+                 attrs={'fused_activation': 'NONE'})
+      q = b.op('SLICE', [qkv], [(B, T, NQ * H)],
+               output_names=[f'{p}/attn/q/out'],
+               attrs={'begin': [0, 0, 0]})
+      k = b.op('SLICE', [qkv], [(B, T, NK * H)],
+               output_names=[f'{p}/attn/k/out'],
+               attrs={'begin': [0, 0, NQ * H]})
+      v = b.op('SLICE', [qkv], [(B, T, NK * H)],
+               output_names=[f'{p}/attn/v/out'],
+               attrs={'begin': [0, 0, (NQ + NK) * H]})
+    else:
+      wq = store.tensor(b, f'{p}/attn/q/w', (NQ * H, D), 0.02)
+      wk = store.tensor(b, f'{p}/attn/k/w', (NK * H, D), 0.02)
+      wv = store.tensor(b, f'{p}/attn/v/w', (NK * H, D), 0.02)
+      q = b.op('FULLY_CONNECTED', [xn, wq, -1], [(B, T, NQ * H)],
+               output_names=[f'{p}/attn/q/out'],
+               attrs={'fused_activation': 'NONE'})
+      k = b.op('FULLY_CONNECTED', [xn, wk, -1], [(B, T, NK * H)],
+               output_names=[f'{p}/attn/k/out'],
+               attrs={'fused_activation': 'NONE'})
+      v = b.op('FULLY_CONNECTED', [xn, wv, -1], [(B, T, NK * H)],
+               output_names=[f'{p}/attn/v/out'],
+               attrs={'fused_activation': 'NONE'})
 
     q4 = b.op('RESHAPE', [q], [(B, T, NQ, H)],
               output_names=[f'{p}/attn/q_4d'],
@@ -258,17 +276,29 @@ def _build_signature(
     fn = b.op('RMS_NORM', [x, gamma2], [(B, T, D)],
               output_names=[f'{p}/pre_ffn_norm/out'],
               attrs={'epsilon': cfg.norm_eps})
-    wg = store.tensor(b, f'{p}/ffw/gate/w', (F, D), 0.02)
-    wu = store.tensor(b, f'{p}/ffw/up/w', (F, D), 0.02)
     wd = store.tensor(b, f'{p}/ffw/down/w', (D, F), 0.02)
-    gate = b.op('FULLY_CONNECTED', [fn, wg, -1], [(B, T, F)],
-                output_names=[f'{p}/ffw/gate/out'],
+    if fused_projections:
+      wgu = store.tensor(b, f'{p}/ffw/gate_up/w', (2 * F, D), 0.02)
+      gu = b.op('FULLY_CONNECTED', [fn, wgu, -1], [(B, T, 2 * F)],
+                output_names=[f'{p}/ffw/gate_up/out'],
+                attrs={'fused_activation': 'NONE'})
+      gate = b.op('SLICE', [gu], [(B, T, F)],
+                  output_names=[f'{p}/ffw/gate/out'],
+                  attrs={'begin': [0, 0, 0]})
+      up = b.op('SLICE', [gu], [(B, T, F)],
+                output_names=[f'{p}/ffw/up/out'],
+                attrs={'begin': [0, 0, F]})
+    else:
+      wg = store.tensor(b, f'{p}/ffw/gate/w', (F, D), 0.02)
+      wu = store.tensor(b, f'{p}/ffw/up/w', (F, D), 0.02)
+      gate = b.op('FULLY_CONNECTED', [fn, wg, -1], [(B, T, F)],
+                  output_names=[f'{p}/ffw/gate/out'],
+                  attrs={'fused_activation': 'NONE'})
+      up = b.op('FULLY_CONNECTED', [fn, wu, -1], [(B, T, F)],
+                output_names=[f'{p}/ffw/up/out'],
                 attrs={'fused_activation': 'NONE'})
     gact = b.op('GELU', [gate], [(B, T, F)],
                 output_names=[f'{p}/ffw/gelu'])
-    up = b.op('FULLY_CONNECTED', [fn, wu, -1], [(B, T, F)],
-              output_names=[f'{p}/ffw/up/out'],
-              attrs={'fused_activation': 'NONE'})
     prod = b.op('MUL', [gact, up], [(B, T, F)],
                 output_names=[f'{p}/ffw/prod'])
     down = b.op('FULLY_CONNECTED', [prod, wd, -1], [(B, T, D)],
@@ -306,6 +336,7 @@ def build_decoder(
     signatures=('prefill', 'decode'),
     materialize_weights: bool = True,
     decode_cache_update: str = 'dus',
+    fused_projections: bool = False,
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
@@ -315,7 +346,8 @@ def build_decoder(
     seq = prefill_len if sig == 'prefill' else 1
     _build_signature(b, store, sig, batch, seq,
                      cache_update=(decode_cache_update if sig == 'decode'
-                                   else 'dus'))
+                                   else 'dus'),
+                     fused_projections=fused_projections)
     b.finalize(signature_key=sig)
   graph.metadata['weight_init_specs'] = store.init_specs
   return graph

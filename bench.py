@@ -21,6 +21,46 @@ def log(*args):
   print(*args, file=sys.stderr, flush=True)
 
 
+def bench_mobilenet():
+  """Secondary metric: MobileNetV2 int8 static (a8w8, calibrated) imgs/s."""
+  import functools
+  import jax
+  import numpy as np
+
+  from ai_edge_quantizer_tpu import Quantizer
+  from ai_edge_quantizer_tpu.execution import executor as executor_lib
+  from ai_edge_quantizer_tpu.models import mobilenet
+  from ai_edge_quantizer_tpu.utils import test_data as tdl
+
+  batch = int(os.environ.get('AEQT_BENCH_BATCH', '64'))
+  steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
+  g = mobilenet.build_mobilenet_v2(batch=batch, image_size=224)
+  qt = Quantizer(g, 'default_a8w8')
+  cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=8))
+  quantized = qt.quantize(cr).quantized_model
+  ex = executor_lib.GraphExecutor(quantized)
+  sig = quantized.signatures[0]
+  fn = jax.jit(functools.partial(
+      ex._run_signature, sig.subgraph_index, sig.signature_key, False))
+  rng = np.random.default_rng(0)
+  img = jax.device_put(
+      rng.standard_normal((batch, 224, 224, 3), dtype=np.float32))
+  out = fn(ex._weights, {'image': img})
+  jax.block_until_ready(out['probs'])
+  t0 = time.time()
+  for _ in range(steps):
+    out = fn(ex._weights, {'image': img})
+  jax.block_until_ready(out['probs'])
+  imgs_s = batch * steps / (time.time() - t0)
+  log(f'mobilenet int8: {imgs_s:.1f} imgs/s')
+  print(json.dumps({
+      'metric': 'mobilenetv2_int8_a8w8_imgs_per_s',
+      'value': round(imgs_s, 2),
+      'unit': 'imgs/s',
+      'vs_baseline': 1.0,  # reference publishes no TPU imgs/s (BASELINE.md)
+  }))
+
+
 def main():
   import jax
   import numpy as np
@@ -34,6 +74,9 @@ def main():
   steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
   warmup = 3
 
+  if preset == 'mobilenet':
+    bench_mobilenet()
+    return
   if preset == 'toy':
     cfg = gemma.TOY_DECODER
   else:
@@ -47,7 +90,8 @@ def main():
   # the host never materializes the fp32 weights.
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
                               signatures=('decode',),
-                              materialize_weights=False)
+                              materialize_weights=False,
+                              fused_projections=True)
   log(f'build graph: {time.time()-t0:.1f}s')
   t0 = time.time()
   weights = gemma.device_materialize_quantized(graph, fc_bits=4,
