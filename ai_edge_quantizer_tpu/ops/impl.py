@@ -435,3 +435,47 @@ def stablehlo_composite(ctx: OpContext, *xs):
   raise NotImplementedError(
       'Composite ops are executed via their side-effect subgraphs by the '
       'executor, not via a direct impl.')
+
+
+# -- jax-importer primitive ops (float-only vocabulary extension) -----------
+
+_register_unary('EXP', jnp.exp)
+_register_unary('LOG', jnp.log)
+_register_unary('NEG', jnp.negative)
+_register_unary('ABS', jnp.abs)
+_register_unary('SIGN', jnp.sign)
+_register_unary('FLOOR', jnp.floor)
+_register_unary('ERF', jax.scipy.special.erf)
+_register_unary('IDENTITY', lambda x: x)
+_register_binary('POW', jnp.power)
+
+
+@register('INTEGER_POW')
+def integer_pow(ctx: OpContext, x):
+  return x ** int(ctx.attrs['exponent'])
+
+
+@register('SELECT_N')
+def select_n(ctx: OpContext, which, *cases):
+  if len(cases) == 2:
+    return jnp.where(which.astype(bool), cases[1], cases[0])
+  idx = which.astype(jnp.int32)
+  out = cases[0]
+  for i, c in enumerate(cases[1:], start=1):
+    out = jnp.where(idx == i, c, out)
+  return out
+
+
+@register('BROADCAST_IN_DIM')
+def broadcast_in_dim(ctx: OpContext, x):
+  return jax.lax.broadcast_in_dim(
+      x, tuple(ctx.attrs['shape']),
+      tuple(ctx.attrs['broadcast_dimensions']))
+
+
+@register('REDUCE_MAX')
+def reduce_max(ctx: OpContext, x, axis=None):
+  ax = ctx.attrs.get('axis', axis)
+  ax = tuple(np.asarray(ax).reshape(-1).tolist()) if ax is not None else None
+  return jnp.max(x, axis=ax,
+                 keepdims=bool(ctx.attrs.get('keep_dims', False)))

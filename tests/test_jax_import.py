@@ -1,0 +1,57 @@
+"""JAX-function importer tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ai_edge_quantizer_tpu import Quantizer
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.graph import jax_import
+
+RNG = np.random.default_rng(0)
+
+PARAMS = {
+    'dense1': {'w': (RNG.normal(size=(64, 128)) * 0.2).astype(np.float32),
+               'b': (RNG.normal(size=128) * 0.1).astype(np.float32)},
+    'dense2': {'w': (RNG.normal(size=(128, 16)) * 0.2).astype(np.float32)},
+}
+
+
+def mlp(p, inputs):
+  x = inputs['x']
+  h = jnp.tanh(x @ p['dense1']['w'] + p['dense1']['b'])
+  return {'y': h @ p['dense2']['w']}
+
+
+def test_trace_structure_and_exactness():
+  x = RNG.normal(size=(4, 64)).astype(np.float32)
+  g = jax_import.trace_to_graph(mlp, PARAMS, {'x': x})
+  ops = [op.opcode for op in g.main_subgraph().ops]
+  assert ops.count('FULLY_CONNECTED') == 2
+  out = GraphExecutor(g).signature_runner()({'x': x})
+  ref = np.asarray(mlp(PARAMS, {'x': x})['y'])
+  np.testing.assert_allclose(
+      np.asarray(list(out.values())[0]), ref, atol=1e-6)
+
+
+def test_quantize_traced_model():
+  x = RNG.normal(size=(4, 64)).astype(np.float32)
+  g = jax_import.trace_to_graph(mlp, PARAMS, {'x': x})
+  qt = Quantizer(g, 'dynamic_wi8_afp32')
+  res = qt.quantize()
+  int8 = [t.name for t in res.quantized_model.main_subgraph().tensors
+          if t.dtype == 'int8']
+  assert len(int8) == 2  # both matmul weights
+  r = qt.validate(num_samples=2).get_signature_comparison_result()
+  assert all(v < 1e-2 for v in r.output_tensors.values())
+
+
+def test_scope_regex_selects_layers():
+  x = RNG.normal(size=(4, 64)).astype(np.float32)
+  g = jax_import.trace_to_graph(mlp, PARAMS, {'x': x})
+  qt = Quantizer(g)
+  qt.add_dynamic_config('dense1.*', 'FULLY_CONNECTED', 4)
+  res = qt.quantize()
+  sg = res.quantized_model.main_subgraph()
+  dtypes = {t.name: t.dtype for t in sg.tensors if t.buffer >= 0}
+  assert dtypes['dense1/w/w'] == 'int4'
+  assert dtypes['dense2/w/w'] == 'float32'
