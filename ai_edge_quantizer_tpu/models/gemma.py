@@ -373,8 +373,12 @@ def device_materialize_quantized(
   import jax.numpy as jnp
 
   specs = graph.metadata.get('weight_init_specs', {})
-  weights: dict = {}
-  quantized_buffers: dict = {}  # buffer id -> (array, scale, bits)
+
+  # Plan: one entry per unique buffer; then generate + quantize EVERYTHING
+  # inside a single jitted XLA program (one device dispatch, critical when
+  # dispatch latency is high).
+  plan: dict = {}  # buffer id -> (key, shape, init_scale, bits or None)
+  buffer_users: dict = {}  # buffer id -> [(sg_idx, tid)]
   for sg_idx, sg in enumerate(graph.subgraphs):
     fc_weight_tids = {op.inputs[1] for op in sg.ops
                       if op.opcode == 'FULLY_CONNECTED'
@@ -385,38 +389,54 @@ def device_materialize_quantized(
     for tid, t in enumerate(sg.tensors):
       if t.buffer < 0:
         continue
+      buffer_users.setdefault(t.buffer, []).append((sg_idx, tid))
       key = t.name.split('/', 1)[1] if '/' in t.name else t.name
       shape, init_scale = specs.get(key, (t.shape, 0.02))
+      bits = None
+      if tid in fc_weight_tids:
+        bits = fc_bits
+      elif tid in emb_weight_tids:
+        bits = embedding_bits
+      prev = plan.get(t.buffer)
+      if prev is None or (prev[3] is None and bits is not None):
+        plan[t.buffer] = (key, tuple(shape), float(init_scale), bits)
+
+  @jax.jit
+  def generate_all():
+    out = {}
+    for buf_id, (key, shape, init_scale, bits) in plan.items():
       prng = jax.random.PRNGKey(
           (seed * 1_000_003 + abs(hash(key))) % (2**31))
-      if t.buffer in quantized_buffers:
-        arr, scale, bits = quantized_buffers[t.buffer]
-        if scale is not None:
-          t.quantization = ir.QuantizationInfo(
-              scale=scale, zero_point=np.zeros_like(scale, np.int8),
-              quantized_dimension=0, num_bits=bits)
-          t.dtype = ir.dtype_for_bits(bits)
-        weights[(sg_idx, tid)] = arr
-        continue
-      if tid in fc_weight_tids or tid in emb_weight_tids:
-        bits = fc_bits if tid in fc_weight_tids else embedding_bits
+      w = jax.random.normal(prng, shape, jnp.float32) * init_scale
+      if bits is None:
+        out[buf_id] = (w, None)
+      else:
         qmax = float(2 ** (bits - 1) - 1)
-        w = jax.random.normal(prng, shape, jnp.float32) * init_scale
         absmax = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-9)
-        scale_dev = absmax / qmax
-        w_q = jnp.clip(jnp.round(w / scale_dev[:, None]), -qmax, qmax
+        scale = absmax / qmax
+        w_q = jnp.clip(jnp.round(w / scale[:, None]), -qmax, qmax
                        ).astype(jnp.int8)
-        scale = np.asarray(jax.device_get(scale_dev), np.float32)
+        out[buf_id] = (w_q, scale)
+    return out
+
+  generated = generate_all()
+  # One host transfer for all scales together.
+  scales_np = jax.device_get(
+      {b: s for b, (_, s) in generated.items() if s is not None})
+
+  weights: dict = {}
+  for buf_id, (arr, _) in generated.items():
+    _, _, _, bits = plan[buf_id]
+    scale = scales_np.get(buf_id)
+    for (sg_idx, tid) in buffer_users[buf_id]:
+      t = graph.subgraphs[sg_idx].tensors[tid]
+      if scale is not None:
+        scale32 = np.asarray(scale, np.float32)
         t.quantization = ir.QuantizationInfo(
-            scale=scale, zero_point=np.zeros_like(scale, np.int8),
+            scale=scale32, zero_point=np.zeros_like(scale32, np.int8),
             quantized_dimension=0, num_bits=bits)
         t.dtype = ir.dtype_for_bits(bits)
-        weights[(sg_idx, tid)] = w_q
-        quantized_buffers[t.buffer] = (w_q, scale, bits)
-      else:
-        w = jax.random.normal(prng, shape, jnp.float32) * init_scale
-        weights[(sg_idx, tid)] = w
-        quantized_buffers[t.buffer] = (w, None, None)
+      weights[(sg_idx, tid)] = arr
   return weights
 
 
