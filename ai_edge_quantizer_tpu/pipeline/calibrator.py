@@ -72,6 +72,32 @@ class Calibrator:
     calibration_utils.save_qsvs_to_json(
         self._model_qsvs, path, num_samples=self._num_samples)
 
+  def signature_runner(self, signature_key: str,
+                       model_recipe_manager: rm.RecipeManager):
+    """A drop-in inference runner that calibrates as a side effect.
+
+    Use inside an existing evaluation harness: call it like a normal model
+    and QSVs accumulate with every invocation (the analog of the
+    reference's CalibrationInterpreter / CalibrationSignatureRunner,
+    calibrator.py:72-188).
+    """
+    plan = self._plan_for_signature(signature_key, model_recipe_manager)
+    capture_runner = self._executor.signature_runner(
+        signature_key, capture_all=True)
+    sig = self._graph.signature_by_key(signature_key)
+    sg = self._graph.subgraphs[sig.subgraph_index]
+
+    def run(inputs: dict) -> dict:
+      tensor_content_map = capture_runner(inputs)
+      self._calibrate_step(plan, tensor_content_map)
+      self._num_samples += 1
+      return {
+          name: tensor_content_map[sg.tensors[tid].name]
+          for name, tid in sig.outputs.items()
+      }
+
+    return run
+
   # -- internals ------------------------------------------------------------
 
   def _plan_for_signature(
