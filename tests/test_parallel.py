@@ -81,3 +81,25 @@ class TestShardedDecode:
     fn, sw = sharding_lib.sharded_signature_runner(ex, 'decode', mesh)
     out = fn(sw, gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=1))
     assert np.isfinite(np.asarray(out['logits'])).all()
+
+
+class TestRingWeightGatherMatmul:
+
+  def test_matches_dense(self):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ai_edge_quantizer_tpu.parallel import collectives
+    mesh = mesh_lib.make_mesh(4, dp=1)
+    rng = np.random.default_rng(0)
+    n, k, b = 512, 128, 8
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-127, 128, (n, k)), jnp.int8)
+    scale = jnp.asarray(rng.random(n) * 0.01 + 1e-3, jnp.float32)
+    w_sharded = jax.device_put(w_q, NamedSharding(mesh, P('tp', None)))
+    s_sharded = jax.device_put(scale, NamedSharding(mesh, P('tp')))
+    fn = collectives.make_ring_matmul(mesh)
+    y = fn(x, w_sharded, s_sharded)
+    dense = np.asarray(x) @ (
+        np.asarray(w_q, np.float32) * np.asarray(scale)[:, None]).T
+    np.testing.assert_allclose(np.asarray(y), dense, rtol=1e-4, atol=1e-4)
