@@ -83,6 +83,22 @@ class GraphExecutor:
     # Keys of FC weights converted to packed-int4 serving layout
     # (uint8 [N, K//2], split-half; see kernels/pallas_qmatmul.py).
     self._packed_int4_keys: set = set()
+    # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
+    # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
+    # integer weight reads the integer tensor through the fused kernel
+    # instead — no dequantized weight copy ever materializes at runtime.
+    self._dequant_alias: dict = {}
+    for sg_idx, sg in enumerate(graph.subgraphs):
+      for op in sg.ops:
+        if op.opcode != 'DEQUANTIZE' or not op.inputs or not op.outputs:
+          continue
+        src = sg.tensors[op.inputs[0]]
+        if (
+            src.quantization is not None
+            and src.dtype in ('int2', 'int4', 'int8')
+            and (sg_idx, op.inputs[0]) in self._weights
+        ):
+          self._dequant_alias[(sg_idx, op.outputs[0])] = op.inputs[0]
 
   def prepare_serving_weights(self, min_weight_params: int = 2**21) -> None:
     """Convert eligible int4 FC weights to the packed serving layout.
@@ -202,6 +218,24 @@ class GraphExecutor:
     if (
         self.use_fused_kernels
         and opcode == 'FULLY_CONNECTED'
+        and len(op.inputs) > 1
+        and (sg_idx, op.inputs[1]) in self._dequant_alias
+    ):
+      # Weight-only fusion: read the integer weight directly; the explicit
+      # dequantized copy is dead code under jit (XLA DCE).
+      op = ir.Op(
+          opcode=op.opcode,
+          inputs=[op.inputs[0],
+                  self._dequant_alias[(sg_idx, op.inputs[1])]]
+          + list(op.inputs[2:]),
+          outputs=op.outputs, attrs=op.attrs)
+      ctx = ops_impl.OpContext(op=op, subgraph=sg, graph=self.graph)
+      self._eval_quantized_fc(ctx, sg, op, env, weight_only=True)
+      return
+
+    if (
+        self.use_fused_kernels
+        and opcode == 'FULLY_CONNECTED'
         and self._fc_weight_is_integer(sg, op)
     ):
       self._eval_quantized_fc(ctx, sg, op, env)
@@ -279,7 +313,7 @@ class GraphExecutor:
         'int2', 'int4', 'int8')
 
   def _eval_quantized_fc(self, ctx, sg: ir.Subgraph, op: ir.Op,
-                         env: dict) -> None:
+                         env: dict, weight_only: bool = False) -> None:
     x_t = sg.tensors[op.inputs[0]]
     w_t = sg.tensors[op.inputs[1]]
     b_tid = op.inputs[2] if len(op.inputs) > 2 else -1
@@ -303,8 +337,16 @@ class GraphExecutor:
     x_val = env[op.inputs[0]]
     symmetric = bool(np.all(np.asarray(q.zero_point) == 0))
     if x_t.quantization is None:
+      if weight_only:
+        # Weight-only: float math against fused-dequantized weights (no
+        # activation quantization noise).
+        y = qmm.qmatmul(
+            x_val, w_q, jnp.asarray(q.scale),
+            zero_point=None if symmetric else jnp.asarray(q.zero_point),
+            bias=bias, block_size=q.block_size,
+            prefer_pallas=False)
       # DRQ: float activation quantized dynamically on device.
-      if symmetric and q.block_size == 0:
+      elif symmetric and q.block_size == 0:
         y = qmm.drq_matmul_ref(x_val, w_q, jnp.asarray(q.scale), bias=bias)
       else:
         y = qmm.qmatmul(
