@@ -100,3 +100,41 @@ class TestPallasKernel:
     expected = np.asarray(qmatmul.qmatmul_ref(
         jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale), block_size=bs))
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-3, atol=1e-3)
+
+
+class TestDecodeAttentionInt8:
+
+  def test_matches_reference(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(7)
+    b, nk, g, h, s = 2, 1, 4, 64, 128
+    q = jnp.asarray(rng.standard_normal((b, nk, g, h)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (b, nk, s, h)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (b, nk, s, h)), jnp.int8)
+    ks, vs = 0.01, 0.02
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    out = pa.decode_attention_int8(q, kq, vq, ks, vs, lengths,
+                                   interpret=True)
+    ref = pa.decode_attention_int8_ref(q, kq, vq, ks, vs, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+  def test_masking_respects_length(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(8)
+    b, nk, g, h, s = 1, 1, 2, 32, 64
+    q = jnp.asarray(rng.standard_normal((b, nk, g, h)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (b, nk, s, h)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (b, nk, s, h)), jnp.int8)
+    short = pa.decode_attention_int8(q, kq, vq, 0.01, 0.01,
+                                     jnp.asarray([5], jnp.int32),
+                                     interpret=True)
+    # Tail cache contents must not influence the output.
+    kq2 = kq.at[:, :, 10:].set(99)
+    vq2 = vq.at[:, :, 10:].set(-99)
+    short2 = pa.decode_attention_int8(q, kq2, vq2, 0.01, 0.01,
+                                      jnp.asarray([5], jnp.int32),
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(short2))
