@@ -401,13 +401,27 @@ def device_materialize_quantized(
       if prev is None or (prev[3] is None and bits is not None):
         plan[t.buffer] = (key, tuple(shape), float(init_scale), bits)
 
+  def _fast_init(key: str, shape, init_scale: float):
+    """Cheap deterministic pseudo-random weights (benchmark quality).
+
+    One fused iota+sin expression instead of a threefry kernel per weight:
+    keeps the all-weights-in-one-program compile small. Approximately
+    uniform in [-sqrt(3), sqrt(3)]*scale (unit variance before scaling).
+    """
+    n = 1
+    for d in shape:
+      n *= d
+    phase = float((seed * 1_000_003 + abs(hash(key))) % 65521) + 0.5
+    idx = jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0).reshape(shape)
+    u = jnp.sin((idx + phase) * 12.9898) * 43758.5453
+    u = u - jnp.floor(u)  # ~U[0,1)
+    return (u * 2.0 - 1.0) * (init_scale * 1.732)
+
   @jax.jit
   def generate_all():
     out = {}
     for buf_id, (key, shape, init_scale, bits) in plan.items():
-      prng = jax.random.PRNGKey(
-          (seed * 1_000_003 + abs(hash(key))) % (2**31))
-      w = jax.random.normal(prng, shape, jnp.float32) * init_scale
+      w = _fast_init(key, shape, init_scale)
       if bits is None:
         out[buf_id] = (w, None)
       else:

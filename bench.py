@@ -174,8 +174,16 @@ def main():
 
 
 if __name__ == '__main__':
+  import signal
+
+  def _watchdog(signum, frame):
+    raise TimeoutError('bench stage deadline exceeded')
+
+  signal.signal(signal.SIGALRM, _watchdog)
+  signal.alarm(int(os.environ.get('AEQT_BENCH_DEADLINE_S', '2400')))
   try:
     main()
+    signal.alarm(0)
   except Exception as e:  # noqa: BLE001
     # Never exit without the JSON line: fall back to the toy preset so the
     # driver always records a measurement.
@@ -183,8 +191,10 @@ if __name__ == '__main__':
         'preset')
     os.environ['AEQT_BENCH_PRESET'] = 'toy'
     os.environ.setdefault('AEQT_BENCH_BATCH', '4')
+    signal.alarm(600)
     try:
       main()
+      signal.alarm(0)
     except Exception as e2:  # noqa: BLE001
       log(f'toy fallback also failed: {e2}')
       print(json.dumps({
