@@ -485,7 +485,6 @@ def materialize_fc_conv(
       bias_qparams = None
       if is_srq:
         # Positions in the result list: operand order with -1 skipped.
-        present = [i for i in op_info.op.inputs if i >= 0]
         in_slot = _operand_slot(op_info.op.inputs, input_index)
         w_slot = _operand_slot(op_info.op.inputs, weight_index)
         in_params = params[in_slot].consumers[0].parameters
@@ -511,7 +510,6 @@ def materialize_fc_conv(
               f'Failed to quantize bias for op {op_info.op_name} '
               f'(op id {op_info.subgraph_op_index}).'
           ) from e
-        del present
       b_slot = _operand_slot(op_info.op.inputs, bias_index)
       params[b_slot] = make_tensor_params(
           bias_tensor.name, op_info, is_inbounding_tensor=True,

@@ -323,7 +323,8 @@ class GraphExecutor:
     if b_tid >= 0:
       bias = self._dequant_view(sg, b_tid, env)
 
-    sg_idx = self.graph.subgraphs.index(sg)
+    sg_idx = next(i for i, s_ in enumerate(self.graph.subgraphs)
+                  if s_ is sg)
     if (sg_idx, op.inputs[1]) in self._packed_int4_keys:
       from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
       x_f = self._dequant_view(sg, op.inputs[0], env)
