@@ -99,6 +99,108 @@ class GraphExecutor:
             and (sg_idx, op.inputs[0]) in self._weights
         ):
           self._dequant_alias[(sg_idx, op.outputs[0])] = op.inputs[0]
+    # int8-KV-cache attention fusion: the BMM->MUL->ADD->SOFTMAX->BMM chain
+    # over per-tensor-quantized caches collapses into one fused kernel
+    # (kernels/pallas_attention.py). Maps (sg_idx, chain start op index) ->
+    # fusion record; ops inside a chain are skipped during evaluation.
+    self._attn_fusions: dict = {}
+    self._attn_skip: set = set()
+    if use_fused_kernels:
+      for sg_idx, sg in enumerate(graph.subgraphs):
+        self._find_attention_fusions(sg_idx, sg)
+
+  def _find_attention_fusions(self, sg_idx: int, sg: ir.Subgraph) -> None:
+    """Producer-chasing match of BMM->MUL->ADD->SOFTMAX->BMM over int8
+    caches (DEQUANTIZE ops inserted by the rewrite are looked through)."""
+    ops = sg.ops
+    producer_of = {}
+    for i, o in enumerate(ops):
+      for tid in o.outputs:
+        producer_of[tid] = i
+
+    def consumers_of(tid):
+      return [i for i, o in enumerate(ops) if tid in o.inputs]
+
+    def int8_per_tensor_cache(tid):
+      t = sg.tensors[tid]
+      q = t.quantization
+      return (
+          t.dtype == 'int8' and q is not None and q.block_size == 0
+          and np.asarray(q.scale).size == 1
+          and np.asarray(q.zero_point).size == 1
+          and len(t.shape) == 4
+      )
+
+    def cache_source(tid):
+      """Resolve through a DEQUANTIZE to the int8 cache tensor, if any."""
+      p = producer_of.get(tid)
+      if p is not None and ops[p].opcode == 'DEQUANTIZE':
+        src = ops[p].inputs[0]
+        if int8_per_tensor_cache(src):
+          return src
+      if int8_per_tensor_cache(tid):
+        return tid
+      return None
+
+    for sm_idx, sm in enumerate(ops):
+      if sm.opcode != 'SOFTMAX':
+        continue
+      add_idx = producer_of.get(sm.inputs[0])
+      if add_idx is None or ops[add_idx].opcode != 'ADD':
+        continue
+      add = ops[add_idx]
+      mul_idx = producer_of.get(add.inputs[0])
+      if mul_idx is None or ops[mul_idx].opcode != 'MUL':
+        continue
+      mul = ops[mul_idx]
+      bmm1_idx = producer_of.get(mul.inputs[0])
+      if bmm1_idx is None or ops[bmm1_idx].opcode != 'BATCH_MATMUL':
+        continue
+      bmm1 = ops[bmm1_idx]
+      if not bmm1.attrs.get('adj_y'):
+        continue
+      sm_consumers = consumers_of(sm.outputs[0])
+      if len(sm_consumers) != 1:
+        continue
+      bmm2_idx = sm_consumers[0]
+      bmm2 = ops[bmm2_idx]
+      if (
+          bmm2.opcode != 'BATCH_MATMUL' or bmm2.attrs.get('adj_y')
+          or bmm2.inputs[0] != sm.outputs[0]
+      ):
+        continue
+      k_tid = cache_source(bmm1.inputs[1])
+      v_tid = cache_source(bmm2.inputs[1])
+      if k_tid is None or v_tid is None:
+        continue
+      q_tid = bmm1.inputs[0]
+      if len(sg.tensors[q_tid].shape) != 4:
+        continue
+      scale_t = sg.tensors[mul.inputs[1]]
+      scale_data = (
+          self.graph.buffers[scale_t.buffer].data
+          if scale_t.buffer >= 0 else None)
+      if scale_data is None or np.asarray(scale_data).size != 1:
+        continue
+      mask_tid = add.inputs[1]
+      chain_outs = [bmm1.outputs[0], mul.outputs[0], add.outputs[0],
+                    sm.outputs[0]]
+      if any(len(consumers_of(t)) != 1 or t in sg.outputs
+             for t in chain_outs):
+        continue
+      if any(sg.tensors[t].quantization is not None for t in chain_outs):
+        continue  # SRQ'd intermediates: keep the faithful simulated path.
+      h = sg.tensors[q_tid].shape[-1]
+      self._attn_fusions[(sg_idx, bmm2_idx)] = {
+          'q': q_tid, 'k': k_tid, 'v': v_tid, 'mask': mask_tid,
+          'out': bmm2.outputs[0],
+          # The kernel divides by sqrt(h); fold the graph's score-scale
+          # constant in so arbitrary constants stay exact.
+          'k_scale_factor': float(np.asarray(scale_data).reshape(())) *
+          float(h) ** 0.5,
+      }
+      for j in (bmm1_idx, mul_idx, add_idx, sm_idx):
+        self._attn_skip.add((sg_idx, j))
 
   def prepare_serving_weights(self, min_weight_params: int = 2**21) -> None:
     """Convert eligible int4 FC weights to the packed serving layout.
@@ -183,7 +285,14 @@ class GraphExecutor:
         val = val.astype(self._act_dtype)
       env[tid] = val
 
-    for op in sg.ops:
+    for op_idx, op in enumerate(sg.ops):
+      if not capture_all:  # capture_all keeps every intermediate visible
+        fusion = self._attn_fusions.get((sg_idx, op_idx))
+        if fusion is not None:
+          self._eval_fused_attention(sg_idx, sg, fusion, env)
+          continue
+        if (sg_idx, op_idx) in self._attn_skip:
+          continue
       self._eval_op(sg_idx, sg, op, env)
 
     if capture_all:
@@ -301,6 +410,39 @@ class GraphExecutor:
       elif t.dtype == 'float32' and val.dtype != self._act_dtype:
         val = val.astype(self._act_dtype)
       env[tid] = val
+
+  def _eval_fused_attention(self, sg_idx: int, sg: ir.Subgraph,
+                            fusion: dict, env: dict) -> None:
+    """Emit one fused int8-cache attention call for a matched chain."""
+    q_val = self._dequant_view(sg, fusion['q'], env)
+    k_q = env[fusion['k']]
+    v_q = env[fusion['v']]
+    mask = self._dequant_view(sg, fusion['mask'], env)
+    k_info = sg.tensors[fusion['k']].quantization
+    v_info = sg.tensors[fusion['v']].quantization
+    k_scale = float(np.asarray(k_info.scale).reshape(())) * \
+        fusion['k_scale_factor']
+    v_scale = float(np.asarray(v_info.scale).reshape(()))
+    zp_k = float(np.asarray(k_info.zero_point).reshape(()))
+    zp_v = float(np.asarray(v_info.zero_point).reshape(()))
+    if jax.default_backend() == 'tpu':
+      from ai_edge_quantizer_tpu.kernels import pallas_attention
+      ctx = pallas_attention.decode_attention_int8_masked(
+          q_val, k_q, v_q, k_scale, v_scale, mask,
+          k_zero_point=zp_k, v_zero_point=zp_v)
+    else:
+      # XLA twin with the same numerics (zp corrections in closed form).
+      qf = q_val.astype(jnp.float32)
+      scores = jnp.einsum('bngh,bnsh->bngs', qf, k_q.astype(jnp.float32))
+      scores = scores - zp_k * jnp.sum(qf, axis=-1, keepdims=True)
+      scores = scores * (k_scale / (q_val.shape[-1] ** 0.5))
+      scores = scores + mask.astype(jnp.float32)
+      probs = jax.nn.softmax(scores, axis=-1)
+      ctx = (jnp.einsum('bngs,bnsh->bngh', probs,
+                        v_q.astype(jnp.float32)) - zp_v) * v_scale
+    out_t = sg.tensors[fusion['out']]
+    out_op = ir.Op(opcode='BATCH_MATMUL', inputs=[], outputs=[fusion['out']])
+    self._store_outputs(sg, out_op, (ctx,), env)
 
   # -- quantized FULLY_CONNECTED fast paths ---------------------------------
 

@@ -80,3 +80,23 @@ class TestInt8KvCache:
     fl = np.asarray(fout['logits'])
     corr = np.corrcoef(ql.ravel(), fl.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+class TestFusedAttentionIntegration:
+
+  def test_fusion_detected_and_numerically_equal(self, int8_cache_model):
+    cfg, _, qg, _ = int8_cache_model
+    ex = GraphExecutor(qg)
+    # One fused chain per layer per signature.
+    assert len(ex._attn_fusions) == 2 * cfg.num_layers
+    rng = np.random.default_rng(3)
+    inp = gemma.make_inputs(cfg, 'decode', 1, 1, start_pos=8, seed=11)
+    for k in inp:
+      if 'cache_in' in k:
+        inp[k] = rng.standard_normal(inp[k].shape).astype(np.float32) * 0.3
+    fused = ex.signature_runner('decode')(inp)
+    plain = GraphExecutor(qg, use_fused_kernels=False).signature_runner(
+        'decode')(inp)
+    lf = np.asarray(fused['logits'])
+    lp = np.asarray(plain['logits'])
+    assert np.corrcoef(lf.ravel(), lp.ravel())[0, 1] > 0.9999
