@@ -79,6 +79,8 @@ def main():
     return
   if preset == 'toy':
     cfg = gemma.TOY_DECODER
+  elif preset == 'gemma2b':
+    cfg = gemma.GEMMA_2B  # full 256k vocab
   else:
     cfg = gemma.GEMMA_2B_LITE
 
