@@ -377,6 +377,24 @@ class GraphExecutor:
       self._store_outputs(sg, op, (out,), env)
       return
 
+    if (
+        self.use_fused_kernels
+        and opcode == 'DYNAMIC_UPDATE_SLICE'
+        and len(op.inputs) >= 3
+        and self._same_int_params(sg, op.inputs[0], op.inputs[1],
+                                  op.outputs[0])
+    ):
+      # int8 cache update: splice integers directly — no dequant/requant
+      # round trip over the whole cache.
+      operand = env[op.inputs[0]]
+      update = env[op.inputs[1]].astype(operand.dtype)
+      starts = env[op.inputs[2]]
+      out = jax.lax.dynamic_update_slice(
+          operand, update,
+          tuple(starts[i].astype(jnp.int32) for i in range(operand.ndim)))
+      env[op.outputs[0]] = out
+      return
+
     impl_fn = ops_impl.OPS.get(opcode)
     if impl_fn is None:
       raise NotImplementedError(f'No executor impl for op {opcode!r}.')
@@ -410,6 +428,25 @@ class GraphExecutor:
       elif t.dtype == 'float32' and val.dtype != self._act_dtype:
         val = val.astype(self._act_dtype)
       env[tid] = val
+
+  def _same_int_params(self, sg: ir.Subgraph, *tids) -> bool:
+    """All tensors int-typed with identical quantization params."""
+    infos = []
+    for tid in tids:
+      if tid < 0:
+        return False
+      t = sg.tensors[tid]
+      if t.quantization is None or not t.dtype.startswith('int'):
+        return False
+      infos.append(t.quantization)
+    first = infos[0]
+    return all(
+        np.array_equal(np.asarray(q.scale), np.asarray(first.scale))
+        and np.array_equal(np.asarray(q.zero_point),
+                           np.asarray(first.zero_point))
+        and q.num_bits == first.num_bits
+        for q in infos[1:]
+    )
 
   def _eval_fused_attention(self, sg_idx: int, sg: ir.Subgraph,
                             fusion: dict, env: dict) -> None:

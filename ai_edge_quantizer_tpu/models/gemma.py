@@ -502,3 +502,27 @@ def build_serving_decoder(
   b.finalize(signature_key='decode')
   graph.metadata['weight_init_specs'] = store.init_specs
   return graph
+
+
+def stamp_int8_kv_cache(graph: ir.Graph, cache_scale: float = 0.06) -> None:
+  """Mark all KV-cache tensors int8 with one shared per-tensor scale.
+
+  The serving-side shortcut for benchmark/deployment graphs built in
+  process: cache inputs, the K/V update tensors, and cache outputs get the
+  same symmetric int8 params, so the executor's int8 DUS fast path and the
+  fused attention kernel engage (no calibration pass needed; for real
+  models use the calibrated int8-cache recipe flow instead).
+  """
+  scale = np.array([cache_scale], np.float32)
+  for sg in graph.subgraphs:
+    for t in sg.tensors:
+      name = t.name
+      if (
+          name.endswith('/k_cache') or name.endswith('/v_cache')
+          or name.endswith('k_cache_new') or name.endswith('v_cache_new')
+          or name.endswith('attn/k_t') or name.endswith('attn/v_t')
+      ):
+        t.quantization = ir.QuantizationInfo(
+            scale=np.array(scale), zero_point=np.array([0], np.int8),
+            quantized_dimension=None, num_bits=8)
+        t.dtype = 'int8'

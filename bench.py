@@ -95,6 +95,11 @@ def main():
                               materialize_weights=False,
                               fused_projections=False)
   log(f'build graph: {time.time()-t0:.1f}s')
+  kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
+  if kv_mode == 'int8':
+    # int8 KV cache: halves cache traffic; the executor engages the int8
+    # DUS fast path and the fused attention kernel.
+    gemma.stamp_int8_kv_cache(graph)
   t0 = time.time()
   weights = gemma.device_materialize_quantized(graph, fc_bits=4,
                                                embedding_bits=8)
@@ -187,19 +192,26 @@ if __name__ == '__main__':
     main()
     signal.alarm(0)
   except Exception as e:  # noqa: BLE001
-    # Never exit without the JSON line: fall back to the toy preset so the
-    # driver always records a measurement.
-    log(f'bench failed ({type(e).__name__}: {e}); falling back to toy '
-        'preset')
-    os.environ['AEQT_BENCH_PRESET'] = 'toy'
-    os.environ.setdefault('AEQT_BENCH_BATCH', '4')
-    signal.alarm(600)
+    # Never exit without the JSON line: degrade gracefully — first retry
+    # with float KV caches (skips the fused-attention kernels), then the
+    # toy preset.
+    log(f'bench failed ({type(e).__name__}: {e}); retrying with float KV')
+    os.environ['AEQT_BENCH_KV'] = 'float32'
+    signal.alarm(1200)
     try:
       main()
       signal.alarm(0)
-    except Exception as e2:  # noqa: BLE001
-      log(f'toy fallback also failed: {e2}')
-      print(json.dumps({
-          'metric': 'gemma2b_lite_int4_decode_tokens_per_s_per_chip',
-          'value': 0.0, 'unit': 'tokens/s/chip', 'vs_baseline': 0.0,
-      }))
+    except Exception as e1:  # noqa: BLE001
+      log(f'float-KV retry failed ({e1}); falling back to toy preset')
+      os.environ['AEQT_BENCH_PRESET'] = 'toy'
+      os.environ.setdefault('AEQT_BENCH_BATCH', '4')
+      signal.alarm(600)
+      try:
+        main()
+        signal.alarm(0)
+      except Exception as e2:  # noqa: BLE001
+        log(f'toy fallback also failed: {e2}')
+        print(json.dumps({
+            'metric': 'gemma2b_lite_int4_decode_tokens_per_s_per_chip',
+            'value': 0.0, 'unit': 'tokens/s/chip', 'vs_baseline': 0.0,
+        }))
