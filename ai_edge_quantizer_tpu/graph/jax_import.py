@@ -231,7 +231,8 @@ def _import_eqn(imp: _Importer, eqn) -> None:
     imp.emit(opcode, [in_tid], [out_tid],
              {'axis': list(eqn.params['axes']), 'keep_dims': False})
     return
-  if prim == 'custom_jvp_call' or prim == 'pjit':
+  if prim in ('custom_jvp_call', 'pjit', 'jit', 'closed_call',
+              'custom_vjp_call', 'remat'):
     # Inline nested jaxprs (jax.nn.gelu etc. wrap their bodies).
     inner = eqn.params.get('call_jaxpr') or eqn.params.get('jaxpr')
     if inner is not None:
@@ -260,3 +261,80 @@ def _import_eqn(imp: _Importer, eqn) -> None:
   if prim == 'integer_pow':
     attrs['exponent'] = int(eqn.params['y'])
   imp.emit(opcode, in_tids, [out_tid], attrs)
+
+
+def _import_conv(imp: _Importer, eqn) -> bool:
+  """conv_general_dilated with NHWC/HWIO/NHWC (flax Conv) -> CONV_2D."""
+  dn = eqn.params['dimension_numbers']
+  lhs, rhs = eqn.invars
+  out = eqn.outvars[0]
+  if (
+      dn.lhs_spec != (0, 3, 1, 2)  # NHWC
+      or dn.out_spec != (0, 3, 1, 2)
+  ):
+    return False
+  rhs_tid = imp.tid_of(rhs)
+  if not _is_weight(imp, rhs_tid):
+    return False
+  strides = tuple(eqn.params['window_strides'])
+  if strides[0] != strides[1]:
+    return False
+  padding = eqn.params['padding']
+  pad_name = None
+  kh, kw = None, None
+  w_t = imp.sg.tensors[rhs_tid]
+  data = np.asarray(imp.graph.buffers[w_t.buffer].data)
+  if dn.rhs_spec == (3, 2, 0, 1):  # HWIO kernel [kh, kw, in, out]
+    data = np.ascontiguousarray(np.transpose(data, (3, 0, 1, 2)))
+  elif dn.rhs_spec == (0, 3, 1, 2):  # OHWI already
+    pass
+  else:
+    return False
+  out_c, kh, kw, in_c = data.shape
+  if tuple(map(tuple, padding)) == ((0, 0), (0, 0)):
+    pad_name = 'VALID'
+  else:
+    ih = lhs.aval.shape[1]
+    same_lo = ((ih - 1) * strides[0] + kh - ih) // 2
+    pad_name = 'SAME' if padding[0][0] in (same_lo, (kh - 1) // 2) \
+        else None
+  if pad_name is None:
+    return False
+  if eqn.params.get('feature_group_count', 1) != 1:
+    return False
+  buf = imp.graph.add_buffer(data)
+  wt_tid = imp.sg.add_tensor(ir.Tensor(
+      name=w_t.name + '/w', shape=data.shape, dtype='float32', buffer=buf))
+  out_tid = imp.new_out(out, w_t.name + '/out')
+  imp.emit('CONV_2D', [imp.tid_of(lhs), wt_tid, -1], [out_tid],
+           {'stride': int(strides[0]), 'padding': pad_name,
+            'fused_activation': 'NONE'})
+  return True
+
+
+# Register conv into the eqn dispatcher.
+_ORIG_IMPORT_EQN = _import_eqn
+
+
+def _import_eqn_with_conv(imp: _Importer, eqn) -> None:
+  if eqn.primitive.name == 'conv_general_dilated' and _import_conv(imp, eqn):
+    return
+  _ORIG_IMPORT_EQN(imp, eqn)
+
+
+_import_eqn = _import_eqn_with_conv
+
+
+def trace_flax_module(module, variables, example_inputs: dict,
+                      signature_key: str = 'serving_default',
+                      method=None):
+  """Trace a flax linen module's apply into Graph IR.
+
+  variables: the module's variable collections ({'params': ...}).
+  example_inputs: {arg_name: array} passed as apply kwargs.
+  """
+  def fn(vars_, inputs):
+    return module.apply(vars_, method=method, **inputs)
+
+  return trace_to_graph(fn, variables, example_inputs,
+                        signature_key=signature_key)

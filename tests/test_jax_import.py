@@ -1,5 +1,6 @@
 """JAX-function importer tests."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,3 +56,54 @@ def test_scope_regex_selects_layers():
   dtypes = {t.name: t.dtype for t in sg.tensors if t.buffer >= 0}
   assert dtypes['dense1/w/w'] == 'int4'
   assert dtypes['dense2/w/w'] == 'float32'
+
+
+def test_flax_module_import():
+  import jax
+  flax = pytest.importorskip('flax')
+  import flax.linen as nn
+
+  class Mlp(nn.Module):
+
+    @nn.compact
+    def __call__(self, x):
+      x = nn.Dense(64)(x)
+      x = nn.tanh(x)
+      return nn.Dense(8)(x)
+
+  m = Mlp()
+  x = RNG.standard_normal((2, 32)).astype(np.float32)
+  variables = m.init(jax.random.PRNGKey(0), x)
+  g = jax_import.trace_flax_module(m, variables, {'x': x})
+  out = GraphExecutor(g).signature_runner()({'x': x})
+  ref = np.asarray(m.apply(variables, x))
+  np.testing.assert_allclose(np.asarray(list(out.values())[0]), ref,
+                             atol=1e-6)
+  qt = Quantizer(g, 'dynamic_wi8_afp32')
+  res = qt.quantize()
+  int8 = [t.name for t in res.quantized_model.main_subgraph().tensors
+          if t.dtype == 'int8']
+  assert len(int8) == 2
+
+
+def test_flax_conv_import():
+  import jax
+  flax = pytest.importorskip('flax')
+  import flax.linen as nn
+
+  class Cnn(nn.Module):
+
+    @nn.compact
+    def __call__(self, x):
+      x = nn.Conv(8, (3, 3), padding='SAME')(x)
+      return nn.relu(x)
+
+  m = Cnn()
+  x = RNG.standard_normal((1, 8, 8, 3)).astype(np.float32)
+  variables = m.init(jax.random.PRNGKey(0), x)
+  g = jax_import.trace_flax_module(m, variables, {'x': x})
+  assert any(op.opcode == 'CONV_2D' for op in g.main_subgraph().ops)
+  out = GraphExecutor(g).signature_runner()({'x': x})
+  ref = np.asarray(m.apply(variables, x))
+  np.testing.assert_allclose(np.asarray(list(out.values())[0]), ref,
+                             atol=1e-5)
