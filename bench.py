@@ -93,7 +93,8 @@ def main():
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
                               signatures=('decode',),
                               materialize_weights=False,
-                              fused_projections=False)
+                              fused_projections=os.environ.get(
+                                  'AEQT_BENCH_FUSED_PROJ', '0') == '1')
   log(f'build graph: {time.time()-t0:.1f}s')
   kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
   if kv_mode == 'int8':
