@@ -70,7 +70,7 @@ def main():
   from ai_edge_quantizer_tpu.models import gemma
 
   preset = os.environ.get('AEQT_BENCH_PRESET', 'gemma2b_lite')
-  batch = int(os.environ.get('AEQT_BENCH_BATCH', '8'))
+  batch = int(os.environ.get('AEQT_BENCH_BATCH', '16'))
   steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
   warmup = 3
 

@@ -222,3 +222,24 @@ class TestSerialization:
     qt2 = Quantizer(g, previous_quantized_model=path)
     r = qt2.validate(num_samples=1).get_signature_comparison_result()
     assert r.output_tensors['dense2/out'] < 1e-2
+
+
+class TestInt2:
+
+  def test_int2_dynamic_fc(self):
+    g = fixtures.single_fc()
+    qt = Quantizer(g, 'dynamic_wi2_afp32')
+    res = qt.quantize()
+    w = res.quantized_model.main_subgraph().tensor_by_name('fc/w')
+    assert w.dtype == 'int2'
+    _, frac = qt.validate(num_samples=2).get_model_size_reduction()
+    assert frac > 0.85  # 2-bit weights: >85% size cut
+    # int2 survives the packed serialization round trip.
+    import tempfile, os as _os
+    d = tempfile.mkdtemp()
+    res.export_model(_os.path.join(d, 'm.aeqg'))
+    g2 = serialize.load_graph(_os.path.join(d, 'm.aeqg'))
+    import numpy as _np
+    _np.testing.assert_array_equal(
+        _np.array(g2.tensor_data(g2.main_subgraph().tensor_by_name('fc/w'))),
+        _np.array(res.quantized_model.tensor_data(w)))
