@@ -526,3 +526,44 @@ def stamp_int8_kv_cache(graph: ir.Graph, cache_scale: float = 0.06) -> None:
             scale=np.array(scale), zero_point=np.array([0], np.int8),
             quantized_dimension=None, num_bits=8)
         t.dtype = 'int8'
+
+
+def save_materialized(graph: ir.Graph, weights: dict, path: str) -> None:
+  """Persist device-materialized weights + quantization stamps (npz)."""
+  import jax
+
+  payload = {}
+  for (sg_idx, tid), arr in weights.items():
+    payload[f'w__{sg_idx}__{tid}'] = np.asarray(jax.device_get(arr))
+    t = graph.subgraphs[sg_idx].tensors[tid]
+    if t.quantization is not None:
+      payload[f's__{sg_idx}__{tid}'] = np.asarray(t.quantization.scale)
+      payload[f'b__{sg_idx}__{tid}'] = np.asarray(
+          [t.quantization.num_bits], np.int32)
+  np.savez(path, **payload)
+
+
+def load_materialized(graph: ir.Graph, path: str) -> dict:
+  """Restore weights + re-stamp tensor quantization from a saved npz."""
+  import jax
+  import jax.numpy as jnp
+
+  data = np.load(path)
+  weights: dict = {}
+  for name in data.files:
+    if not name.startswith('w__'):
+      continue
+    _, sg_idx, tid = name.split('__')
+    sg_idx, tid = int(sg_idx), int(tid)
+    arr = data[name]
+    t = graph.subgraphs[sg_idx].tensors[tid]
+    skey = f's__{sg_idx}__{tid}'
+    if skey in data.files:
+      scale = np.asarray(data[skey], np.float32)
+      bits = int(data[f'b__{sg_idx}__{tid}'][0])
+      t.quantization = ir.QuantizationInfo(
+          scale=scale, zero_point=np.zeros_like(scale, np.int8),
+          quantized_dimension=0 if scale.size > 1 else None, num_bits=bits)
+      t.dtype = ir.dtype_for_bits(bits)
+    weights[(sg_idx, tid)] = jnp.asarray(arr)
+  return weights

@@ -102,10 +102,22 @@ def main():
     # DUS fast path and the fused attention kernel.
     gemma.stamp_int8_kv_cache(graph)
   t0 = time.time()
-  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
-                                               embedding_bits=8)
-  jax.block_until_ready(list(weights.values()))
-  log(f'device quantize: {time.time()-t0:.1f}s')
+  cache_path = f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}.npz'
+  if os.path.exists(cache_path):
+    weights = gemma.load_materialized(graph, cache_path)
+    jax.block_until_ready(list(weights.values()))
+    log(f'weights from cache: {time.time()-t0:.1f}s')
+  else:
+    weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                                 embedding_bits=8)
+    jax.block_until_ready(list(weights.values()))
+    log(f'device quantize: {time.time()-t0:.1f}s')
+    if preset != 'toy':
+      try:
+        gemma.save_materialized(graph, weights, cache_path)
+        log('weights cached for future runs')
+      except Exception as ce:  # noqa: BLE001
+        log(f'weight cache save failed: {ce}')
   quantized = graph
 
   act_dtype = os.environ.get('AEQT_BENCH_ACT_DTYPE', 'bfloat16')
