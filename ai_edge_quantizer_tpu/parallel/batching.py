@@ -76,6 +76,13 @@ class DecodeServer:
     self._queue: collections.deque = collections.deque()
     self._next_id = 0
     self._sample = sample_fn or (lambda logits: int(np.argmax(logits)))
+    # Serving metrics (read via .metrics).
+    self.metrics = {
+        'tokens_generated': 0,
+        'requests_completed': 0,
+        'decode_ticks': 0,
+        'prefills': 0,
+    }
 
     dec_sig = graph.signature_by_key('decode')
     self._decode_fn = jax.jit(functools.partial(
@@ -89,12 +96,14 @@ class DecodeServer:
         pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape[1]
 
     S, NK, H = cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim
+    dec_sg = graph.subgraphs[dec_sig.subgraph_index]
     self._caches = {}
     for li in range(cfg.num_layers):
-      self._caches[f'layer_{li}_k_cache_in'] = jnp.zeros(
-          (batch_slots, NK, S, H), jnp.float32)
-      self._caches[f'layer_{li}_v_cache_in'] = jnp.zeros(
-          (batch_slots, NK, S, H), jnp.float32)
+      for kind in ('k', 'v'):
+        key = f'layer_{li}_{kind}_cache_in'
+        t = dec_sg.tensors[dec_sig.inputs[key]]
+        dtype = jnp.int8 if t.dtype == 'int8' else jnp.float32
+        self._caches[key] = jnp.zeros((batch_slots, NK, S, H), dtype)
     self._last_tokens = np.zeros((batch_slots, 1), np.int32)
 
   # -- public API -----------------------------------------------------------
@@ -123,6 +132,7 @@ class DecodeServer:
       self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
       self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
     logits = np.asarray(out['logits'])  # [B, 1, vocab]
+    self.metrics['decode_ticks'] += 1
     emitted = {}
     for i in active:
       slot = self._slots[i]
@@ -131,12 +141,14 @@ class DecodeServer:
       emitted[slot.request.request_id] = token
       self._last_tokens[i, 0] = token
       slot.pos += 1
+      self.metrics['tokens_generated'] += 1
       if (
           len(slot.request.generated) >= slot.request.max_new_tokens
           or slot.pos >= self.cfg.max_seq_len
       ):
         slot.request.done = True
         slot.request = None
+        self.metrics['requests_completed'] += 1
     return emitted
 
   def run_to_completion(self, max_ticks: int = 10000) -> None:
@@ -170,17 +182,20 @@ class DecodeServer:
       mask[:, :, :, prompt.size:T] = -1e9
     inputs['mask'] = mask
     out = self._prefill_fn(self._executor._weights, inputs)
+    self.metrics['prefills'] += 1
     # Write the prefilled caches into this slot's rows.
     for li in range(cfg.num_layers):
       for kind in ('k', 'v'):
         key = f'layer_{li}_{kind}_cache_in'
         new_rows = out[f'layer_{li}_{kind}_cache']
         self._caches[key] = jax.lax.dynamic_update_slice(
-            self._caches[key], new_rows.astype(jnp.float32),
+            self._caches[key],
+            new_rows.astype(self._caches[key].dtype),
             (slot_idx, 0, 0, 0))
     logits = np.asarray(out['logits'])[0, prompt.size - 1]
     first_token = self._sample(logits)
     req.generated.append(first_token)
+    self.metrics['tokens_generated'] += 1
     slot = self._slots[slot_idx]
     slot.request = req
     slot.pos = prompt.size

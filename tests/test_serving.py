@@ -70,3 +70,23 @@ class TestDecodeServer:
       if rid_busy in out:
         busy_tokens.append(out[rid_busy])
     assert busy_tokens == collected_alone
+
+
+class TestServerInt8KvAndMetrics:
+
+  def test_int8_cache_serving(self):
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_serving_decoder(cfg, batch_slots=2, prefill_len=8)
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    srv = DecodeServer(qg, cfg, batch_slots=2)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+      srv.submit(rng.integers(0, cfg.vocab_size, size=4), max_new_tokens=3)
+    srv.run_to_completion(100)
+    assert not srv.has_work()
+    assert srv.metrics['requests_completed'] == 3
+    assert srv.metrics['tokens_generated'] >= 9
+    assert srv.metrics['prefills'] == 3
