@@ -18,14 +18,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms.uniform import engine
 from ai_edge_quantizer_tpu.algorithms.uniform import octav
-from ai_edge_quantizer_tpu.algorithms.uniform import quant_numerics as qn
 
 CUSTOM_OP_ALGORITHM_KEY = 'HADAMARD_ROTATION'
 DECOMPOSED_ALGORITHM_KEY = 'DECOMPOSED_HADAMARD_ROTATION'

@@ -21,7 +21,7 @@ Behavioral contract matches the reference kernel
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import ml_dtypes
 import numpy as np

@@ -11,11 +11,9 @@ per-model-type recipe mappings). Parity: reference `aeq.py` CLI over
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
-import numpy as np
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -21,7 +21,6 @@ Execution semantics for quantized graphs:
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

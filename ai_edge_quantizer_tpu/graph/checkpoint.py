@@ -12,10 +12,9 @@ tensors + any packed layouts) for fast serving restarts.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 
 
 def _flatten(weights: dict) -> dict:

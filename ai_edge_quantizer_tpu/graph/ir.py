@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 

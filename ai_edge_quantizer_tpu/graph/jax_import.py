@@ -16,7 +16,7 @@ scope regexes select layers.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import numpy as np
@@ -49,7 +49,6 @@ class _Importer:
     return f'{base}_{self.counter}'
 
   def tid_of(self, var, jaxpr_literals=True) -> int:
-    from jax.extend import core as jex_core
     if type(var).__name__ == 'Literal':
       val = np.asarray(var.val)
       buf = self.graph.add_buffer(val)

@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import json
 import mmap
-import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ reference's unknown-op handling, params_generator.py).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 import numpy as np
 

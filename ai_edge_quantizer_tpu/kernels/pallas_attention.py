@@ -16,7 +16,6 @@ alignment. Masking by sequence length (decode: attend to positions
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ else. The two paths are tested against each other.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -13,7 +13,6 @@ Parity: reference `utils/litertlm_utils.py` + the aeq.py .litertlm flow.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import os
 import tempfile

@@ -15,7 +15,7 @@ by the TFLite C++ interpreter, here by XLA).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

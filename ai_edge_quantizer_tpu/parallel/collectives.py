@@ -16,11 +16,10 @@ the north star; column/row-parallel stationary shardings
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def ring_weight_gather_matmul_local(

@@ -11,7 +11,7 @@ driver's multichip dry-run).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

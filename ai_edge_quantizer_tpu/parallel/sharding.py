@@ -23,7 +23,6 @@ matmul instead of gathering activations.
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,9 +13,6 @@ covered here because capture happens on device inside one program).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional
-
-import numpy as np
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms import manager as algorithm_manager

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import collections
 import dataclasses
-from typing import Optional
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms.uniform import engine

@@ -11,7 +11,6 @@ serializer lives in graph/serialize.py).
 
 from __future__ import annotations
 
-from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.graph import ir
 from ai_edge_quantizer_tpu.pipeline import instruction_generator
 from ai_edge_quantizer_tpu.pipeline import transformation_performer

@@ -13,7 +13,7 @@ Parity: reference `params_generator.py`.
 from __future__ import annotations
 
 import copy
-from typing import Any, Optional
+from typing import Optional
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms import manager as algorithm_manager

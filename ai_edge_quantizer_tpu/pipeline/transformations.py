@@ -18,7 +18,6 @@ from typing import Optional
 import numpy as np
 
 from ai_edge_quantizer_tpu import qtyping
-from ai_edge_quantizer_tpu.algorithms.uniform import quant_numerics as qn
 from ai_edge_quantizer_tpu.graph import ir
 
 

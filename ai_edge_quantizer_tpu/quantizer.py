@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Iterable, Optional, Union
+from typing import Optional, Union
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms import manager as algorithm_manager

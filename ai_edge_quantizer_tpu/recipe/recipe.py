@@ -8,7 +8,7 @@ variants. Each factory returns a JSON-serializable recipe (list of dicts).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 from ai_edge_quantizer_tpu import qtyping
 from ai_edge_quantizer_tpu.algorithms.registry import AlgorithmName

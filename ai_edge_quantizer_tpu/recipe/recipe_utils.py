@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Union
+from typing import Union
 
 from ai_edge_quantizer_tpu.recipe import recipe as recipe_presets
 

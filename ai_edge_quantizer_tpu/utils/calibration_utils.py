@@ -8,7 +8,6 @@ tensors across signatures (the KV-cache prefill/decode alignment mechanism).
 from __future__ import annotations
 
 import json
-from typing import Any, Optional
 
 import numpy as np
 

@@ -6,7 +6,6 @@ min/max, and the GPTQ Hessian merge.
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 

@@ -8,9 +8,8 @@ coverage tests.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
-import numpy as np
 
 from ai_edge_quantizer_tpu import quantizer as quantizer_lib
 from ai_edge_quantizer_tpu.graph import ir
