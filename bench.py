@@ -70,7 +70,7 @@ def main():
   from ai_edge_quantizer_tpu.models import gemma
 
   preset = os.environ.get('AEQT_BENCH_PRESET', 'gemma2b_lite')
-  batch = int(os.environ.get('AEQT_BENCH_BATCH', '16'))
+  batch = int(os.environ.get('AEQT_BENCH_BATCH', '32'))
   steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
   warmup = 3
 
@@ -162,22 +162,34 @@ def main():
   log(f'device weight bytes: {weight_bytes/2**30:.2f} GiB '
       f'(activations {act_dtype})')
 
+  import jax.numpy as jnp
+
+  def sync(x):
+    # Value fetch: the only sync that provably waits on this tunnel
+    # (block_until_ready has been observed returning early on the axon
+    # backend).
+    return float(jnp.sum(jnp.abs(x).astype(jnp.float32)))
+
   t0 = time.time()
   logits, caches = jitted(weights, static_inputs, caches)
-  jax.block_until_ready(logits)
+  sync(logits)
   log(f'compile+first step: {time.time()-t0:.1f}s')
 
   for _ in range(warmup - 1):
     logits, caches = jitted(weights, static_inputs, caches)
-  jax.block_until_ready(logits)
+  sync(logits)
 
   t0 = time.time()
   for _ in range(steps):
     logits, caches = jitted(weights, static_inputs, caches)
-  jax.block_until_ready(logits)
+  checksum = sync(logits)
   elapsed = time.time() - t0
   tokens_s = batch * steps / elapsed
   log(f'{steps} steps in {elapsed:.3f}s -> {tokens_s:.1f} tokens/s')
+  # Guard against elided compute: logits must be finite and nonzero.
+  log(f'logits abs-sum: {checksum:.4e}')
+  if not np.isfinite(checksum) or checksum == 0.0:
+    raise RuntimeError('decode produced degenerate logits')
 
   # Speed of light: every weight byte streams HBM->VMEM once per step.
   hbm_bw = 819e9 if jax.default_backend() == 'tpu' else 50e9
