@@ -67,3 +67,51 @@ class TestTfliteImport:
     r = qt.validate(num_samples=2).get_signature_comparison_result(
         'serving_default')
     assert all(v < 1e-2 for v in r.output_tensors.values())
+
+
+def test_conv_model_import_and_static_quant(tmp_path):
+  rng = np.random.default_rng(0)
+
+  class Cnn(tf.Module):
+
+    def __init__(self):
+      self.k1 = tf.constant(
+          (rng.standard_normal((3, 3, 1, 8)) * 0.3).astype(np.float32))
+      self.b1 = tf.constant(
+          (rng.standard_normal(8) * 0.1).astype(np.float32))
+      self.w = tf.constant(
+          (rng.standard_normal((14 * 14 * 8, 10)) * 0.05).astype(np.float32))
+
+    @tf.function(input_signature=[tf.TensorSpec((1, 28, 28, 1), tf.float32)])
+    def __call__(self, x):
+      h = tf.nn.relu(
+          tf.nn.conv2d(x, self.k1, strides=2, padding='SAME') + self.b1)
+      h = tf.reshape(h, (1, -1))
+      return tf.nn.softmax(tf.matmul(h, self.w))
+
+  m = Cnn()
+  conv = tf.lite.TFLiteConverter.from_concrete_functions(
+      [m.__call__.get_concrete_function()], m)
+  path = tmp_path / 'cnn.tflite'
+  path.write_bytes(conv.convert())
+
+  from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+  from ai_edge_quantizer_tpu.graph import tflite_import
+  from ai_edge_quantizer_tpu.utils import test_data as tdl
+
+  g = tflite_import.load_tflite(str(path))
+  assert [op.opcode for op in g.main_subgraph().ops] == [
+      'CONV_2D', 'RESHAPE', 'FULLY_CONNECTED', 'SOFTMAX']
+  x = np.random.default_rng(1).standard_normal((1, 28, 28, 1)).astype(
+      np.float32)
+  sig = g.signatures[0]
+  out = GraphExecutor(g).signature_runner(sig.signature_key)(
+      {list(sig.inputs)[0]: x})
+  ref = m(tf.constant(x)).numpy()
+  np.testing.assert_allclose(np.asarray(list(out.values())[0]), ref,
+                             atol=1e-5)
+  qt = Quantizer(g, 'default_a8w8')
+  cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=8))
+  res = qt.quantize(cr)
+  assert all(t.dtype.startswith('int')
+             for t in res.quantized_model.main_subgraph().tensors)
