@@ -71,7 +71,7 @@ def main():
 
   preset = os.environ.get('AEQT_BENCH_PRESET', 'gemma2b_lite')
   batch = int(os.environ.get('AEQT_BENCH_BATCH', '32'))
-  steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
+  steps = int(os.environ.get('AEQT_BENCH_STEPS', '64'))
   warmup = 3
 
   if preset == 'mobilenet':
@@ -178,12 +178,18 @@ def main():
   for _ in range(warmup - 1):
     logits, caches = jitted(weights, static_inputs, caches)
   sync(logits)
+  # The sync itself costs a host round trip through the tunnel; measure it
+  # on the already-ready value and subtract from the timed loop.
+  t0 = time.time()
+  sync(logits)
+  fetch_cost = time.time() - t0
+  log(f'sync round-trip cost: {fetch_cost*1e3:.1f} ms')
 
   t0 = time.time()
   for _ in range(steps):
     logits, caches = jitted(weights, static_inputs, caches)
   checksum = sync(logits)
-  elapsed = time.time() - t0
+  elapsed = max(time.time() - t0 - fetch_cost, 1e-9)
   tokens_s = batch * steps / elapsed
   log(f'{steps} steps in {elapsed:.3f}s -> {tokens_s:.1f} tokens/s')
   # Guard against elided compute: logits must be finite and nonzero.
