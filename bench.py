@@ -102,7 +102,9 @@ def main():
     # DUS fast path and the fused attention kernel.
     gemma.stamp_int8_kv_cache(graph)
   t0 = time.time()
-  cache_path = f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}.npz'
+  fused_tag = os.environ.get('AEQT_BENCH_FUSED_PROJ', '0')
+  cache_path = (f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}_'
+                f'f{fused_tag}.npz')
   if os.path.exists(cache_path):
     weights = gemma.load_materialized(graph, cache_path)
     jax.block_until_ready(list(weights.values()))
