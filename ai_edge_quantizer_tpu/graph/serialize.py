@@ -184,12 +184,13 @@ def save_graph(graph: ir.Graph, path: str) -> None:
           pos += len(blob)
 
 
-def _read_array(mm, payload_base: int, entry: Optional[dict]):
+def _read_array(mm, payload_base: int, entry: Optional[dict],
+                zero_copy: bool = False):
   if entry is None:
     return None
   start = payload_base + entry['offset']
-  raw = mm[start:start + entry['nbytes']]
   if entry['packed_bits'] in (2, 4):
+    raw = mm[start:start + entry['nbytes']]
     packed = np.frombuffer(raw, dtype=np.uint8)
     n = int(np.prod(entry['shape'])) if entry['shape'] else 1
     arr = (
@@ -197,14 +198,31 @@ def _read_array(mm, payload_base: int, entry: Optional[dict]):
         if _native is not None
         else qn.unpack_subbyte(packed, entry['packed_bits'], n)
     )
+  elif zero_copy and isinstance(mm, mmap.mmap):
+    # Read-only view straight into the mapping: pages fault in lazily.
+    arr = np.frombuffer(mm, dtype=np.dtype(entry['dtype']),
+                        count=entry['nbytes'] // np.dtype(
+                            entry['dtype']).itemsize,
+                        offset=start)
   else:
+    raw = mm[start:start + entry['nbytes']]
     arr = np.frombuffer(raw, dtype=np.dtype(entry['dtype'])).copy()
   return arr.reshape(entry['shape'])
 
 
-def load_graph(path: str) -> ir.Graph:
-  with open(path, 'rb') as f:
+def load_graph(path: str, zero_copy: bool = True) -> ir.Graph:
+  """Load an .aeqg model.
+
+  zero_copy: buffers become read-only views into an mmap of the file (no
+  page-in until touched, no copies — the multi-GB load path). The mapping
+  is kept alive on the returned Graph. Pass False to materialize copies.
+  """
+  f = open(path, 'rb')
+  if zero_copy:
+    mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+  else:
     mm = f.read()
+    f.close()
   if mm[:4] != _MAGIC:
     raise ValueError(f'{path} is not an .aeqg model file.')
   header_len = int.from_bytes(mm[8:16], 'little')
@@ -213,8 +231,12 @@ def load_graph(path: str) -> ir.Graph:
   payload_base += (-payload_base) % _ALIGN
 
   graph = ir.Graph(metadata=header.get('metadata', {}))
+  zc = zero_copy and isinstance(mm, mmap.mmap)
+  if zc:
+    graph._mmap = mm  # keep the mapping alive with the graph
   for entry in header['buffers']:
-    graph.buffers.append(ir.Buffer(data=_read_array(mm, payload_base, entry)))
+    graph.buffers.append(ir.Buffer(
+        data=_read_array(mm, payload_base, entry, zero_copy=zc)))
 
   for sg_h in header['subgraphs']:
     sg = ir.Subgraph(name=sg_h['name'], inputs=list(sg_h['inputs']),
