@@ -77,12 +77,17 @@ def pack_int4_split(w_q: jax.Array) -> jax.Array:
 
 
 def _int4_channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
-  """o[M, BN] = x[M, K] . unpack(w[BN, K//2])^T * s[BN], split-half."""
+  """o[M, BN] = x[M, K] . unpack(w[BN, K//2])^T * s[BN], split-half.
+
+  Compute dtype follows x (bf16 x: native bf16 MXU operands, f32
+  accumulator).
+  """
   # Widen to int32 FIRST: sub-word bitwise ops on uint8 are not Mosaic-
   # friendly; int32 mask/shift/xor lower cleanly to the VPU.
+  compute = x_ref.dtype
   w32 = w_ref[:].astype(jnp.int32)
-  lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.float32)  # sign-extend 4-bit
-  hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.float32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(compute)  # sign-extend 4-bit
+  hi = (((w32 >> 4) ^ 8) - 8).astype(compute)
   k2 = w32.shape[1]
   x = x_ref[:]
   acc = jax.lax.dot_general(
@@ -117,8 +122,10 @@ def qmatmul_pallas_int4_packed(
   m = 1
   for d in lead_shape:
     m *= d
-  x2 = x.reshape(m, k).astype(jnp.float32)
-  m_pad = _round_up(max(m, 8), 8)
+  compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+  x2 = x.reshape(m, k).astype(compute)
+  sublane = 16 if compute == jnp.bfloat16 else 8
+  m_pad = _round_up(max(m, sublane), sublane)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = min(bn, n)
