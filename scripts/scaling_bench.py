@@ -2,7 +2,10 @@
 
 On a TPU pod slice, run under `jax.distributed` per host:
     python scripts/scaling_bench.py            # all devices, dp = hosts
-On CPU (validation): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+On CPU (XLA_FLAGS=--xla_force_host_platform_device_count=8) this
+validates that both mesh configurations compile and run; the efficiency
+NUMBER is only meaningful on real multi-chip hardware (virtual CPU devices
+share one host's cores, so adding devices cannot speed anything up).
 
 Measures steady-state decode throughput of the int4 flagship at dp=1 vs
 dp=N with the batch sharded over 'dp' and weights tp-sharded — the >=85%
@@ -14,6 +17,12 @@ import sys
 import time
 
 import jax
+
+# The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly
+# before any backend use.
+if os.environ.get('JAX_PLATFORMS'):
+  jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
