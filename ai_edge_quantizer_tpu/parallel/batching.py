@@ -28,6 +28,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def greedy_sampler(logits: np.ndarray) -> int:
+  return int(np.argmax(logits))
+
+
+def make_topk_sampler(k: int = 40, temperature: float = 1.0,
+                      seed: int = 0):
+  """Top-k sampling with temperature (host-side, per slot)."""
+  rng = np.random.default_rng(seed)
+
+  def sample(logits: np.ndarray) -> int:
+    scaled = logits.astype(np.float64) / max(temperature, 1e-6)
+    top = np.argpartition(scaled, -k)[-k:]
+    p = np.exp(scaled[top] - scaled[top].max())
+    p /= p.sum()
+    return int(rng.choice(top, p=p))
+
+  return sample
+
+
+def make_topp_sampler(p: float = 0.95, temperature: float = 1.0,
+                      seed: int = 0):
+  """Nucleus (top-p) sampling with temperature."""
+  rng = np.random.default_rng(seed)
+
+  def sample(logits: np.ndarray) -> int:
+    scaled = logits.astype(np.float64) / max(temperature, 1e-6)
+    probs = np.exp(scaled - scaled.max())
+    probs /= probs.sum()
+    order = np.argsort(probs)[::-1]
+    csum = np.cumsum(probs[order])
+    cutoff = int(np.searchsorted(csum, p)) + 1
+    keep = order[:cutoff]
+    kp = probs[keep] / probs[keep].sum()
+    return int(rng.choice(keep, p=kp))
+
+  return sample
+
 from ai_edge_quantizer_tpu.execution import executor as executor_lib
 from ai_edge_quantizer_tpu.graph import ir
 from ai_edge_quantizer_tpu.models import gemma

@@ -90,3 +90,17 @@ class TestServerInt8KvAndMetrics:
     assert srv.metrics['requests_completed'] == 3
     assert srv.metrics['tokens_generated'] >= 9
     assert srv.metrics['prefills'] == 3
+
+
+class TestSamplers:
+
+  def test_topk_topp_generate(self, quantized_serving_graph):
+    from ai_edge_quantizer_tpu.parallel.batching import (
+        make_topk_sampler, make_topp_sampler)
+    cfg, graph = quantized_serving_graph
+    for sampler in (make_topk_sampler(k=8, temperature=0.8, seed=1),
+                    make_topp_sampler(p=0.9, seed=2)):
+      srv = DecodeServer(graph, cfg, batch_slots=2, sample_fn=sampler)
+      srv.submit(np.arange(4) % cfg.vocab_size, max_new_tokens=4)
+      srv.run_to_completion(50)
+      assert srv.metrics['tokens_generated'] >= 4
