@@ -100,7 +100,7 @@ class TestSamplers:
     cfg, graph = quantized_serving_graph
     for sampler in (make_topk_sampler(k=8, temperature=0.8, seed=1),
                     make_topp_sampler(p=0.9, seed=2)):
-      srv = DecodeServer(graph, cfg, batch_slots=2, sample_fn=sampler)
+      srv = DecodeServer(graph, cfg, batch_slots=4, sample_fn=sampler)
       srv.submit(np.arange(4) % cfg.vocab_size, max_new_tokens=4)
       srv.run_to_completion(50)
       assert srv.metrics['tokens_generated'] >= 4
