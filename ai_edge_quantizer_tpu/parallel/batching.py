@@ -123,6 +123,13 @@ class DecodeServer:
     }
 
     dec_sig = graph.signature_by_key('decode')
+    graph_batch = graph.subgraphs[dec_sig.subgraph_index].tensors[
+        dec_sig.inputs['tokens']].shape[0]
+    if graph_batch != batch_slots:
+      raise ValueError(
+          f'DecodeServer(batch_slots={batch_slots}) does not match the '
+          f"graph's decode batch ({graph_batch}); build the serving graph "
+          'with the same batch_slots.')
     self._decode_fn = jax.jit(functools.partial(
         self._executor._run_signature, dec_sig.subgraph_index, 'decode',
         False))
