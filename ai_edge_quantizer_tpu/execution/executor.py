@@ -376,6 +376,26 @@ class GraphExecutor:
       self._store_outputs(sg, op, (out,), env)
       return
 
+    if opcode == 'STABLEHLO_COMPOSITE':
+      # Execute the composite's body subgraph inline: op inputs map to the
+      # subgraph's inputs positionally, subgraph outputs to op outputs.
+      if not op.side_effect_subgraphs:
+        raise NotImplementedError(
+            'STABLEHLO_COMPOSITE without a body subgraph.')
+      body = self.graph.subgraphs[op.side_effect_subgraphs[0]]
+      body_idx = op.side_effect_subgraphs[0]
+      body_env: dict = {}
+      for (w_sg, w_tid), arr in self._weights.items():
+        if w_sg == body_idx:
+          body_env[w_tid] = arr
+      for body_tid, outer_tid in zip(body.inputs, op.inputs):
+        body_env[body_tid] = env[outer_tid]
+      for body_op in body.ops:
+        self._eval_op(body_idx, body, body_op, body_env)
+      results = tuple(body_env[t] for t in body.outputs)
+      self._store_outputs(sg, op, results, env)
+      return
+
     if (
         self.use_fused_kernels
         and opcode == 'DYNAMIC_UPDATE_SLICE'
