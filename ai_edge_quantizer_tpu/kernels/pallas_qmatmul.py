@@ -28,6 +28,16 @@ def _round_up(x: int, m: int) -> int:
   return ((x + m - 1) // m) * m
 
 
+def _pick_tile(n: int, preferred: int) -> int:
+  """Largest N-tile <= preferred that divides n (lane-aligned)."""
+  for cand in (preferred, 512, 256, 128):
+    if cand <= preferred and n % cand == 0 and cand <= n:
+      return cand
+  if n % 128 == 0:
+    return 128
+  raise ValueError(f'N={n} has no 128-aligned tile.')
+
+
 def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
   """o[M, BN] = x[M, K] . w[BN, K]^T * s[BN] (+ b[BN])."""
   w = w_ref[:].astype(jnp.float32)
@@ -128,9 +138,7 @@ def qmatmul_pallas_int4_packed(
   m_pad = _round_up(max(m, sublane), sublane)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-  bn = min(bn, n)
-  if n % bn != 0:
-    raise ValueError(f'N={n} not divisible by tile {bn}.')
+  bn = _pick_tile(n, bn)
   operands = [x2, w_packed, scale.astype(jnp.float32).reshape(1, n)]
   in_specs = [
       pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -186,9 +194,7 @@ def qmatmul_pallas(
   m_pad = _round_up(max(m, 8), 8)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-  bn = min(bn, n)
-  if n % bn != 0:
-    raise ValueError(f'N={n} not divisible by tile {bn}.')
+  bn = _pick_tile(n, bn)
 
   scale = scale.astype(jnp.float32)
   has_bias = bias is not None
