@@ -1,0 +1,57 @@
+"""Example: quantize a Gemma-class decoder and serve it with continuous
+batching.
+
+Run: python examples/serve_gemma.py  (CPU-friendly toy config)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import numpy as np  # noqa: E402
+
+from ai_edge_quantizer_tpu import Quantizer  # noqa: E402
+from ai_edge_quantizer_tpu.models import gemma  # noqa: E402
+from ai_edge_quantizer_tpu.parallel.batching import (  # noqa: E402
+    DecodeServer, make_topk_sampler)
+
+
+def main():
+  cfg = gemma.TOY_DECODER
+  slots = 4
+
+  # 1. Build the serving graph: prefill (batch 1) + decode (batch = slots,
+  #    per-slot cache scatter), one shared weight store.
+  graph = gemma.build_serving_decoder(cfg, batch_slots=slots, prefill_len=8)
+  # int8 KV cache for the serving path.
+  gemma.stamp_int8_kv_cache(graph)
+
+  # 2. Quantize: int4 weights on every FC.
+  qt = Quantizer(graph)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+  quantized = qt.quantize().quantized_model
+
+  # 3. Serve with continuous batching + top-k sampling.
+  server = DecodeServer(quantized, cfg, batch_slots=slots,
+                        sample_fn=make_topk_sampler(k=20, temperature=0.8))
+  rng = np.random.default_rng(0)
+  requests = {}
+  for i in range(6):  # more requests than slots: continuous admission
+    prompt = rng.integers(0, cfg.vocab_size, size=5)
+    rid = server.submit(prompt, max_new_tokens=8)
+    requests[rid] = prompt
+
+  transcripts = {rid: [] for rid in requests}
+  while server.has_work():
+    for rid, token in server.step().items():
+      transcripts[rid].append(token)
+
+  for rid, toks in sorted(transcripts.items()):
+    print(f'request {rid}: prompt={requests[rid].tolist()} -> {toks}')
+  print('metrics:', server.metrics)
+
+
+if __name__ == '__main__':
+  main()
