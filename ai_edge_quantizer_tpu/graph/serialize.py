@@ -71,29 +71,29 @@ class _PayloadWriter:
     arr = np.ascontiguousarray(arr)
     shape = list(arr.shape)
     if packed_bits in (2, 4):
-      packed = (
+      arr = (
           _native.pack_subbyte(arr, packed_bits)
           if _native is not None else qn.pack_subbyte(arr, packed_bits)
       )
-      raw = packed.tobytes()
       dtype = 'uint8'
     else:
-      raw = arr.tobytes()
       dtype = str(arr.dtype)
       packed_bits = 0
+    nbytes = arr.nbytes
     pad = (-self.offset) % _ALIGN
     if pad:
       self.chunks.append(b'\x00' * pad)
       self.offset += pad
     entry = {
         'offset': self.offset,
-        'nbytes': len(raw),
+        'nbytes': nbytes,
         'dtype': dtype,
         'shape': shape,
         'packed_bits': packed_bits,
     }
-    self.chunks.append(raw)
-    self.offset += len(raw)
+    # Keep the ARRAY (no tobytes copy); written straight into the mmap.
+    self.chunks.append(arr)
+    self.offset += nbytes
     return entry
 
 
@@ -180,8 +180,13 @@ def save_graph(graph: ir.Graph, path: str) -> None:
       with mmap.mmap(f.fileno(), total) as mm:
         pos = 0
         for blob in (pre, header_bytes, b'\x00' * pad, *payload.chunks):
-          mm[pos:pos + len(blob)] = blob
-          pos += len(blob)
+          if isinstance(blob, np.ndarray):
+            n = blob.nbytes
+            mm[pos:pos + n] = memoryview(blob).cast('B')
+          else:
+            n = len(blob)
+            mm[pos:pos + n] = blob
+          pos += n
 
 
 def _read_array(mm, payload_base: int, entry: Optional[dict],
