@@ -25,6 +25,8 @@ def bench_mobilenet():
   """Secondary metric: MobileNetV2 int8 static (a8w8, calibrated) imgs/s."""
   import functools
   import jax
+  if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer
@@ -63,6 +65,9 @@ def bench_mobilenet():
 
 def main():
   import jax
+  # The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly.
+  if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer
@@ -236,14 +241,22 @@ def _supervise() -> int:
     env.update(overrides)
     label = overrides or 'default'
     log(f'supervisor: attempt {label} (deadline {timeout_s}s)')
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, start_new_session=True)
     try:
-      proc = subprocess.run(
-          [sys.executable, os.path.abspath(__file__)], env=env,
-          stdout=subprocess.PIPE, timeout=timeout_s)
+      stdout, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-      log('supervisor: attempt timed out')
+      log('supervisor: attempt timed out; killing child process group')
+      import signal as _signal
+      try:
+        os.killpg(proc.pid, _signal.SIGKILL)
+      except ProcessLookupError:
+        pass
+      proc.wait()
       continue
-    out = proc.stdout.decode(errors='replace')
+    proc.stdout_bytes = stdout
+    out = proc.stdout_bytes.decode(errors='replace')
     json_lines = [ln for ln in out.splitlines() if ln.startswith('{')]
     if json_lines:
       print(json_lines[-1])
