@@ -35,15 +35,27 @@ def resolve_recipe(name_or_path_or_list: Union[str, list]) -> list:
     return spec
   if not isinstance(spec, str):
     raise ValueError(f'Cannot resolve recipe from {type(spec)}.')
+  # Normalize '<name>_recipe' / '<name>_recipe.json' spellings.
+  norm = spec
+  if norm.endswith('.json') and not os.path.exists(norm):
+    norm = norm[:-len('.json')]
+  if norm.endswith('_recipe'):
+    norm = norm[:-len('_recipe')]
   # 1. preset function name.
-  fn = recipe_presets.NAMED_RECIPES.get(spec)
+  fn = recipe_presets.NAMED_RECIPES.get(spec) or \
+      recipe_presets.NAMED_RECIPES.get(norm)
   if fn is not None:
     return fn()
   # 2. stock recipe JSON by stem.
   stock = _stock_recipe_names()
-  if spec in stock:
-    with open(stock[spec]) as f:
-      return json.load(f)
+  for key in (spec, norm):
+    if key in stock:
+      with open(stock[key]) as f:
+        loaded = json.load(f)
+      if isinstance(loaded, dict):
+        # A mapping file: its 'default' recipe acts as the plain recipe.
+        return resolve_recipe(loaded.get('default', []))
+      return loaded
   # 3. filesystem path.
   if os.path.exists(spec):
     with open(spec) as f:
