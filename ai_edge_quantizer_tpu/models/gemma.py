@@ -539,7 +539,11 @@ def save_materialized(graph: ir.Graph, weights: dict, path: str) -> None:
       payload[f's__{sg_idx}__{tid}'] = np.asarray(t.quantization.scale)
       payload[f'b__{sg_idx}__{tid}'] = np.asarray(
           [t.quantization.num_bits], np.int32)
-  np.savez(path, **payload)
+  # Atomic write: a killed process must never leave a truncated cache.
+  tmp = path + '.tmp.npz'
+  np.savez(tmp, **payload)
+  import os as _os
+  _os.replace(tmp, path)
 
 
 def load_materialized(graph: ir.Graph, path: str) -> dict:

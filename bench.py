@@ -110,11 +110,17 @@ def main():
   fused_tag = os.environ.get('AEQT_BENCH_FUSED_PROJ', '0')
   cache_path = (f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}_'
                 f'f{fused_tag}.npz')
+  weights = None
   if os.path.exists(cache_path):
-    weights = gemma.load_materialized(graph, cache_path)
-    jax.block_until_ready(list(weights.values()))
-    log(f'weights from cache: {time.time()-t0:.1f}s')
-  else:
+    try:
+      weights = gemma.load_materialized(graph, cache_path)
+      jax.block_until_ready(list(weights.values()))
+      log(f'weights from cache: {time.time()-t0:.1f}s')
+    except Exception as ce:  # noqa: BLE001 - corrupt cache: regenerate
+      log(f'weight cache unreadable ({ce}); regenerating')
+      os.unlink(cache_path)
+      weights = None
+  if weights is None:
     weights = gemma.device_materialize_quantized(graph, fc_bits=4,
                                                  embedding_bits=8)
     jax.block_until_ready(list(weights.values()))
