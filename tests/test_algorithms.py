@@ -200,3 +200,58 @@ class TestFloatCasting:
               compute_precision=qtyping.ComputePrecision.FLOAT,
               explicit_dequantize=True),
           algorithm_key='float_casting')
+
+
+class TestGptqBlockwise:
+
+  def test_blockwise_gptq_improves_over_minmax(self):
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=(32, 128)).astype(np.float32)
+    # Anisotropic activations + enough samples: the regime where the
+    # Hessian carries real signal (isotropic few-sample Hessians are
+    # degenerate for OBS).
+    x = rng.normal(size=(512, 128)).astype(np.float32) * (
+        1 + np.abs(rng.normal(size=128)) * 0.5)
+    hessian = 2.0 / x.shape[0] * (x.T @ x)
+    cfg = _wcfg(4, gran=_G.BLOCKWISE_32)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    from ai_edge_quantizer_tpu.algorithms.uniform import min_max
+    p_mm = min_max.get_tensor_quant_params(info, cfg, w)
+    assert p_mm.scale.shape == (32, 4)
+    import dataclasses as dc
+    p_gq = gptq.apply_gptq(w, dc.replace(p_mm, quantized_data=None), hessian)
+    y = x @ w.T
+    y_mm = x @ qn.dequantize_array(p_mm.quantized_data, p_mm).T
+    y_gq = x @ qn.dequantize_array(p_gq.quantized_data, p_gq).T
+    assert np.mean((y - y_gq) ** 2) <= np.mean((y - y_mm) ** 2)
+
+
+class TestHadamardEmbedding:
+
+  def test_embedding_rotation_e2e(self):
+    rng = np.random.default_rng(12)
+    b = GraphBuilder('main')
+    ids = b.input('ids', (2, 4), 'int32')
+    y = b.embedding_lookup(
+        ids, (rng.normal(size=(16, 64)) * 0.3).astype(np.float32))
+    b.output(y)
+    g = b.finalize()
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', 'EMBEDDING_LOOKUP',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=_wcfg(4),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key='HADAMARD_ROTATION')
+    res = qt.quantize()
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('embedding/w').dtype == 'int4'
+    # Output-side rotation op inserted (H is involutory: rotating the
+    # looked-up rotated rows recovers the original basis).
+    assert any(op.opcode == 'HADAMARD_ROTATION' for op in sg.ops)
+    ids_val = {'ids': np.array([[0, 3, 5, 7], [1, 2, 4, 6]], np.int32)}
+    yf = GraphExecutor(g).signature_runner()(ids_val)
+    yq = GraphExecutor(res.quantized_model).signature_runner()(ids_val)
+    corr = np.corrcoef(np.asarray(list(yf.values())[0]).ravel(),
+                       np.asarray(list(yq.values())[0]).ravel())[0, 1]
+    assert corr > 0.99

@@ -229,3 +229,41 @@ class TestPerOpWeightOnly(BaseOpTestCase):
     self.assert_quantization_accuracy_and_size(
         g, 'default_af32w8float', min_size_reduction=0.5,
         weight_tolerance=1e-2, output_tolerance=1e-2)
+
+
+class TestConv2dTranspose(BaseOpTestCase):
+
+  def _graph(self):
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 8, 8, 4))
+    # Operand order: [output_shape, weight, input, bias].
+    w = b.constant('tconv/w',
+                   (RNG.normal(size=(8, 3, 3, 4)) * 0.2).astype(np.float32))
+    shape_t = b.constant('tconv/shape', np.array([1, 16, 16, 8], np.int32))
+    bias = b.constant('tconv/b',
+                      (RNG.normal(size=8) * 0.1).astype(np.float32))
+    y = b.op('CONV_2D_TRANSPOSE', [shape_t, w, x, bias], [(1, 16, 16, 8)],
+             output_names=['tconv/out'],
+             attrs={'stride': 2, 'padding': 'SAME'})
+    b.output(y)
+    return b.finalize()
+
+  def test_weight_only_int8(self):
+    g = self._graph()
+    qt, cmp_res = self.quantize_and_validate(g, 'default_af32w8float')
+    sg = qt._result.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('tconv/w').dtype == 'int8'
+    sig = cmp_res.available_signature_keys()[0]
+    res = cmp_res.get_signature_comparison_result(sig)
+    assert res.constant_tensors['tconv/w'] < 1e-2
+
+  def test_srq_a8w8(self):
+    g = self._graph()
+    qt, cmp_res = self.quantize_and_validate(g, 'default_a8w8')
+    sg = qt._result.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('tconv/w').dtype == 'int8'
+    assert sg.tensor_by_name('tconv/b').dtype == 'int32'
+    res = cmp_res.get_signature_comparison_result(
+        cmp_res.available_signature_keys()[0])
+    for name, err in res.output_tensors.items():
+      assert err < 1e-2, (name, err)
