@@ -267,3 +267,21 @@ class TestConv2dTranspose(BaseOpTestCase):
         cmp_res.available_signature_keys()[0])
     for name, err in res.output_tensors.items():
       assert err < 1e-2, (name, err)
+
+
+class TestPerOpA16W8(BaseOpTestCase):
+  """int16-activation tier: symmetric acts, int64 bias, SAME_AS_INPUT SUM."""
+
+  @pytest.mark.parametrize('op_name', [
+      'ADD', 'MUL', 'SOFTMAX', 'TANH', 'RESHAPE', 'CONCATENATION',
+      'CONV_2D', 'AVERAGE_POOL_2D'])
+  def test_a16w8(self, op_name):
+    g = _BUILDERS[op_name]()
+    qt, cmp_res = self.quantize_and_validate(g, 'default_a16w8')
+    sig = cmp_res.available_signature_keys()[0]
+    res = cmp_res.get_signature_comparison_result(sig)
+    # int16 activations: an order tighter than the int8 tier for
+    # weightless ops; weight-bearing ops stay floored by int8 weight error.
+    tol = 5e-3 if op_name in ('CONV_2D',) else 1e-4
+    for name, err in res.output_tensors.items():
+      assert err < tol, (op_name, name, err)

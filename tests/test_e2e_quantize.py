@@ -243,3 +243,28 @@ class TestInt2:
     _np.testing.assert_array_equal(
         _np.array(g2.tensor_data(g2.main_subgraph().tensor_by_name('fc/w'))),
         _np.array(res.quantized_model.tensor_data(w)))
+
+
+class TestMultiSignatureSerialization:
+
+  def test_gemma_roundtrip_with_shared_buffers(self, tmp_path):
+    from ai_edge_quantizer_tpu.models import gemma
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=1, prefill_len=4)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    res = qt.quantize()
+    path = str(tmp_path / 'gemma.aeqg')
+    res.export_model(path)
+    g2 = serialize.load_graph(path)
+    assert g2.signature_keys() == ['prefill', 'decode']
+    # Shared weight buffers stay shared after the round trip.
+    from ai_edge_quantizer_tpu.graph import ir as _ir
+    b2t = _ir.buffer_to_tensors(g2)
+    shared = [refs for refs in b2t.values() if len(refs) > 1]
+    assert shared, 'expected prefill/decode to share weight buffers'
+    inp = gemma.make_inputs(cfg, 'decode', 1, 1, start_pos=2)
+    y1 = GraphExecutor(res.quantized_model).signature_runner('decode')(inp)
+    y2 = GraphExecutor(g2).signature_runner('decode')(inp)
+    np.testing.assert_array_equal(np.asarray(y1['logits']),
+                                  np.asarray(y2['logits']))
