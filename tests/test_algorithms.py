@@ -255,3 +255,37 @@ class TestHadamardEmbedding:
     corr = np.corrcoef(np.asarray(list(yf.values())[0]).ravel(),
                        np.asarray(list(yq.values())[0]).ravel())[0, 1]
     assert corr > 0.99
+
+
+class TestGptqOnDecoder:
+
+  def test_gptq_full_pipeline_on_toy_gemma(self):
+    from ai_edge_quantizer_tpu.models import gemma
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=1, prefill_len=8,
+                            signatures=('prefill',))
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', 'FULLY_CONNECTED',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=_wcfg(4),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key='GPTQ')
+    assert qt.need_calibration
+    data = {'prefill': [gemma.make_inputs(cfg, 'prefill', 1, 8, seed=s)
+                        for s in range(4)]}
+    qsvs = qt.calibrate(data)
+    # Hessians collected for FC input activations.
+    hessians = [v for v in qsvs.values()
+                if isinstance(v, dict) and 'hessian' in v]
+    assert hessians, 'expected Hessian QSVs from GPTQ calibration'
+    res = qt.quantize(qsvs)
+    int4 = [t.name for sg in res.quantized_model.subgraphs
+            for t in sg.tensors if t.dtype == 'int4']
+    assert len(int4) >= 7 * cfg.num_layers // 2  # all FC weights
+    inp = gemma.make_inputs(cfg, 'prefill', 1, 8, seed=99)
+    yf = GraphExecutor(g).signature_runner('prefill')(inp)['logits']
+    yq = GraphExecutor(res.quantized_model).signature_runner('prefill')(
+        inp)['logits']
+    corr = np.corrcoef(np.asarray(yf).ravel(), np.asarray(yq).ravel())[0, 1]
+    assert corr > 0.98, corr
