@@ -258,6 +258,67 @@ class GraphExecutor:
   def __call__(self, inputs: dict, signature_key: str = 'serving_default'):
     return self.signature_runner(signature_key)(inputs)
 
+  def stats_runner(self, signature_key: str = 'serving_default',
+                   hessian_tensor_names=()):
+    """On-device calibration statistics: callable(inputs) -> {name: qsv}.
+
+    The TPU answer to the reference's profiler-based calibrator
+    (`_pywrap_tfl_calibration`, ref calibrator.py:590-686): min/max (and,
+    for names in `hessian_tensor_names`, the GPTQ Hessian 2/n * XᵀX) are
+    reduced INSIDE the jitted forward program, so only scalars/small
+    matrices cross the device->host link instead of every intermediate
+    tensor. Orders of magnitude less transfer than `capture_all` on large
+    calibration batches.
+    """
+    hessians = tuple(sorted(hessian_tensor_names))
+    key = (signature_key, 'stats', hessians)
+    if key not in self._jit_cache:
+      sig = self.graph.signature_by_key(signature_key)
+      fn = functools.partial(self._run_signature_stats, sig.subgraph_index,
+                             signature_key, hessians)
+      self._jit_cache[key] = jax.jit(fn)
+    jitted = self._jit_cache[key]
+
+    def runner(inputs: dict):
+      return jax.device_get(jitted(self._weights, inputs))
+
+    runner.jitted = jitted
+    return runner
+
+  def _run_signature_stats(self, sg_idx: int, signature_key: str,
+                           hessian_names: tuple, weights: dict,
+                           inputs: dict):
+    # Valid-range mask mirrors host-side calibration (min_max.py): values
+    # outside +-3e38 (inf/overflow) are excluded unless nothing survives.
+    lo, hi = -3e38, 3e38
+    all_tensors = self._run_signature(sg_idx, signature_key, True, weights,
+                                      inputs)
+    sg = self.graph.subgraphs[sg_idx]
+    const_names = {
+        t.name for t in sg.tensors
+        if t.buffer >= 0 and self.graph.buffers[t.buffer].data is not None
+    }
+    stats = {}
+    for name, v in all_tensors.items():
+      if name in const_names or not jnp.issubdtype(v.dtype, jnp.floating):
+        continue
+      v32 = v.astype(jnp.float32)
+      mask = (v32 > lo) & (v32 < hi)
+      any_valid = jnp.any(mask)
+      vmin = jnp.where(any_valid,
+                       jnp.min(jnp.where(mask, v32, jnp.inf)), jnp.min(v32))
+      vmax = jnp.where(any_valid,
+                       jnp.max(jnp.where(mask, v32, -jnp.inf)), jnp.max(v32))
+      shape1 = (1,) * v.ndim
+      entry = {'min': vmin.reshape(shape1), 'max': vmax.reshape(shape1)}
+      if name in hessian_names:
+        x = v32.reshape(-1, v32.shape[-1])
+        n = v.shape[0]  # leading dim = sample count (gptq.calibrate parity)
+        entry['hessian'] = (2.0 / n) * (x.T @ x)
+        entry['num_samples'] = jnp.asarray(n, jnp.int32)
+      stats[name] = entry
+    return stats
+
   # -- evaluation -----------------------------------------------------------
 
   def _run_signature(self, sg_idx: int, signature_key: str,

@@ -26,8 +26,16 @@ from ai_edge_quantizer_tpu.utils import calibration_utils
 class Calibrator:
   """Collects per-tensor quantization statistics from sample data."""
 
-  def __init__(self, float_graph: ir.Graph):
+  def __init__(self, float_graph: ir.Graph, mode: str = 'capture'):
+    """mode: 'capture' (host-side per-tensor contents, the reference's
+    preserve_all_tensors analog) or 'device_stats' (min/max + GPTQ
+    Hessians reduced on device inside the forward program — the
+    profiler-based calibrator analog, ref calibrator.py:590-686; only
+    scalar stats cross the host link)."""
+    if mode not in ('capture', 'device_stats'):
+      raise ValueError(f'Unknown calibration mode {mode!r}.')
     self._graph = float_graph
+    self._mode = mode
     if not ir.is_float_model(float_graph):
       raise ValueError(
           'The input model for calibration is not fully float.')
@@ -49,9 +57,18 @@ class Calibrator:
         for key in calibration_dataset
     }
     for signature_key, samples in calibration_dataset.items():
+      plan = op_plans[signature_key]
+      if self._mode == 'device_stats':
+        runner = self._executor.stats_runner(
+            signature_key,
+            hessian_tensor_names=self._hessian_names(plan))
+        for sample in samples:
+          stats = runner(sample)
+          self._calibrate_step_stats(plan, stats)
+          self._num_samples += 1
+        continue
       runner = self._executor.signature_runner(
           signature_key, capture_all=True)
-      plan = op_plans[signature_key]
       for sample in samples:
         tensor_content_map = runner(sample)
         self._calibrate_step(plan, tensor_content_map)
@@ -129,6 +146,79 @@ class Calibrator:
         plan.append((sg_idx, op_id, op_key, algorithm_name, op_quant_config))
     return plan
 
+  def _hessian_names(self, plan: list) -> set:
+    """Activation tensors needing on-device GPTQ Hessians (FC inputs)."""
+    names = set()
+    for sg_idx, op_id, op_key, algorithm_name, _ in plan:
+      if algorithm_name != AlgorithmName.GPTQ:
+        continue
+      sg = self._graph.subgraphs[sg_idx]
+      op = sg.ops[op_id]
+      # gptq.calibrate collects inputs AND outputs (Hessians for both).
+      for tid in list(op.inputs) + list(op.outputs):
+        if tid < 0:
+          continue
+        t = sg.tensors[tid]
+        is_const = (t.buffer >= 0
+                    and self._graph.buffers[t.buffer].data is not None)
+        if not is_const and t.dtype == 'float32':
+          names.add(t.name)
+    return names
+
+  def _calibrate_step_stats(self, plan: list, stats: dict) -> None:
+    """Merge on-device QSV stats per planned op (device_stats mode)."""
+    from ai_edge_quantizer_tpu.algorithms.uniform import op_library
+
+    for sg_idx, op_id, op_key, algorithm_name, op_quant_config in plan:
+      sg = self._graph.subgraphs[sg_idx]
+      op = sg.ops[op_id]
+      self._maybe_init_op(sg_idx, op_id, op_key, algorithm_name,
+                          op_quant_config)
+      spec = op_library.OP_SPECS.get(op_key)
+      in_ignore = set(spec.inputs_to_ignore) if spec else set()
+      out_ignore = set(spec.outputs_to_ignore) if spec else set()
+      op_qsvs: dict = {}
+      for pos, tid in enumerate(op.inputs):
+        if tid >= 0 and pos not in in_ignore:
+          name = sg.tensors[tid].name
+          if name in stats:
+            op_qsvs[name] = stats[name]
+      for pos, tid in enumerate(op.outputs):
+        if tid >= 0 and pos not in out_ignore:
+          name = sg.tensors[tid].name
+          if name in stats:
+            op_qsvs[name] = stats[name]
+      update_fn = algorithm_manager.get_update_qsv_fn(algorithm_name, op_key)
+      for name, new_qsv in op_qsvs.items():
+        # Hessians ride only on GPTQ-planned consumers.
+        if algorithm_name != AlgorithmName.GPTQ and 'hessian' in new_qsv:
+          new_qsv = {k: v for k, v in new_qsv.items()
+                     if k not in ('hessian', 'num_samples')}
+        elif 'num_samples' in new_qsv:
+          new_qsv = dict(new_qsv)
+          new_qsv['num_samples'] = int(new_qsv['num_samples'])
+        old = self._model_qsvs.get(name)
+        if old is None or not old:
+          self._model_qsvs[name] = new_qsv
+        else:
+          self._model_qsvs[name] = update_fn(old, new_qsv)
+
+  def _maybe_init_op(self, sg_idx: int, op_id: int, op_key,
+                     algorithm_name, op_quant_config) -> None:
+    op_token = (sg_idx, op_id)
+    if op_token in self._initialized_ops:
+      return
+    sg = self._graph.subgraphs[sg_idx]
+    graph_info = qtyping.GraphInfo(subgraph=sg, buffers=self._graph.buffers)
+    op_info = qtyping.OpInfo(
+        op=sg.ops[op_id], op_name=op_key, subgraph_op_index=op_id,
+        op_quant_config=op_quant_config)
+    init_fn = algorithm_manager.get_init_qsv_fn(algorithm_name, op_key)
+    if init_fn is not None:
+      for name, qsv in init_fn(op_info, graph_info).items():
+        self._model_qsvs.setdefault(name, qsv)
+    self._initialized_ops.add(op_token)
+
   def _calibrate_step(self, plan: list, tensor_content_map: dict) -> None:
     for sg_idx, op_id, op_key, algorithm_name, op_quant_config in plan:
       sg = self._graph.subgraphs[sg_idx]
@@ -139,13 +229,8 @@ class Calibrator:
           op=op, op_name=op_key, subgraph_op_index=op_id,
           op_quant_config=op_quant_config)
       # One-time QSV init (weight min/max etc.).
-      op_token = (sg_idx, op_id)
-      if op_token not in self._initialized_ops:
-        init_fn = algorithm_manager.get_init_qsv_fn(algorithm_name, op_key)
-        if init_fn is not None:
-          for name, qsv in init_fn(op_info, graph_info).items():
-            self._model_qsvs.setdefault(name, qsv)
-        self._initialized_ops.add(op_token)
+      self._maybe_init_op(sg_idx, op_id, op_key, algorithm_name,
+                          op_quant_config)
       calib_fn = algorithm_manager.get_quantization_func(
           algorithm_name, op_key, qtyping.QuantizeMode.CALIBRATE)
       op_qsvs = calib_fn(op, graph_info, tensor_content_map)

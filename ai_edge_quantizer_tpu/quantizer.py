@@ -130,11 +130,18 @@ class Quantizer:
       self,
       calibration_data: dict,
       previous_calibration_result: Optional[_CalibrationResult] = None,
+      calibration_mode: str = 'capture',
   ) -> _CalibrationResult:
-    """calibration_data: {signature_key: iterable of {input_name: array}}."""
+    """calibration_data: {signature_key: iterable of {input_name: array}}.
+
+    calibration_mode='device_stats' reduces min/max (and GPTQ Hessians) on
+    device inside the forward program — the profiler-based calibrator
+    analog (ref calibrator.py:590-686); use it for large calibration
+    batches where transferring every intermediate tensor is the bottleneck.
+    """
     if not self.need_calibration:
       return {}
-    calib = calibrator_lib.Calibrator(self.float_model)
+    calib = calibrator_lib.Calibrator(self.float_model, mode=calibration_mode)
     if previous_calibration_result is not None:
       calib.load_model_qsvs(previous_calibration_result)
     calib.calibrate(calibration_data, self._recipe_manager)
