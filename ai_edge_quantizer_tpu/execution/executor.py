@@ -82,6 +82,8 @@ class GraphExecutor:
     # Keys of FC weights converted to packed-int4 serving layout
     # (uint8 [N, K//2], split-half; see kernels/pallas_qmatmul.py).
     self._packed_int4_keys: set = set()
+    self._packed_pad_n: dict = {}  # key -> true N (packed weight N-padded)
+    self._packed_scale: dict = {}  # key -> padded per-channel scale
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -230,8 +232,20 @@ class GraphExecutor:
         ):
           continue
         from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
-        self._weights[key] = pallas_qmatmul.pack_int4_split(
-            self._weights[key])
+        packed = pallas_qmatmul.pack_int4_split(self._weights[key])
+        scale = np.asarray(q.scale, np.float32).reshape(-1)
+        n = int(t.shape[0])
+        # Pad N to a 512 multiple once at prep time: a 512-wide N-tile cuts
+        # the grid-step count 4x vs the 128 fallback (the full-vocab logits
+        # head, N=256128, is the motivating case — 0.15% pad rows). The
+        # fast path slices the padded columns back off.
+        n_pad = -(-n // 512) * 512
+        if n_pad != n:
+          packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+          scale = np.pad(scale, (0, n_pad - n))
+          self._packed_pad_n[key] = n
+        self._weights[key] = packed
+        self._packed_scale[key] = jnp.asarray(scale)
         self._packed_int4_keys.add(key)
 
   # -- public API -----------------------------------------------------------
@@ -584,11 +598,19 @@ class GraphExecutor:
 
     sg_idx = next(i for i, s_ in enumerate(self.graph.subgraphs)
                   if s_ is sg)
-    if (sg_idx, op.inputs[1]) in self._packed_int4_keys:
+    key = (sg_idx, op.inputs[1])
+    if key in self._packed_int4_keys:
       from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
       x_f = self._dequant_view(sg, op.inputs[0], env)
+      true_n = self._packed_pad_n.get(key)
       y = pallas_qmatmul.qmatmul_pallas_int4_packed(
-          x_f, w_q, jnp.asarray(np.asarray(q.scale, np.float32)), bias=bias)
+          x_f, w_q, self._packed_scale[key],
+          bias=None if true_n is not None else bias,
+          interpret=jax.default_backend() != 'tpu')
+      if true_n is not None:
+        y = y[..., :true_n]
+        if bias is not None:
+          y = y + bias
       y = ops_impl._fused_activation(
           y, op.attrs.get('fused_activation', 'NONE'))
       self._store_outputs(sg, op, (y,), env)

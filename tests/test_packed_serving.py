@@ -1,0 +1,74 @@
+"""Packed-int4 serving path: split-half packing, N-padding to 512, bias."""
+
+import numpy as np
+import pytest
+
+from ai_edge_quantizer_tpu import Quantizer, qtyping
+from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+from ai_edge_quantizer_tpu.graph.builder import GraphBuilder
+
+
+def _exact_ref(model, inp):
+  """x @ dequant(w) + b in float64 — the packed kernel's exact math."""
+  sg = model.main_subgraph()
+  fc = next(op for op in sg.ops if op.opcode == 'FULLY_CONNECTED')
+  w_t = sg.tensors[fc.inputs[1]]
+  w_q = model.buffers[w_t.buffer].data.astype(np.float64)
+  scale = np.asarray(w_t.quantization.scale, np.float64).reshape(-1, 1)
+  w = w_q * scale
+  y = inp['x'].astype(np.float64) @ w.T
+  if len(fc.inputs) > 2 and fc.inputs[2] >= 0:
+    b_t = sg.tensors[fc.inputs[2]]
+    y = y + model.buffers[b_t.buffer].data.astype(np.float64)
+  return y
+
+
+def _int4_fc_model(n_out, bias=False, seed=0, in_dim=256, batch=4):
+  rng = np.random.default_rng(seed)
+  b = GraphBuilder('main')
+  x = b.input('x', (batch, in_dim))
+  y = b.fully_connected(
+      x, (rng.standard_normal((n_out, in_dim)) * 0.1).astype(np.float32),
+      (rng.standard_normal(n_out) * 0.05).astype(np.float32) if bias
+      else None, name='fc')
+  b.output(y)
+  g = b.finalize()
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', qtyping.OpName.FULLY_CONNECTED, num_bits=4)
+  return qt.quantize().quantized_model, rng
+
+
+@pytest.mark.parametrize('n_out,expect_pad', [(512, False), (384, True)])
+def test_packed_matches_unpacked(n_out, expect_pad):
+  model, rng = _int4_fc_model(n_out)
+  inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
+  ref = _exact_ref(model, inp)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights(min_weight_params=0)
+  assert ex._packed_int4_keys
+  assert bool(ex._packed_pad_n) == expect_pad
+  if expect_pad:
+    key = next(iter(ex._packed_pad_n))
+    assert ex._packed_pad_n[key] == n_out
+    assert ex._weights[key].shape[0] == 512  # padded rows
+  out = np.asarray(list(ex.signature_runner()(inp).values())[0])
+  assert out.shape == ref.shape
+  np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_padded_with_bias():
+  model, rng = _int4_fc_model(384, bias=True, seed=3)
+  inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
+  ref = _exact_ref(model, inp)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights(min_weight_params=0)
+  assert ex._packed_pad_n
+  out = np.asarray(list(ex.signature_runner()(inp).values())[0])
+  np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_min_weight_params_gate():
+  model, _ = _int4_fc_model(512)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights()  # default gate 2**21 > 512*256 params
+  assert not ex._packed_int4_keys
