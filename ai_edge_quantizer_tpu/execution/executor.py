@@ -471,6 +471,62 @@ class GraphExecutor:
       self._store_outputs(sg, op, results, env)
       return
 
+    if opcode == 'WHILE':
+      # TFLite WHILE: loop-carried op inputs; cond subgraph -> scalar bool,
+      # body subgraph -> same-arity carry. Lowers to lax.while_loop (traced
+      # once — the XLA-native control flow the reference's interpreter
+      # re-dispatches per iteration).
+      cond_idx, body_idx = op.side_effect_subgraphs
+
+      def subgraph_fn(sub_idx):
+        sub = self.graph.subgraphs[sub_idx]
+
+        def fn(carry):
+          sub_env: dict = {}
+          for (w_sg, w_tid), arr in self._weights.items():
+            if w_sg == sub_idx:
+              sub_env[w_tid] = arr
+          for sub_tid, val in zip(sub.inputs, carry):
+            sub_env[sub_tid] = val
+          for sub_op in sub.ops:
+            self._eval_op(sub_idx, sub, sub_op, sub_env)
+          return tuple(sub_env[t] for t in sub.outputs)
+
+        return fn
+
+      cond_fn = subgraph_fn(cond_idx)
+      body_fn = subgraph_fn(body_idx)
+      carry = tuple(env[t] for t in op.inputs)
+      out = jax.lax.while_loop(
+          lambda c: jnp.reshape(cond_fn(c)[0], ()), body_fn, carry)
+      self._store_outputs(sg, op, out, env)
+      return
+
+    if opcode == 'IF':
+      then_idx, else_idx = op.side_effect_subgraphs
+      pred = jnp.reshape(env[op.inputs[0]], ())
+      operands = tuple(env[t] for t in op.inputs[1:])
+
+      def branch(sub_idx):
+        sub = self.graph.subgraphs[sub_idx]
+
+        def fn(args):
+          sub_env: dict = {}
+          for (w_sg, w_tid), arr in self._weights.items():
+            if w_sg == sub_idx:
+              sub_env[w_tid] = arr
+          for sub_tid, val in zip(sub.inputs, args):
+            sub_env[sub_tid] = val
+          for sub_op in sub.ops:
+            self._eval_op(sub_idx, sub, sub_op, sub_env)
+          return tuple(sub_env[t] for t in sub.outputs)
+
+        return fn
+
+      out = jax.lax.cond(pred, branch(then_idx), branch(else_idx), operands)
+      self._store_outputs(sg, op, out, env)
+      return
+
     if (
         self.use_fused_kernels
         and opcode == 'DYNAMIC_UPDATE_SLICE'

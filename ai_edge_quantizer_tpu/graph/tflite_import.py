@@ -85,6 +85,15 @@ def _builtin_table(s) -> dict:
       B.DEQUANTIZE: 'DEQUANTIZE',
       B.STABLEHLO_COMPOSITE: 'STABLEHLO_COMPOSITE',
   }
+  # Every other builtin falls back to its schema enum name (TRANSPOSE_CONV
+  # above is the only rename) — keeps WHILE/IF/LESS/CAST etc. identified
+  # even when the executor has no kernel for them yet.
+  for attr in dir(B):
+    if attr.startswith('_'):
+      continue
+    code = getattr(B, attr)
+    if isinstance(code, int) and code not in pairs:
+      pairs[code] = attr
   return pairs
 
 
@@ -160,6 +169,16 @@ def _op_attrs(s, op, opcode_name: str) -> dict:
     cname = getattr(opts, 'name', b'')
     attrs['composite_name'] = (
         cname.decode() if isinstance(cname, bytes) else str(cname))
+    attrs['_side_effect_subgraphs'] = [
+        int(getattr(opts, 'decompositionSubgraphIndex', 0))]
+  elif name == 'WhileOptionsT':
+    attrs['_side_effect_subgraphs'] = [
+        int(getattr(opts, 'condSubgraphIndex', 0)),
+        int(getattr(opts, 'bodySubgraphIndex', 0))]
+  elif name == 'IfOptionsT':
+    attrs['_side_effect_subgraphs'] = [
+        int(getattr(opts, 'thenSubgraphIndex', 0)),
+        int(getattr(opts, 'elseSubgraphIndex', 0))]
   return attrs
 
 
@@ -232,13 +251,15 @@ def load_tflite(model: Union[str, bytes]) -> ir.Graph:
     for op_fb in sg_fb.operators or []:
       opcode = opcode_names[int(op_fb.opcodeIndex)]
       attrs = _op_attrs(s, op_fb, opcode)
+      side_effects = attrs.pop('_side_effect_subgraphs', [])
       sg.ops.append(ir.Op(
           opcode=opcode,
           inputs=[int(i) for i in (op_fb.inputs
                                    if op_fb.inputs is not None else [])],
           outputs=[int(i) for i in (op_fb.outputs
                                     if op_fb.outputs is not None else [])],
-          attrs=attrs))
+          attrs=attrs,
+          side_effect_subgraphs=side_effects))
     graph.subgraphs.append(sg)
 
   for sig_fb in fb.signatureDefs or []:

@@ -319,6 +319,24 @@ _register_binary('MAXIMUM', jnp.maximum)
 _register_binary('SQUARED_DIFFERENCE', lambda a, b: jnp.square(a - b))
 _register_binary('EQUAL', lambda a, b: jnp.equal(a, b))
 _register_binary('NOT_EQUAL', lambda a, b: jnp.not_equal(a, b))
+_register_binary('MINIMUM', jnp.minimum)
+_register_binary('LESS', lambda a, b: jnp.less(a, b))
+_register_binary('LESS_EQUAL', lambda a, b: jnp.less_equal(a, b))
+_register_binary('GREATER', lambda a, b: jnp.greater(a, b))
+_register_binary('GREATER_EQUAL', lambda a, b: jnp.greater_equal(a, b))
+_register_binary('LOGICAL_AND', jnp.logical_and)
+_register_binary('LOGICAL_OR', jnp.logical_or)
+_register_binary('POW', jnp.power)
+_register_binary('FLOOR_DIV', jnp.floor_divide)
+_register_binary('FLOOR_MOD', jnp.mod)
+
+
+@register('CAST')
+def cast(ctx: OpContext, x):
+  out_dtype = ctx.subgraph.tensors[ctx.op.outputs[0]].dtype
+  if out_dtype in ('int4', 'int2'):  # sub-byte logical types: int8 container
+    out_dtype = 'int8'
+  return x.astype(jnp.dtype(out_dtype))
 
 
 def _register_unary(name: str, fn):

@@ -115,3 +115,62 @@ def test_conv_model_import_and_static_quant(tmp_path):
   res = qt.quantize(cr)
   assert all(t.dtype.startswith('int')
              for t in res.quantized_model.main_subgraph().tensors)
+
+
+def test_while_control_flow_subgraphs(tmp_path):
+  """WHILE cond/body subgraph indices import as side_effect_subgraphs."""
+
+  class Loop(tf.Module):
+
+    @tf.function(input_signature=[tf.TensorSpec((1, 8), tf.float32)])
+    def __call__(self, x):
+      i0 = tf.constant(0)
+      cond = lambda i, v: i < 3
+      body = lambda i, v: (i + 1, v * 1.5)
+      _, out = tf.while_loop(cond, body, (i0, x))
+      return out
+
+  m = Loop()
+  conv = tf.lite.TFLiteConverter.from_concrete_functions(
+      [m.__call__.get_concrete_function()], m)
+  path = tmp_path / 'loop.tflite'
+  path.write_bytes(conv.convert())
+  g = tflite_import.load_tflite(str(path))
+  while_ops = [op for sg in g.subgraphs for op in sg.ops
+               if op.opcode == 'WHILE']
+  assert while_ops, [op.opcode for sg in g.subgraphs for op in sg.ops]
+  assert len(while_ops[0].side_effect_subgraphs) == 2
+  cond_idx, body_idx = while_ops[0].side_effect_subgraphs
+  assert 0 < cond_idx < len(g.subgraphs)
+  assert 0 < body_idx < len(g.subgraphs)
+  assert cond_idx != body_idx
+
+
+def test_while_loop_executes(tmp_path):
+  """Imported WHILE lowers to lax.while_loop and matches TF numerics."""
+
+  class Loop(tf.Module):
+
+    @tf.function(input_signature=[tf.TensorSpec((1, 8), tf.float32)])
+    def __call__(self, x):
+      i0 = tf.constant(0)
+      cond = lambda i, v: i < 3
+      body = lambda i, v: (i + 1, v * 1.5 + 0.25)
+      _, out = tf.while_loop(cond, body, (i0, x))
+      return out
+
+  m = Loop()
+  conv = tf.lite.TFLiteConverter.from_concrete_functions(
+      [m.__call__.get_concrete_function()], m)
+  path = tmp_path / 'loop2.tflite'
+  path.write_bytes(conv.convert())
+  g = tflite_import.load_tflite(str(path))
+  x = np.random.default_rng(0).standard_normal((1, 8)).astype(np.float32)
+  sig = g.signatures[0]
+  out = GraphExecutor(g).signature_runner(sig.signature_key)(
+      {list(sig.inputs)[0]: x})
+  ref = m(tf.constant(x)).numpy()
+  got = next(v for v in out.values()
+             if np.asarray(v).dtype == np.float32
+             and np.asarray(v).shape == ref.shape)
+  np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
