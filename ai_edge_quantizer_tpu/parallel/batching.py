@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import time
 from typing import Callable, Optional
 
 import jax
@@ -78,6 +79,11 @@ class Request:
   max_new_tokens: int
   generated: list = dataclasses.field(default_factory=list)
   done: bool = False
+  status: str = 'queued'      # queued|running|done|cancelled|timeout
+  deadline: Optional[float] = None   # absolute time.monotonic() limit
+  submitted_at: float = 0.0
+  first_token_at: Optional[float] = None
+  finished_at: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -101,6 +107,8 @@ class DecodeServer:
       weights: Optional[dict] = None,
       sample_fn: Optional[Callable] = None,
       prefill_batch: int = 1,
+      eos_token_id: Optional[int] = None,
+      request_timeout_s: Optional[float] = None,
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
     and 'prefill' (batch=1) signatures."""
@@ -114,12 +122,18 @@ class DecodeServer:
     self._queue: collections.deque = collections.deque()
     self._next_id = 0
     self._sample = sample_fn or (lambda logits: int(np.argmax(logits)))
+    self._eos = eos_token_id
+    self._default_timeout = request_timeout_s
     # Serving metrics (read via .metrics).
     self.metrics = {
         'tokens_generated': 0,
         'requests_completed': 0,
+        'requests_cancelled': 0,
+        'requests_timeout': 0,
         'decode_ticks': 0,
         'prefills': 0,
+        'ttft_sum_s': 0.0,        # time-to-first-token accumulator
+        'latency_sum_s': 0.0,     # request end-to-end accumulator
     }
 
     dec_sig = graph.signature_by_key('decode')
@@ -153,12 +167,43 @@ class DecodeServer:
 
   # -- public API -----------------------------------------------------------
 
-  def submit(self, prompt, max_new_tokens: int = 16) -> int:
+  def submit(self, prompt, max_new_tokens: int = 16,
+             timeout_s: Optional[float] = None) -> int:
+    now = time.monotonic()
+    timeout_s = timeout_s if timeout_s is not None else self._default_timeout
     req = Request(self._next_id, np.asarray(prompt, np.int32),
-                  max_new_tokens)
+                  max_new_tokens, submitted_at=now,
+                  deadline=(now + timeout_s) if timeout_s is not None else None)
     self._next_id += 1
     self._queue.append(req)
     return req.request_id
+
+  def cancel(self, request_id: int) -> bool:
+    """Cancel a queued or running request; returns whether it was found."""
+    for req in list(self._queue):
+      if req.request_id == request_id:
+        self._queue.remove(req)
+        self._finish(req, 'cancelled')
+        return True
+    for slot in self._slots:
+      if slot.active and slot.request.request_id == request_id:
+        self._finish(slot.request, 'cancelled')
+        slot.request = None
+        return True
+    return False
+
+  def stats(self) -> dict:
+    """Metrics snapshot plus live queue/slot state and derived latencies."""
+    done = max(self.metrics['requests_completed'], 1)
+    first = max(self.metrics['prefills'], 1)
+    return {
+        **self.metrics,
+        'queue_depth': len(self._queue),
+        'slots_active': sum(1 for s in self._slots if s.active),
+        'slots_total': self.batch_slots,
+        'mean_ttft_s': self.metrics['ttft_sum_s'] / first,
+        'mean_request_latency_s': self.metrics['latency_sum_s'] / done,
+    }
 
   def has_work(self) -> bool:
     return bool(self._queue) or any(s.active for s in self._slots)
@@ -168,6 +213,7 @@ class DecodeServer:
 
     Returns {request_id: newly generated token} for this tick.
     """
+    self._expire()
     self._admit()
     active = [i for i, s in enumerate(self._slots) if s.active]
     if not active:
@@ -190,8 +236,9 @@ class DecodeServer:
       if (
           len(slot.request.generated) >= slot.request.max_new_tokens
           or slot.pos >= self.cfg.max_seq_len
+          or (self._eos is not None and token == self._eos)
       ):
-        slot.request.done = True
+        self._finish(slot.request, 'done')
         slot.request = None
         self.metrics['requests_completed'] += 1
     return emitted
@@ -203,6 +250,29 @@ class DecodeServer:
       self.step()
 
   # -- internals ------------------------------------------------------------
+
+  def _finish(self, req: Request, status: str) -> None:
+    req.status = status
+    req.done = True
+    req.finished_at = time.monotonic()
+    self.metrics['latency_sum_s'] += req.finished_at - req.submitted_at
+    if status == 'cancelled':
+      self.metrics['requests_cancelled'] += 1
+    elif status == 'timeout':
+      self.metrics['requests_timeout'] += 1
+
+  def _expire(self) -> None:
+    """Time out queued and running requests past their deadline."""
+    now = time.monotonic()
+    for req in [r for r in self._queue
+                if r.deadline is not None and now > r.deadline]:
+      self._queue.remove(req)
+      self._finish(req, 'timeout')
+    for slot in self._slots:
+      if (slot.active and slot.request.deadline is not None
+          and now > slot.request.deadline):
+        self._finish(slot.request, 'timeout')
+        slot.request = None
 
   def _admit(self) -> None:
     for i, slot in enumerate(self._slots):
@@ -240,6 +310,9 @@ class DecodeServer:
     logits = np.asarray(out['logits'])[0, prompt.size - 1]
     first_token = self._sample(logits)
     req.generated.append(first_token)
+    req.status = 'running'
+    req.first_token_at = time.monotonic()
+    self.metrics['ttft_sum_s'] += req.first_token_at - req.submitted_at
     self.metrics['tokens_generated'] += 1
     slot = self._slots[slot_idx]
     slot.request = req

@@ -29,20 +29,26 @@ def sync(y):
   return float(jnp.sum(jnp.abs(y[0]).astype(jnp.float32)))
 
 
-def timeit(fn, *args, iters=32):
+def timeit(fn, *args, iters=64):
   sync(fn(*args))
-  # Measure the value-fetch round trip to subtract it.
+  # Measure the value-fetch round trip to subtract (warm the sync op's own
+  # compile first, then take the min of several samples).
   small = jnp.ones((1, 1), jnp.float32)
-  t0 = time.perf_counter()
   sync(small)
-  rt = time.perf_counter() - t0
+  rt = min(_sample_rt(small) for _ in range(5))
   t0 = time.perf_counter()
   out = None
   for _ in range(iters):
     out = fn(*args)
   s = sync(out)
   dt = (time.perf_counter() - t0 - rt) / iters
-  return dt, s
+  return max(dt, 1e-9), s
+
+
+def _sample_rt(small):
+  t0 = time.perf_counter()
+  sync(small)
+  return time.perf_counter() - t0
 
 
 def main():
@@ -52,7 +58,11 @@ def main():
   print(f'case: [{m},{k}] x [{n_true},{k}]^T int4-packed on '
         f'{jax.devices()[0]}', flush=True)
 
-  for n, bns in ((n_true, (128,)), (256512, (128, 256, 512))):
+  cases = ((n_true, (128,)), (256512, (128, 256, 512)),
+           (16384, (256, 512)), (2048, (256, 512)))
+  if os.environ.get('AEQT_VOCAB_ONLY'):
+    cases = ((256512, (256, 512)),)
+  for n, bns in cases:
     w_q = jnp.asarray(rng.integers(-7, 8, size=(n, k)), jnp.int8)
     w_packed = jax.device_put(pallas_qmatmul.pack_int4_split(w_q))
     scale = jnp.asarray(rng.random(n) * 0.01 + 0.001, jnp.float32)

@@ -104,3 +104,59 @@ class TestSamplers:
       srv.submit(np.arange(4) % cfg.vocab_size, max_new_tokens=4)
       srv.run_to_completion(50)
       assert srv.metrics['tokens_generated'] >= 4
+
+
+class TestServingRobustness:
+
+  _graph_cache = {}
+
+  def _server(self, **kw):
+    cfg = gemma.TOY_DECODER
+    if 'g' not in self._graph_cache:
+      self._graph_cache['g'] = gemma.build_serving_decoder(
+          cfg, batch_slots=2, prefill_len=8)
+    return DecodeServer(self._graph_cache['g'], cfg, batch_slots=2,
+                        **kw), cfg
+
+  def test_cancel_queued_and_running(self):
+    srv, _ = self._server()
+    r1 = srv.submit([1, 2, 3], max_new_tokens=64)
+    r2 = srv.submit([4, 5], max_new_tokens=64)
+    r3 = srv.submit([6], max_new_tokens=64)   # waits in queue (2 slots)
+    srv.step()
+    assert srv.cancel(r3)          # still queued
+    assert srv.cancel(r1)          # running in a slot
+    assert not srv.cancel(999)     # unknown id
+    assert srv.stats()['requests_cancelled'] == 2
+    srv.step()
+    assert srv.stats()['slots_active'] == 1  # only r2 remains
+
+  def test_request_timeout(self):
+    srv, _ = self._server()
+    srv.submit([1, 2], max_new_tokens=1000, timeout_s=0.0)
+    srv.step()   # _expire runs before admit/decode
+    s = srv.stats()
+    assert s['requests_timeout'] >= 1
+    assert s['slots_active'] == 0
+
+  def test_eos_stops_generation(self):
+    # Find what the greedy sampler emits first, then make that token EOS.
+    srv, _ = self._server()
+    rid = srv.submit([3, 1, 4], max_new_tokens=8)
+    first = srv.step()
+    eos = next(iter(first.values()))
+    srv2, _ = self._server(eos_token_id=eos)
+    srv2.submit([3, 1, 4], max_new_tokens=1000)
+    srv2.run_to_completion(max_ticks=50)
+    s = srv2.stats()
+    assert s['requests_completed'] == 1
+    assert s['tokens_generated'] < 1000
+
+  def test_latency_metrics(self):
+    srv, _ = self._server()
+    srv.submit([1, 2, 3], max_new_tokens=3)
+    srv.run_to_completion(max_ticks=20)
+    s = srv.stats()
+    assert s['mean_ttft_s'] > 0
+    assert s['mean_request_latency_s'] >= s['mean_ttft_s']
+    assert s['queue_depth'] == 0 and s['slots_active'] == 0
