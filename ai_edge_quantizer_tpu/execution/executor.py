@@ -84,6 +84,7 @@ class GraphExecutor:
     self._packed_int4_keys: set = set()
     self._packed_pad_n: dict = {}  # key -> true N (packed weight N-padded)
     self._packed_scale: dict = {}  # key -> padded per-channel scale
+    self._packed_block_size: dict = {}  # key -> block size (blockwise int4)
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -223,8 +224,14 @@ class GraphExecutor:
         if key not in self._weights or key in self._packed_int4_keys:
           continue
         q = t.quantization
+        blockwise_ok = (
+            q is not None and q.block_size > 0
+            and (t.shape[-1] // q.block_size) % 2 == 0
+            and (t.shape[-1] // 2) % q.block_size == 0
+        )
         if (
-            t.dtype != 'int4' or q is None or q.block_size != 0
+            t.dtype != 'int4' or q is None
+            or not (q.block_size == 0 or blockwise_ok)
             or not np.all(np.asarray(q.zero_point) == 0)
             or t.shape[-1] % 2 != 0
             or t.shape[0] % 128 != 0
@@ -233,8 +240,13 @@ class GraphExecutor:
           continue
         from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
         packed = pallas_qmatmul.pack_int4_split(self._weights[key])
-        scale = np.asarray(q.scale, np.float32).reshape(-1)
         n = int(t.shape[0])
+        if q.block_size > 0:
+          nb = int(t.shape[-1]) // q.block_size
+          scale = np.asarray(q.scale, np.float32).reshape(n, nb)
+          self._packed_block_size[key] = int(q.block_size)
+        else:
+          scale = np.asarray(q.scale, np.float32).reshape(-1)
         # Pad N to a 512 multiple once at prep time: a 512-wide N-tile cuts
         # the grid-step count 4x vs the 128 fallback (the full-vocab logits
         # head, N=256128, is the motivating case — 0.15% pad rows). The
@@ -242,7 +254,8 @@ class GraphExecutor:
         n_pad = -(-n // 512) * 512
         if n_pad != n:
           packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
-          scale = np.pad(scale, (0, n_pad - n))
+          pad_spec = ((0, n_pad - n),) + ((0, 0),) * (scale.ndim - 1)
+          scale = np.pad(scale, pad_spec)
           self._packed_pad_n[key] = n
         self._weights[key] = packed
         self._packed_scale[key] = jnp.asarray(scale)
@@ -659,10 +672,17 @@ class GraphExecutor:
       from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
       x_f = self._dequant_view(sg, op.inputs[0], env)
       true_n = self._packed_pad_n.get(key)
-      y = pallas_qmatmul.qmatmul_pallas_int4_packed(
-          x_f, w_q, self._packed_scale[key],
-          bias=None if true_n is not None else bias,
-          interpret=jax.default_backend() != 'tpu')
+      bs = self._packed_block_size.get(key, 0)
+      if bs:
+        y = pallas_qmatmul.qmatmul_pallas_int4_packed_blockwise(
+            x_f, w_q, self._packed_scale[key],
+            bias=None if true_n is not None else bias, block_size=bs,
+            interpret=jax.default_backend() != 'tpu')
+      else:
+        y = pallas_qmatmul.qmatmul_pallas_int4_packed(
+            x_f, w_q, self._packed_scale[key],
+            bias=None if true_n is not None else bias,
+            interpret=jax.default_backend() != 'tpu')
       if true_n is not None:
         y = y[..., :true_n]
         if bias is not None:

@@ -169,6 +169,106 @@ def qmatmul_pallas_int4_packed(
   return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
 
 
+def _int4_blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
+  """Blockwise split-half packed int4: o = sum_b s[n,b] * (x_b . w_b^T).
+
+  Split-half packing puts blocks 0..nb/2-1 in the low nibbles and blocks
+  nb/2..nb-1 in the high nibbles (block_size must divide K/2), so each
+  half contracts per-block against its half of x with its half of the
+  scale grid.
+  """
+  compute = x_ref.dtype
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(compute)   # [BN, K/2]
+  hi = (((w32 >> 4) ^ 8) - 8).astype(compute)
+  bn, k2 = w32.shape
+  nb2 = nblocks // 2
+  bs = k2 // nb2
+  x = x_ref[:]
+  m = x.shape[0]
+  scales = s_ref[:]                               # [BN, nb]
+
+  def half(xh, wh, sh):
+    # partial[b, M, BN] per-block contractions, then scale-weighted sum.
+    p = jax.lax.dot_general(
+        xh.reshape(m, nb2, bs), wh.reshape(bn, nb2, bs),
+        dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+        preferred_element_type=jnp.float32)
+    return jnp.einsum('bmn,nb->mn', p, sh,
+                      preferred_element_type=jnp.float32)
+
+  y = half(x[:, :k2], lo, scales[:, :nb2]) + half(
+      x[:, k2:], hi, scales[:, nb2:])
+  if b_ref is not None:
+    y = y + b_ref[:].reshape(1, -1)
+  o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=('block_size', 'bn', 'interpret'))
+def qmatmul_pallas_int4_packed_blockwise(
+    x: jax.Array,
+    w_packed: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    block_size: int = 32,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+  """Blockwise x [..., K] . packed int4 [N, K//2] -> [..., N].
+
+  scale: [N, K // block_size] (fp16-grid values, any float dtype).
+  block_size must divide K//2 (true for K a power of two, bs 32..256).
+  """
+  n, k2 = w_packed.shape
+  k = k2 * 2
+  nblocks = k // block_size
+  if nblocks % 2 or k2 % (nblocks // 2):
+    raise ValueError(f'block_size {block_size} must divide K/2 = {k2}.')
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+  x2 = x.reshape(m, k).astype(compute)
+  sublane = 16 if compute == jnp.bfloat16 else 8
+  m_pad = _round_up(max(m, sublane), sublane)
+  if m_pad != m:
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+  bn = _pick_tile(n, bn)
+  operands = [x2, w_packed,
+              scale.astype(jnp.float32).reshape(n, nblocks)]
+  in_specs = [
+      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, nblocks), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+  ]
+  kernel = functools.partial(_int4_blockwise_kernel, nblocks)
+  if bias is not None:
+    in_specs.append(
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    body = kernel
+  else:
+    body = lambda x_ref, w_ref, s_ref, o_ref: kernel(
+        x_ref, w_ref, s_ref, None, o_ref)
+  out = pl.pallas_call(
+      body,
+      grid=(n // bn,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=m_pad * k * 4 + n * k2 + m_pad * n * 4,
+          transcendentals=0),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=('block_size', 'bn', 'interpret'))
 def qmatmul_pallas(

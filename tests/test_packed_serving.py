@@ -72,3 +72,57 @@ def test_min_weight_params_gate():
   ex = GraphExecutor(model)
   ex.prepare_serving_weights()  # default gate 2**21 > 512*256 params
   assert not ex._packed_int4_keys
+
+
+def _blockwise_int4_fc_model(n_out, block_size=32, seed=0, in_dim=256,
+                             batch=4):
+  rng = np.random.default_rng(seed)
+  b = GraphBuilder('main')
+  x = b.input('x', (batch, in_dim))
+  y = b.fully_connected(
+      x, (rng.standard_normal((n_out, in_dim)) * 0.1).astype(np.float32),
+      name='fc')
+  b.output(y)
+  g = b.finalize()
+  qt = Quantizer(g)
+  qt.add_dynamic_config(
+      '.*', qtyping.OpName.FULLY_CONNECTED, num_bits=4,
+      granularity=qtyping.QuantGranularity(f'BLOCKWISE_{block_size}'))
+  return qt.quantize().quantized_model, rng
+
+
+def _blockwise_exact_ref(model, inp):
+  sg = model.main_subgraph()
+  fc = next(op for op in sg.ops if op.opcode == 'FULLY_CONNECTED')
+  w_t = sg.tensors[fc.inputs[1]]
+  q = w_t.quantization
+  w_q = model.buffers[w_t.buffer].data.astype(np.float64)
+  n, k = w_q.shape
+  nb = k // q.block_size
+  scale = np.asarray(q.scale, np.float64).reshape(n, nb)
+  w = (w_q.reshape(n, nb, q.block_size)
+       * scale[:, :, None]).reshape(n, k)
+  return inp['x'].astype(np.float64) @ w.T
+
+
+@pytest.mark.parametrize('n_out,block_size', [(512, 32), (384, 64)])
+def test_blockwise_packed_matches_exact(n_out, block_size):
+  model, rng = _blockwise_int4_fc_model(n_out, block_size)
+  inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
+  ref = _blockwise_exact_ref(model, inp)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights(min_weight_params=0)
+  key = next(iter(ex._packed_int4_keys))
+  assert ex._packed_block_size[key] == block_size
+  out = np.asarray(list(ex.signature_runner()(inp).values())[0])
+  assert out.shape == ref.shape
+  np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_blockwise_odd_nblocks_not_packed():
+  # K=256, block 128 -> 2 blocks: even, eligible. K=256, block 256 would
+  # be tensorwise-per-row; use in_dim where nblocks is odd: K=96, bs=32.
+  model, _ = _blockwise_int4_fc_model(256, block_size=32, in_dim=96)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights(min_weight_params=0)
+  assert not ex._packed_block_size  # 3 blocks: split-half ineligible
