@@ -673,16 +673,19 @@ class GraphExecutor:
       x_f = self._dequant_view(sg, op.inputs[0], env)
       true_n = self._packed_pad_n.get(key)
       bs = self._packed_block_size.get(key, 0)
+      # Wide N-tile for huge heads: measured 549us (bn=512) vs 765 (256)
+      # vs 946 (128) on the padded 256512x2048 Gemma logits matmul.
+      bn = 512 if w_q.shape[0] >= 65536 else 256
       if bs:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed_blockwise(
             x_f, w_q, self._packed_scale[key],
             bias=None if true_n is not None else bias, block_size=bs,
-            interpret=jax.default_backend() != 'tpu')
+            bn=bn, interpret=jax.default_backend() != 'tpu')
       else:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed(
             x_f, w_q, self._packed_scale[key],
             bias=None if true_n is not None else bias,
-            interpret=jax.default_backend() != 'tpu')
+            bn=bn, interpret=jax.default_backend() != 'tpu')
       if true_n is not None:
         y = y[..., :true_n]
         if bias is not None:
