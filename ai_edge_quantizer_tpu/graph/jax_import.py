@@ -290,22 +290,53 @@ def _import_conv(imp: _Importer, eqn) -> bool:
   else:
     return False
   out_c, kh, kw, in_c = data.shape
-  if tuple(map(tuple, padding)) == ((0, 0), (0, 0)):
+  fgc = eqn.params.get('feature_group_count', 1)
+  lhs_tid = imp.tid_of(lhs)
+  pads = tuple(map(tuple, padding))
+  if pads == ((0, 0), (0, 0)):
     pad_name = 'VALID'
   else:
     ih = lhs.aval.shape[1]
     same_lo = ((ih - 1) * strides[0] + kh - ih) // 2
-    pad_name = 'SAME' if padding[0][0] in (same_lo, (kh - 1) // 2) \
-        else None
+    pad_name = 'SAME' if pads[0][0] in (same_lo, (kh - 1) // 2) \
+        and pads[0] == pads[1] else None
   if pad_name is None:
-    return False
-  if eqn.params.get('feature_group_count', 1) != 1:
-    return False
+    # Arbitrary (possibly asymmetric) padding: explicit PAD then VALID.
+    in_shape = tuple(lhs.aval.shape)
+    padded_shape = (in_shape[0], in_shape[1] + pads[0][0] + pads[0][1],
+                    in_shape[2] + pads[1][0] + pads[1][1], in_shape[3])
+    pad_arr = np.asarray(
+        [[0, 0], list(pads[0]), list(pads[1]), [0, 0]], np.int32)
+    pad_buf = imp.graph.add_buffer(pad_arr)
+    pad_const = imp.sg.add_tensor(ir.Tensor(
+        name=imp._name('conv_pad'), shape=pad_arr.shape, dtype='int32',
+        buffer=pad_buf))
+    padded_tid = imp.sg.add_tensor(ir.Tensor(
+        name=imp._name('conv_padded'), shape=padded_shape,
+        dtype='float32'))
+    imp.emit('PAD', [lhs_tid, pad_const], [padded_tid], {})
+    lhs_tid = padded_tid
+    pad_name = 'VALID'
+  if fgc != 1:
+    # Depthwise: fgc == in channels, kernel HWIO [kh, kw, 1, C] arrived as
+    # OHWI [C, kh, kw, 1] -> IR layout [1, kh, kw, C].
+    if fgc != lhs.aval.shape[3] or in_c != 1 or out_c != fgc:
+      return False
+    data = np.ascontiguousarray(np.transpose(data, (3, 1, 2, 0)))
+    buf = imp.graph.add_buffer(data)
+    wt_tid = imp.sg.add_tensor(ir.Tensor(
+        name=w_t.name + '/w', shape=data.shape, dtype='float32',
+        buffer=buf))
+    out_tid = imp.new_out(out, w_t.name + '/out')
+    imp.emit('DEPTHWISE_CONV_2D', [lhs_tid, wt_tid, -1], [out_tid],
+             {'stride': int(strides[0]), 'padding': pad_name,
+              'fused_activation': 'NONE'})
+    return True
   buf = imp.graph.add_buffer(data)
   wt_tid = imp.sg.add_tensor(ir.Tensor(
       name=w_t.name + '/w', shape=data.shape, dtype='float32', buffer=buf))
   out_tid = imp.new_out(out, w_t.name + '/out')
-  imp.emit('CONV_2D', [imp.tid_of(lhs), wt_tid, -1], [out_tid],
+  imp.emit('CONV_2D', [lhs_tid, wt_tid, -1], [out_tid],
            {'stride': int(strides[0]), 'padding': pad_name,
             'fused_activation': 'NONE'})
   return True

@@ -1,6 +1,7 @@
 """JAX-function importer tests."""
 
 import pytest
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,3 +108,52 @@ def test_flax_conv_import():
   ref = np.asarray(m.apply(variables, x))
   np.testing.assert_allclose(np.asarray(list(out.values())[0]), ref,
                              atol=1e-5)
+
+
+class TestConvBreadth:
+
+  def test_depthwise_conv_import(self):
+    import flax.linen as fnn
+
+    class DW(fnn.Module):
+
+      @fnn.compact
+      def __call__(self, x):
+        return fnn.Conv(features=4, kernel_size=(3, 3),
+                        feature_group_count=4, padding='SAME')(x)
+
+    m = DW()
+    x = np.random.default_rng(0).standard_normal((1, 8, 8, 4)).astype(
+        np.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    g = jax_import.trace_flax_module(m, variables, {'x': x})
+    opcodes = [op.opcode for op in g.main_subgraph().ops]
+    assert 'DEPTHWISE_CONV_2D' in opcodes, opcodes
+    sig = g.signatures[0]
+    out = GraphExecutor(g).signature_runner(sig.signature_key)({'x': x})
+    ref = np.asarray(m.apply(variables, x))
+    np.testing.assert_allclose(
+        np.asarray(list(out.values())[0]), ref, rtol=1e-4, atol=1e-5)
+
+  def test_asymmetric_padding_conv_import(self):
+    import flax.linen as fnn
+
+    class C(fnn.Module):
+
+      @fnn.compact
+      def __call__(self, x):
+        return fnn.Conv(features=3, kernel_size=(2, 2), strides=(2, 2),
+                        padding=((0, 1), (1, 0)))(x)
+
+    m = C()
+    x = np.random.default_rng(1).standard_normal((1, 9, 9, 2)).astype(
+        np.float32)
+    variables = m.init(jax.random.PRNGKey(1), x)
+    g = jax_import.trace_flax_module(m, variables, {'x': x})
+    opcodes = [op.opcode for op in g.main_subgraph().ops]
+    assert 'PAD' in opcodes and 'CONV_2D' in opcodes, opcodes
+    sig = g.signatures[0]
+    out = GraphExecutor(g).signature_runner(sig.signature_key)({'x': x})
+    ref = np.asarray(m.apply(variables, x))
+    np.testing.assert_allclose(
+        np.asarray(list(out.values())[0]), ref, rtol=1e-4, atol=1e-5)
