@@ -266,6 +266,11 @@ class GraphExecutor:
   def signature_runner(self, signature_key: str = 'serving_default',
                        capture_all: bool = False):
     """A callable(inputs: dict) -> dict of outputs (or all tensors)."""
+    if capture_all and self._packed_int4_keys:
+      raise ValueError(
+          'capture_all is unavailable after prepare_serving_weights(): '
+          'packed weights no longer match their tensor shapes. Use a '
+          'fresh GraphExecutor for calibration/validation.')
     key = (signature_key, capture_all)
     if key not in self._jit_cache:
       sig = self.graph.signature_by_key(signature_key)

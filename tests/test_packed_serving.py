@@ -126,3 +126,11 @@ def test_blockwise_odd_nblocks_not_packed():
   ex = GraphExecutor(model)
   ex.prepare_serving_weights(min_weight_params=0)
   assert not ex._packed_block_size  # 3 blocks: split-half ineligible
+
+
+def test_capture_all_rejected_after_packing():
+  model, _ = _int4_fc_model(512)
+  ex = GraphExecutor(model)
+  ex.prepare_serving_weights(min_weight_params=0)
+  with pytest.raises(ValueError, match='capture_all'):
+    ex.signature_runner(capture_all=True)
