@@ -17,7 +17,14 @@ from ai_edge_quantizer_tpu.pipeline import transformations
 
 _QT = qtyping.QuantTransformation
 
+def _emulated_subchannel_removed(*_args, **_kwargs):
+  raise ValueError(
+      'EMULATED_SUBCHANNEL is deprecated; use blockwise granularity '
+      'instead (ref transformation_performer.py:73-75).')
+
+
 _TRANSFORMATION_FNS = {
+    _QT.EMULATED_SUBCHANNEL: _emulated_subchannel_removed,
     _QT.QUANTIZE_TENSOR: transformations.quantize_tensor,
     _QT.ADD_DEQUANTIZE: transformations.insert_dequantize,
     _QT.ADD_QUANTIZE: transformations.insert_quantize,

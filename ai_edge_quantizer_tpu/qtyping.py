@@ -158,6 +158,7 @@ class QuantTransformation(enum.Enum):
   ADD_QUANTIZE = 1       # float tensor -> Quantize op -> quantized tensor.
   ADD_DEQUANTIZE = 2     # quantized tensor -> Dequantize op -> float tensor.
   QUANTIZE_TENSOR = 3    # quantize the tensor in place (constants / edges).
+  EMULATED_SUBCHANNEL = 4  # deprecated (ref transformation_utils.py:286-290).
   DUPLICATE_BUFFER = 5   # split a shared buffer before conflicting quant.
   DUPLICATE_TENSOR = 6   # split a shared tensor before conflicting quant.
   INSERT_HADAMARD_ROTATION = 7          # fused pallas rotation kernel op.
