@@ -174,3 +174,32 @@ def test_while_loop_executes(tmp_path):
              if np.asarray(v).dtype == np.float32
              and np.asarray(v).shape == ref.shape)
   np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_if_control_flow(tmp_path):
+  """tf.cond -> IF builtin: subgraph import + lax.cond execution."""
+
+  class Branchy(tf.Module):
+
+    @tf.function(input_signature=[tf.TensorSpec((1, 4), tf.float32)])
+    def __call__(self, x):
+      return tf.cond(tf.reduce_sum(x) > 0,
+                     lambda: x * 2.0, lambda: x - 1.0)
+
+  m = Branchy()
+  conv = tf.lite.TFLiteConverter.from_concrete_functions(
+      [m.__call__.get_concrete_function()], m)
+  path = tmp_path / 'ifm.tflite'
+  path.write_bytes(conv.convert())
+  g = tflite_import.load_tflite(str(path))
+  if_ops = [op for sg in g.subgraphs for op in sg.ops if op.opcode == 'IF']
+  assert if_ops and len(if_ops[0].side_effect_subgraphs) == 2
+  sig = g.signatures[0]
+  runner = GraphExecutor(g).signature_runner(sig.signature_key)
+  for sign in (1.0, -1.0):
+    x = np.full((1, 4), sign, np.float32)
+    out = runner({list(sig.inputs)[0]: x})
+    ref = m(tf.constant(x)).numpy()
+    got = next(np.asarray(v) for v in out.values()
+               if np.asarray(v).shape == ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
