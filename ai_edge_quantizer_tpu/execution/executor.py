@@ -250,8 +250,13 @@ class GraphExecutor:
         # Pad N to a 512 multiple once at prep time: a 512-wide N-tile cuts
         # the grid-step count 4x vs the 128 fallback (the full-vocab logits
         # head, N=256128, is the motivating case — 0.15% pad rows). The
-        # fast path slices the padded columns back off.
-        n_pad = -(-n // 512) * 512
+        # fast path slices the padded columns back off. Mid-size weights
+        # that already tile at 256 keep their exact N (bn=512 only pays
+        # off at vocab scale; see the measured table in ROUND1_NOTES).
+        if n % 256 == 0 and n < 65536:
+          n_pad = n
+        else:
+          n_pad = -(-n // 512) * 512
         if n_pad != n:
           packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
           pad_spec = ((0, n_pad - n),) + ((0, 0),) * (scale.ndim - 1)
