@@ -32,6 +32,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
   p.add_argument('--error_metric', default='mse',
                  choices=['mse', 'median_diff_ratio', 'cosine_similarity',
                           'kl_divergence', 'snr'])
+  p.add_argument('--calibration_mode', default='capture',
+                 choices=('capture', 'device_stats'),
+                 help='device_stats reduces min/max + GPTQ Hessians on '
+                      'device inside the forward program (fastest for '
+                      'large calibration sets).')
   p.add_argument('--calibration_samples', type=int, default=32,
                  help='Random calibration samples when the recipe needs '
                       'calibration (replace with real data via the API).')
@@ -40,7 +45,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def quantize_graph_file(model_file: str, recipe, output_dir: str,
                         validate: bool, error_metric: str,
-                        calibration_samples: int) -> str:
+                        calibration_samples: int,
+                        calibration_mode: str = 'capture') -> str:
   from ai_edge_quantizer_tpu import quantizer as quantizer_lib
   from ai_edge_quantizer_tpu.utils import test_data as test_data_lib
 
@@ -52,7 +58,8 @@ def quantize_graph_file(model_file: str, recipe, output_dir: str,
           'production accuracy).', file=sys.stderr)
     data = test_data_lib.create_random_dataset(
         qt.float_model, num_samples=calibration_samples)
-    calibration_result = qt.calibrate(data)
+    calibration_result = qt.calibrate(
+        data, calibration_mode=calibration_mode)
   result = qt.quantize(calibration_result)
   stem = os.path.splitext(os.path.basename(model_file))[0]
   result.save(output_dir, stem, overwrite=True)
@@ -91,7 +98,8 @@ def main(argv=None) -> int:
   else:
     quantize_graph_file(
         args.model_file, args.recipe, output_dir, args.validate,
-        args.error_metric, args.calibration_samples)
+        args.error_metric, args.calibration_samples,
+        args.calibration_mode)
   return 0
 
 
