@@ -206,3 +206,29 @@ class TestGranularities:
     assert np.asarray(w.scale).shape == expected_scale_shape
     if gran == _G.BLOCKWISE_32:
       assert w.block_size == 32
+
+
+class TestNewElementwiseOps:
+
+  def test_comparison_and_arith_ops(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.ops import impl as ops_impl
+    a = jnp.asarray([[2.0, -3.0, 4.0, 1.0]])
+    bv = jnp.asarray([[1.0, 2.0, 4.0, -2.0]])
+    cases = {
+        'LESS': a < bv, 'LESS_EQUAL': a <= bv, 'GREATER': a > bv,
+        'GREATER_EQUAL': a >= bv, 'MINIMUM': jnp.minimum(a, bv),
+        'POW': jnp.power(jnp.abs(a), 2.0),
+        'FLOOR_DIV': jnp.floor_divide(a, 2.0),
+        'FLOOR_MOD': jnp.mod(a, 2.0),
+    }
+    for opcode, want in cases.items():
+      fn = ops_impl.OPS[opcode]
+      if opcode == 'POW':
+        got = fn(None, jnp.abs(a), jnp.asarray(2.0))
+      elif opcode in ('FLOOR_DIV', 'FLOOR_MOD'):
+        got = fn(None, a, jnp.asarray(2.0))
+      else:
+        got = fn(None, a, bv)
+      np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                 err_msg=opcode)
