@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 import fixtures
-from ai_edge_quantizer_tpu import Quantizer
+from ai_edge_quantizer_tpu import Quantizer, qtyping
 from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
 from ai_edge_quantizer_tpu.graph import serialize
 from ai_edge_quantizer_tpu.utils import test_data as test_data_lib
@@ -268,3 +268,42 @@ class TestMultiSignatureSerialization:
     y2 = GraphExecutor(g2).signature_runner('decode')(inp)
     np.testing.assert_array_equal(np.asarray(y1['logits']),
                                   np.asarray(y2['logits']))
+
+
+class TestMixedAlgorithmRecipe:
+  """One graph, three algorithms selected by scope — the selective-
+  quantization workflow (ref selective_quantization_isnet colab)."""
+
+  def test_scope_mixed_octav_gptq_minmax(self):
+    graph = fixtures.conv_fc_mnist()
+    qt = Quantizer(graph)
+    # Default: everything min-max int8 DRQ.
+    qt.add_dynamic_config('.*', qtyping.OpName.ALL_SUPPORTED, num_bits=8)
+    # Convs: OCTAV int8.
+    qt.update_quantization_recipe(
+        '.*conv.*', 'CONV_2D',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=8, symmetric=True),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key='OCTAV')
+    # Final FC: GPTQ int4 (needs calibration).
+    qt.update_quantization_recipe(
+        '.*fc2.*', 'FULLY_CONNECTED',
+        qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=4, symmetric=True),
+            compute_precision=qtyping.ComputePrecision.INTEGER),
+        algorithm_key='GPTQ')
+    assert qt.need_calibration
+    data = test_data_lib.create_random_dataset(graph, num_samples=4)
+    res = qt.quantize(qt.calibrate(data))
+    sg = res.quantized_model.main_subgraph()
+    dtypes = {t.name: t.dtype for t in sg.tensors if t.buffer >= 0}
+    int4 = [n for n, d in dtypes.items() if d == 'int4']
+    int8 = [n for n, d in dtypes.items() if d == 'int8']
+    assert any('fc2' in n for n in int4), int4
+    assert int8
+    r = qt.validate(num_samples=2).get_signature_comparison_result(
+        graph.signatures[0].signature_key)
+    assert all(v < 5e-2 for v in r.output_tensors.values()), r.output_tensors
