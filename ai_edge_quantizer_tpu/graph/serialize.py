@@ -277,12 +277,33 @@ def load_graph(path: str, zero_copy: bool = True) -> ir.Graph:
   return graph
 
 
-def load_model(path: str) -> ir.Graph:
-  """Load a model by extension: .aeqg (native) or .tflite (imported)."""
-  if path.endswith('.tflite'):
+def load_model(model) -> ir.Graph:
+  """Load a model: .aeqg / .tflite path, or raw bytes of either format.
+
+  Bytes dispatch by magic: .aeqg starts with AEQG at offset 0; TFLite
+  FlatBuffers carry 'TFL3' at offset 4 (ref quantizer.py bytearray-input
+  support).
+  """
+  if isinstance(model, (bytes, bytearray)):
+    data = bytes(model)
+    if data[:4] == _MAGIC:
+      import tempfile
+      with tempfile.NamedTemporaryFile(suffix='.aeqg', delete=False) as f:
+        f.write(data)
+        tmp = f.name
+      try:
+        return load_graph(tmp, zero_copy=False)
+      finally:
+        import os
+        os.unlink(tmp)
+    if data[4:8] == b'TFL3':
+      from ai_edge_quantizer_tpu.graph import tflite_import
+      return tflite_import.load_tflite(data)
+    raise ValueError('Unrecognized model bytes (neither .aeqg nor .tflite).')
+  if model.endswith('.tflite'):
     from ai_edge_quantizer_tpu.graph import tflite_import
-    return tflite_import.load_tflite(path)
-  return load_graph(path)
+    return tflite_import.load_tflite(model)
+  return load_graph(model)
 
 
 def model_size_bytes(graph: ir.Graph) -> int:

@@ -69,11 +69,11 @@ class Quantizer:
   ):
     self.float_model: ir.Graph = (
         graph_serialize.load_model(float_model)
-        if isinstance(float_model, str) else float_model
+        if isinstance(float_model, (str, bytes, bytearray)) else float_model
     )
     self._previous_quantized_model: Optional[ir.Graph] = (
         graph_serialize.load_model(previous_quantized_model)
-        if isinstance(previous_quantized_model, str)
+        if isinstance(previous_quantized_model, (str, bytes, bytearray))
         else previous_quantized_model
     )
     self._recipe_manager = rm.RecipeManager()

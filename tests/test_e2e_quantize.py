@@ -307,3 +307,28 @@ class TestMixedAlgorithmRecipe:
     r = qt.validate(num_samples=2).get_signature_comparison_result(
         graph.signatures[0].signature_key)
     assert all(v < 5e-2 for v in r.output_tensors.values()), r.output_tensors
+
+
+class TestQuantizerInputForms:
+
+  def test_bytes_input_aeqg(self, tmp_path):
+    g = fixtures.two_layer_mlp()
+    path = str(tmp_path / 'm.aeqg')
+    serialize.save_graph(g, path)
+    data = open(path, 'rb').read()
+    qt = Quantizer(bytearray(data), 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    assert any(t.dtype == 'int8'
+               for t in res.quantized_model.main_subgraph().tensors)
+
+  def test_bad_bytes_raises(self):
+    with pytest.raises(ValueError, match='Unrecognized'):
+      Quantizer(b'\x00' * 64)
+
+  def test_insufficient_calibration_raises(self):
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g, 'default_a8w8')
+    assert qt.need_calibration
+    # QSVs for only one tensor: quantize must refuse.
+    with pytest.raises(ValueError, match='calibration'):
+      qt.quantize({'x': {'min': np.zeros((1, 1)), 'max': np.ones((1, 1))}})
