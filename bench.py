@@ -38,7 +38,9 @@ def bench_mobilenet():
   steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
   g = mobilenet.build_mobilenet_v2(batch=batch, image_size=224)
   qt = Quantizer(g, 'default_a8w8')
-  cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=8))
+  cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=8),
+                    calibration_mode=os.environ.get(
+                        'AEQT_BENCH_CALIB_MODE', 'device_stats'))
   quantized = qt.quantize(cr).quantized_model
   ex = executor_lib.GraphExecutor(quantized)
   sig = quantized.signatures[0]
