@@ -144,9 +144,14 @@ class DecodeServer:
           f'DecodeServer(batch_slots={batch_slots}) does not match the '
           f"graph's decode batch ({graph_batch}); build the serving graph "
           'with the same batch_slots.')
-    self._decode_fn = jax.jit(functools.partial(
-        self._executor._run_signature, dec_sig.subgraph_index, 'decode',
-        False))
+    def _decode_step(weights, inputs, caches):
+      # caches as a separate DONATED arg: the output caches reuse the
+      # input cache buffers in place — no per-tick copy of the pool.
+      return self._executor._run_signature(
+          dec_sig.subgraph_index, 'decode', False,
+          weights, {**inputs, **caches})
+
+    self._decode_fn = jax.jit(_decode_step, donate_argnums=(2,))
     pre_sig = graph.signature_by_key('prefill')
     self._prefill_fn = jax.jit(functools.partial(
         self._executor._run_signature, pre_sig.subgraph_index, 'prefill',
@@ -218,7 +223,8 @@ class DecodeServer:
     active = [i for i, s in enumerate(self._slots) if s.active]
     if not active:
       return {}
-    out = self._decode_fn(self._executor._weights, self._decode_inputs())
+    out = self._decode_fn(self._executor._weights, self._decode_inputs(),
+                          self._caches)
     for li in range(self.cfg.num_layers):
       self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
       self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
@@ -338,5 +344,4 @@ class DecodeServer:
         'mask': mask,
         'cache_onehot': onehot,
     }
-    inputs.update(self._caches)
     return inputs
