@@ -85,6 +85,9 @@ class GraphExecutor:
     self._packed_pad_n: dict = {}  # key -> true N (packed weight N-padded)
     self._packed_scale: dict = {}  # key -> padded per-channel scale
     self._packed_block_size: dict = {}  # key -> block size (blockwise int4)
+    # RMS_NORM -> packed-FC fusion (serving): (sg, norm_out_tid) -> info.
+    self._norm_fusions: dict = {}
+    self._norm_skip: set = set()
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -265,6 +268,46 @@ class GraphExecutor:
         self._weights[key] = packed
         self._packed_scale[key] = jnp.asarray(scale)
         self._packed_int4_keys.add(key)
+    self._find_norm_fusions()
+
+  def _find_norm_fusions(self) -> None:
+    """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
+    into the matmul kernel (norm recomputed per N-tile in VMEM; the
+    standalone norm op and its HBM round trip disappear)."""
+    self._norm_fusions = {}
+    self._norm_skip = set()
+    sig_out_tids = {
+        (s.subgraph_index, tid)
+        for s in self.graph.signatures for tid in s.outputs.values()
+    }
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      for op_idx, op in enumerate(sg.ops):
+        if op.opcode != 'RMS_NORM' or len(op.inputs) < 2 or not op.outputs:
+          continue
+        out_tid = op.outputs[0]
+        if out_tid in sg.outputs or (sg_idx, out_tid) in sig_out_tids:
+          continue
+        gamma_tid = op.inputs[1]
+        g_t = sg.tensors[gamma_tid]
+        if g_t.buffer < 0 or self.graph.buffers[g_t.buffer].data is None:
+          if (sg_idx, gamma_tid) not in self._weights:
+            continue
+        consumers = [o for o in sg.ops if out_tid in o.inputs]
+        if not consumers or not all(
+            o.opcode == 'FULLY_CONNECTED'
+            and o.inputs and o.inputs[0] == out_tid
+            and len(o.inputs) > 1
+            and (sg_idx, o.inputs[1]) in self._packed_int4_keys
+            and (sg_idx, o.inputs[1]) not in self._packed_block_size
+            for o in consumers
+        ):
+          continue
+        self._norm_fusions[(sg_idx, out_tid)] = {
+            'x': op.inputs[0],
+            'gamma': gamma_tid,
+            'eps': float(op.attrs.get('epsilon', 1e-6)),
+        }
+        self._norm_skip.add((sg_idx, op_idx))
 
   # -- public API -----------------------------------------------------------
 
@@ -390,6 +433,8 @@ class GraphExecutor:
           continue
         if (sg_idx, op_idx) in self._attn_skip:
           continue
+        if (sg_idx, op_idx) in self._norm_skip:
+          continue  # folded into the consuming packed-FC kernels
       self._eval_op(sg_idx, sg, op, env)
 
     if capture_all:
@@ -680,12 +725,28 @@ class GraphExecutor:
     key = (sg_idx, op.inputs[1])
     if key in self._packed_int4_keys:
       from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
-      x_f = self._dequant_view(sg, op.inputs[0], env)
       true_n = self._packed_pad_n.get(key)
       bs = self._packed_block_size.get(key, 0)
       # Wide N-tile for huge heads: measured 549us (bn=512) vs 765 (256)
       # vs 946 (128) on the padded 256512x2048 Gemma logits matmul.
       bn = 512 if w_q.shape[0] >= 65536 else 256
+      norm = self._norm_fusions.get((sg_idx, op.inputs[0]))
+      if norm is not None and not bs:
+        x_raw = self._dequant_view(sg, norm['x'], env)
+        gamma = self._dequant_view(sg, norm['gamma'], env)
+        y = pallas_qmatmul.qmatmul_pallas_int4_packed_rmsnorm(
+            x_raw, gamma, w_q, self._packed_scale[key],
+            bias=None if true_n is not None else bias, eps=norm['eps'],
+            bn=bn, interpret=jax.default_backend() != 'tpu')
+        if true_n is not None:
+          y = y[..., :true_n]
+          if bias is not None:
+            y = y + bias
+        y = ops_impl._fused_activation(
+            y, op.attrs.get('fused_activation', 'NONE'))
+        self._store_outputs(sg, op, (y,), env)
+        return
+      x_f = self._dequant_view(sg, op.inputs[0], env)
       if bs:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed_blockwise(
             x_f, w_q, self._packed_scale[key],

@@ -169,6 +169,95 @@ def qmatmul_pallas_int4_packed(
   return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
 
 
+def _int4_channelwise_norm_kernel(eps, x_ref, g_ref, w_ref, s_ref, b_ref,
+                                  o_ref):
+  """RMS-norm(x) * gamma fused ahead of the packed int4 matmul.
+
+  Removes the separate norm op's kernel launch + HBM round trip of the
+  normalized activations; each N-tile recomputes the (tiny) row norms in
+  VMEM. Norm semantics match ops/impl.rms_norm: x * rsqrt(mean x^2 + eps)
+  * gamma.
+  """
+  compute = x_ref.dtype
+  xf = x_ref[:].astype(jnp.float32)
+  ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+  xn = ((xf * jax.lax.rsqrt(ms + eps)).astype(compute)
+        * g_ref[:].astype(compute))
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(compute)
+  hi = (((w32 >> 4) ^ 8) - 8).astype(compute)
+  k2 = w32.shape[1]
+  acc = jax.lax.dot_general(
+      xn[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  acc += jax.lax.dot_general(
+      xn[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  y = acc * s_ref[:]
+  if b_ref is not None:
+    y = y + b_ref[:]
+  o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=('eps', 'bn', 'interpret'))
+def qmatmul_pallas_int4_packed_rmsnorm(
+    x: jax.Array,
+    gamma: jax.Array,
+    w_packed: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+  """rms_norm(x) * gamma contracted against packed int4 weights."""
+  n, k2 = w_packed.shape
+  k = k2 * 2
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+  x2 = x.reshape(m, k).astype(compute)
+  sublane = 16 if compute == jnp.bfloat16 else 8
+  m_pad = _round_up(max(m, sublane), sublane)
+  if m_pad != m:
+    # Zero pad rows: their ms=0 -> rsqrt(eps) finite, rows sliced off.
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+  bn = _pick_tile(n, bn)
+  operands = [x2, gamma.reshape(1, k).astype(compute), w_packed,
+              scale.astype(jnp.float32).reshape(1, n)]
+  in_specs = [
+      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+  ]
+  kernel = functools.partial(_int4_channelwise_norm_kernel, eps)
+  if bias is not None:
+    in_specs.append(
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    body = kernel
+  else:
+    body = lambda x_ref, g_ref, w_ref, s_ref, o_ref: kernel(
+        x_ref, g_ref, w_ref, s_ref, None, o_ref)
+  out = pl.pallas_call(
+      body,
+      grid=(n // bn,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=m_pad * k * 4 + n * k2 + m_pad * n * 4,
+          transcendentals=m_pad),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
+
+
 def _int4_blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
   """Blockwise split-half packed int4: o = sum_b s[n,b] * (x_b . w_b^T).
 

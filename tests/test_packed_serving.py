@@ -134,3 +134,96 @@ def test_capture_all_rejected_after_packing():
   ex.prepare_serving_weights(min_weight_params=0)
   with pytest.raises(ValueError, match='capture_all'):
     ex.signature_runner(capture_all=True)
+
+
+def _norm_fc_model(n_out=512, in_dim=256, batch=4, seed=0, two_heads=False):
+  rng = np.random.default_rng(seed)
+  b = GraphBuilder('main')
+  x = b.input('x', (batch, in_dim))
+  gamma = b.constant('norm/gamma',
+                     (1.0 + rng.standard_normal(in_dim) * 0.1).astype(
+                         np.float32))
+  xn = b.op('RMS_NORM', [x, gamma], [(batch, in_dim)],
+            output_names=['norm/out'], attrs={'epsilon': 1e-6})
+  y = b.fully_connected(
+      xn, (rng.standard_normal((n_out, in_dim)) * 0.1).astype(np.float32),
+      name='fc')
+  b.output(y)
+  if two_heads:
+    y2 = b.fully_connected(
+        xn, (rng.standard_normal((n_out, in_dim)) * 0.1).astype(
+            np.float32), name='fc_b')
+    b.output(y2, 'out2')
+  g = b.finalize()
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', qtyping.OpName.FULLY_CONNECTED, num_bits=4)
+  return qt.quantize().quantized_model, rng
+
+
+def _norm_exact_ref(model, inp, fc_name='fc'):
+  """rms_norm(x)*gamma @ dequant(w)^T in float64."""
+  sg = model.main_subgraph()
+  gamma = next(model.buffers[t.buffer].data for t in sg.tensors
+               if t.name == 'norm/gamma' or t.name == 'g')
+  x = inp['x'].astype(np.float64)
+  xn = x * (1.0 / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + 1e-6))
+  xn = xn * gamma.astype(np.float64)
+  fc = next(op for op in sg.ops if op.opcode == 'FULLY_CONNECTED'
+            and sg.tensors[op.inputs[1]].name.startswith(fc_name + '/'))
+  w_t = sg.tensors[fc.inputs[1]]
+  w = (model.buffers[w_t.buffer].data.astype(np.float64)
+       * np.asarray(w_t.quantization.scale, np.float64).reshape(-1, 1))
+  return xn @ w.T
+
+
+class TestNormFusion:
+
+  def test_norm_folds_into_packed_fc(self):
+    model, rng = _norm_fc_model()
+    inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
+    ref = _norm_exact_ref(model, inp)
+    ex = GraphExecutor(model)
+    ex.prepare_serving_weights(min_weight_params=0)
+    assert ex._norm_fusions and ex._norm_skip
+    out = np.asarray(list(ex.signature_runner()(inp).values())[0])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+  def test_norm_fusion_multi_consumer(self):
+    model, rng = _norm_fc_model(two_heads=True)
+    inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
+    ex = GraphExecutor(model)
+    ex.prepare_serving_weights(min_weight_params=0)
+    assert len(ex._norm_fusions) == 1  # one norm, two FC consumers
+    out = {k: np.asarray(v)
+           for k, v in ex.signature_runner()(inp).items()}
+    refs = {'out': _norm_exact_ref(model, inp, 'fc'),
+            'out_1': _norm_exact_ref(model, inp, 'fc_b')}
+    assert len(out) == 2
+    for k, v in out.items():
+      want = refs.get(k)
+      if want is None:
+        want = refs['out'] if v.shape == refs['out'].shape else None
+      matched = any(
+          np.allclose(v, r, rtol=1e-4, atol=1e-4) for r in refs.values())
+      assert matched, k
+
+  def test_norm_not_fused_when_output_escapes(self):
+    # Norm output also a graph output -> must stay un-fused.
+    rng = np.random.default_rng(1)
+    b = GraphBuilder('main')
+    x = b.input('x', (4, 256))
+    gamma = b.constant('g', np.ones(256, np.float32))
+    xn = b.op('RMS_NORM', [x, gamma], [(4, 256)],
+              output_names=['norm/out'])
+    y = b.fully_connected(
+        xn, (rng.standard_normal((512, 256)) * 0.1).astype(np.float32),
+        name='fc')
+    b.output(y)
+    b.output(xn)
+    g = b.finalize()
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', qtyping.OpName.FULLY_CONNECTED, num_bits=4)
+    model = qt.quantize().quantized_model
+    ex = GraphExecutor(model)
+    ex.prepare_serving_weights(min_weight_params=0)
+    assert not ex._norm_fusions
