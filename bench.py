@@ -222,10 +222,15 @@ def main():
   if not np.isfinite(checksum) or checksum == 0.0:
     raise RuntimeError('decode produced degenerate logits')
 
-  # Speed of light: every weight byte streams HBM->VMEM once per step.
+  # Speed of light: every weight byte AND every live KV-cache byte
+  # streams HBM->VMEM once per step (attention reads the full cache).
+  cache_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                    for v in caches.values())
   hbm_bw = 819e9 if jax.default_backend() == 'tpu' else 50e9
-  sol_steps_s = hbm_bw / max(weight_bytes, 1)
+  sol_steps_s = hbm_bw / max(weight_bytes + cache_bytes, 1)
   sol_tokens_s = sol_steps_s * batch
+  log(f'SOL model: weights {weight_bytes/2**30:.2f} GiB + caches '
+      f'{cache_bytes/2**30:.2f} GiB -> {sol_tokens_s:.0f} tokens/s ceiling')
   vs = tokens_s / sol_tokens_s
 
   print(json.dumps({
