@@ -100,9 +100,17 @@ def main():
     cfg = gemma.GEMMA_2B  # full 256k vocab
   else:
     cfg = gemma.GEMMA_2B_LITE
+  seq = int(os.environ.get('AEQT_BENCH_SEQ', '0'))
+  if seq:
+    # Serving-context-length variant: caches sized to `seq` positions
+    # (decode attention reads the whole allocated cache; real serving
+    # buckets programs by context length).
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, max_seq_len=seq)
 
   log(f'bench: preset={preset} cfg layers={cfg.num_layers} '
-      f'dim={cfg.embed_dim} batch={batch} backend={jax.default_backend()}')
+      f'dim={cfg.embed_dim} seq={cfg.max_seq_len} batch={batch} '
+      f'backend={jax.default_backend()}')
 
   t0 = time.time()
   # Structure on host, weights generated + int4/int8-quantized ON DEVICE —
