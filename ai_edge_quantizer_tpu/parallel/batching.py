@@ -109,6 +109,7 @@ class DecodeServer:
       prefill_batch: int = 1,
       eos_token_id: Optional[int] = None,
       request_timeout_s: Optional[float] = None,
+      pack_weights: bool = False,
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
     and 'prefill' (batch=1) signatures."""
@@ -118,6 +119,9 @@ class DecodeServer:
     self._executor = executor_lib.GraphExecutor(graph)
     if weights is not None:
       self._executor._weights = weights
+    if pack_weights:
+      # Packed-int4 + norm-fusion serving fast paths (TPU production mode).
+      self._executor.prepare_serving_weights()
     self._slots = [_Slot() for _ in range(batch_slots)]
     self._queue: collections.deque = collections.deque()
     self._next_id = 0

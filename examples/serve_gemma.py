@@ -34,8 +34,10 @@ def main():
   quantized = qt.quantize().quantized_model
 
   # 3. Serve with continuous batching + top-k sampling.
+  import jax
   server = DecodeServer(quantized, cfg, batch_slots=slots,
-                        sample_fn=make_topk_sampler(k=20, temperature=0.8))
+                        sample_fn=make_topk_sampler(k=20, temperature=0.8),
+                        pack_weights=jax.default_backend() == 'tpu')
   rng = np.random.default_rng(0)
   requests = {}
   for i in range(6):  # more requests than slots: continuous admission

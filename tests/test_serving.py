@@ -160,3 +160,13 @@ class TestServingRobustness:
     assert s['mean_ttft_s'] > 0
     assert s['mean_request_latency_s'] >= s['mean_ttft_s']
     assert s['queue_depth'] == 0 and s['slots_active'] == 0
+
+
+def test_server_with_packed_weights(quantized_serving_graph):
+  cfg, graph = quantized_serving_graph
+  srv = DecodeServer(graph, cfg, batch_slots=4, pack_weights=True)
+  # Toy weights are below the default packing threshold -> no packing,
+  # but the flag path must be safe end to end.
+  rid = srv.submit([1, 2, 3], max_new_tokens=3)
+  srv.run_to_completion(max_ticks=10)
+  assert srv.stats()['requests_completed'] == 1
