@@ -103,6 +103,7 @@ def _build_signature(
     seq_len: int,
     cache_update: str = 'dus',
     fused_projections: bool = False,
+    device_masks: bool = False,
 ) -> None:
   """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
 
@@ -110,6 +111,11 @@ def _build_signature(
   (DYNAMIC_UPDATE_SLICE, the SAME_AS_OUTPUT-scale int8-cache path);
   'onehot' scatters per-row positions via masked blend (continuous
   batching: every sequence in the batch writes its own cache slot).
+
+  device_masks (decode + onehot only): the attention mask and the cache
+  scatter one-hot are DERIVED IN-GRAPH from `positions` (iota compare),
+  so a serving tick transfers only tokens + positions — no [B,1,G,S]
+  host-built mask crosses the link.
   """
   cfg = store.cfg
   B, T, D = batch, seq_len, cfg.embed_dim
@@ -120,18 +126,44 @@ def _build_signature(
 
   tokens = b.input(f'{sig}/tokens', (B, T), 'int32')
   positions = b.input(f'{sig}/positions', (B, T), 'int32')
-  # Additive attention mask over the full cache: 0 for visible, -inf-like
-  # for hidden. Broadcasts over grouped score rows.
-  mask = b.input(f'{sig}/mask', (B, 1, G * T, S), 'float32')
   cache_pos = -1
   cache_onehot = -1
-  if cache_update == 'dus':
-    # Cache write position as DUS start indices [b, head, pos, dim].
-    cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
+  if device_masks and T == 1 and cache_update == 'onehot':
+    shape4 = b.constant(f'{sig}/pos4_shape',
+                        np.asarray([B, 1, 1, 1], np.int32))
+    pos4 = b.op('RESHAPE', [positions, shape4], [(B, 1, 1, 1)],
+                output_names=[f'{sig}/pos4'])
+    iota_row = b.constant(
+        f'{sig}/iota_row', np.arange(S, dtype=np.int32).reshape(1, 1, 1, S))
+    visible = b.op('LESS_EQUAL', [iota_row, pos4], [(B, 1, 1, S)],
+                   output_names=[f'{sig}/mask_visible'])
+    visible_f = b.activation(f'{sig}/mask_visible_f', (B, 1, 1, S))
+    b.subgraph.ops.append(ir.Op(opcode='CAST', inputs=[visible],
+                                outputs=[visible_f]))
+    one = b.constant(f'{sig}/mask_one', np.asarray(1.0, np.float32))
+    neg = b.constant(f'{sig}/mask_neg', np.asarray(1e9, np.float32))
+    m1 = b.op('SUB', [visible_f, one], [(B, 1, 1, S)],
+              output_names=[f'{sig}/mask_m1'])
+    mask = b.op('MUL', [m1, neg], [(B, 1, 1, S)],
+                output_names=[f'{sig}/mask'])
+    iota_col = b.constant(
+        f'{sig}/iota_col', np.arange(S, dtype=np.int32).reshape(1, 1, S, 1))
+    hit = b.op('EQUAL', [iota_col, pos4], [(B, 1, S, 1)],
+               output_names=[f'{sig}/cache_hit'])
+    cache_onehot = b.activation(f'{sig}/cache_onehot', (B, 1, S, 1))
+    b.subgraph.ops.append(ir.Op(opcode='CAST', inputs=[hit],
+                                outputs=[cache_onehot]))
   else:
-    # Per-row scatter mask: cache_onehot[b, 0, s, 0] = 1 at row b's write
-    # positions (T ones per row).
-    cache_onehot = b.input(f'{sig}/cache_onehot', (B, 1, S, 1), 'float32')
+    # Additive attention mask over the full cache: 0 for visible,
+    # -inf-like for hidden. Broadcasts over grouped score rows.
+    mask = b.input(f'{sig}/mask', (B, 1, G * T, S), 'float32')
+    if cache_update == 'dus':
+      # Cache write position as DUS start indices [b, head, pos, dim].
+      cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
+    else:
+      # Per-row scatter mask: cache_onehot[b, 0, s, 0] = 1 at row b's
+      # write positions (T ones per row).
+      cache_onehot = b.input(f'{sig}/cache_onehot', (B, 1, S, 1), 'float32')
 
   embed_w = store.tensor(b, f'{sig}/embedder/w', (cfg.vocab_size, D),
                          1.0 / math.sqrt(D))
@@ -336,6 +368,7 @@ def build_decoder(
     materialize_weights: bool = True,
     decode_cache_update: str = 'dus',
     fused_projections: bool = False,
+    decode_device_masks: bool = False,
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
@@ -346,9 +379,12 @@ def build_decoder(
     _build_signature(b, store, sig, batch, seq,
                      cache_update=(decode_cache_update if sig == 'decode'
                                    else 'dus'),
-                     fused_projections=fused_projections)
+                     fused_projections=fused_projections,
+                     device_masks=(decode_device_masks and sig == 'decode'))
     b.finalize(signature_key=sig)
   graph.metadata['weight_init_specs'] = store.init_specs
+  if decode_device_masks:
+    graph.metadata['decode_device_masks'] = True
   return graph
 
 
@@ -486,6 +522,7 @@ def build_serving_decoder(
     prefill_len: int = 16,
     seed: int = 0,
     materialize_weights: bool = True,
+    device_masks: bool = False,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -497,9 +534,11 @@ def build_serving_decoder(
   b.finalize(signature_key='prefill')
   b = builder_lib.GraphBuilder('decode', graph=graph)
   _build_signature(b, store, 'decode', batch_slots, 1,
-                   cache_update='onehot')
+                   cache_update='onehot', device_masks=device_masks)
   b.finalize(signature_key='decode')
   graph.metadata['weight_init_specs'] = store.init_specs
+  if device_masks:
+    graph.metadata['decode_device_masks'] = True
   return graph
 
 

@@ -334,18 +334,24 @@ class DecodeServer:
     B, S = self.batch_slots, cfg.max_seq_len
     G = cfg.num_query_heads // cfg.num_kv_heads
     positions = np.zeros((B, 1), np.int32)
+    for i, slot in enumerate(self._slots):
+      if slot.active:
+        positions[i, 0] = slot.pos
+    inputs = {
+        'tokens': self._last_tokens.copy(),
+        'positions': positions,
+    }
+    if self.graph.metadata.get('decode_device_masks'):
+      # Mask + one-hot derive from positions IN-GRAPH: only 2 tiny int32
+      # arrays cross the host->device link per tick.
+      return inputs
     onehot = np.zeros((B, 1, S, 1), np.float32)
     mask = np.full((B, 1, G, S), -1e9, np.float32)
     for i, slot in enumerate(self._slots):
       if not slot.active:
         continue
-      positions[i, 0] = slot.pos
       onehot[i, 0, slot.pos, 0] = 1.0
       mask[i, :, :, :slot.pos + 1] = 0.0
-    inputs = {
-        'tokens': self._last_tokens.copy(),
-        'positions': positions,
-        'mask': mask,
-        'cache_onehot': onehot,
-    }
+    inputs['mask'] = mask
+    inputs['cache_onehot'] = onehot
     return inputs

@@ -170,3 +170,33 @@ def test_server_with_packed_weights(quantized_serving_graph):
   rid = srv.submit([1, 2, 3], max_new_tokens=3)
   srv.run_to_completion(max_ticks=10)
   assert srv.stats()['requests_completed'] == 1
+
+
+def test_device_masks_match_host_masks(quantized_serving_graph):
+  """Serving with in-graph mask derivation must emit identical tokens."""
+  cfg, _ = quantized_serving_graph
+  from ai_edge_quantizer_tpu import Quantizer as _Q
+
+  def build(device_masks):
+    g = gemma.build_serving_decoder(cfg, batch_slots=2, prefill_len=8,
+                                    device_masks=device_masks)
+    qt = _Q(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    return qt.quantize().quantized_model
+
+  prompts = [np.array([5, 9, 2]), np.array([7, 1, 3, 8])]
+
+  def run(graph):
+    srv = DecodeServer(graph, cfg, batch_slots=2)
+    ids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+    toks = {i: [] for i in ids}
+    for _ in range(12):
+      for rid, t in srv.step().items():
+        toks[rid].append(t)
+      if not srv.has_work():
+        break
+    return [toks[i] for i in ids]
+
+  host = run(build(False))
+  dev = run(build(True))
+  assert host == dev, (host, dev)
