@@ -523,19 +523,45 @@ def build_serving_decoder(
     seed: int = 0,
     materialize_weights: bool = True,
     device_masks: bool = False,
+    cache_buckets=None,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
-  shared weight store."""
+  shared weight store.
+
+  cache_buckets: optional ascending context-length buckets (e.g.
+  (128, 256, 1024)); one decode signature is built PER bucket, with KV
+  caches sized to that bucket. The decode server runs the smallest
+  program covering the longest active sequence — the static-shape TPU
+  answer to paged attention: a 128-token conversation reads 8x less
+  cache than the max_seq_len program. Buckets must not exceed
+  cfg.max_seq_len; the last bucket is forced to cfg.max_seq_len.
+  """
   graph = ir.Graph()
   store = _WeightStore(cfg, seed=seed, materialize=materialize_weights)
   b = builder_lib.GraphBuilder('prefill', graph=graph)
   _build_signature(b, store, 'prefill', 1, prefill_len, cache_update='dus')
   b.finalize(signature_key='prefill')
-  b = builder_lib.GraphBuilder('decode', graph=graph)
-  _build_signature(b, store, 'decode', batch_slots, 1,
-                   cache_update='onehot', device_masks=device_masks)
-  b.finalize(signature_key='decode')
+  if cache_buckets:
+    buckets = sorted({min(int(s), cfg.max_seq_len) for s in cache_buckets}
+                     | {cfg.max_seq_len})
+    if buckets[0] < prefill_len:
+      raise ValueError(
+          f'smallest cache bucket {buckets[0]} < prefill_len {prefill_len}')
+    for s in buckets:
+      cfg_s = dataclasses.replace(cfg, max_seq_len=s)
+      store.cfg = cfg_s
+      b = builder_lib.GraphBuilder(f'decode_{s}', graph=graph)
+      _build_signature(b, store, f'decode_{s}', batch_slots, 1,
+                       cache_update='onehot', device_masks=device_masks)
+      b.finalize(signature_key=f'decode_{s}')
+    store.cfg = cfg
+    graph.metadata['decode_buckets'] = buckets
+  else:
+    b = builder_lib.GraphBuilder('decode', graph=graph)
+    _build_signature(b, store, 'decode', batch_slots, 1,
+                     cache_update='onehot', device_masks=device_masks)
+    b.finalize(signature_key='decode')
   graph.metadata['weight_init_specs'] = store.init_specs
   if device_masks:
     graph.metadata['decode_device_masks'] = True

@@ -140,7 +140,18 @@ class DecodeServer:
         'latency_sum_s': 0.0,     # request end-to-end accumulator
     }
 
-    dec_sig = graph.signature_by_key('decode')
+    # Context-length buckets: one decode program per bucket; the server
+    # runs the smallest program covering the longest active sequence
+    # (static-shape paged-attention analog — short conversations read a
+    # fraction of the max cache).
+    self._buckets = list(graph.metadata.get('decode_buckets', []))
+    if self._buckets:
+      self._bucket = self._buckets[0]
+      dec_key = f'decode_{self._bucket}'
+    else:
+      self._bucket = cfg.max_seq_len
+      dec_key = 'decode'
+    dec_sig = graph.signature_by_key(dec_key)
     graph_batch = graph.subgraphs[dec_sig.subgraph_index].tensors[
         dec_sig.inputs['tokens']].shape[0]
     if graph_batch != batch_slots:
@@ -148,14 +159,26 @@ class DecodeServer:
           f'DecodeServer(batch_slots={batch_slots}) does not match the '
           f"graph's decode batch ({graph_batch}); build the serving graph "
           'with the same batch_slots.')
-    def _decode_step(weights, inputs, caches):
-      # caches as a separate DONATED arg: the output caches reuse the
-      # input cache buffers in place — no per-tick copy of the pool.
-      return self._executor._run_signature(
-          dec_sig.subgraph_index, 'decode', False,
-          weights, {**inputs, **caches})
 
-    self._decode_fn = jax.jit(_decode_step, donate_argnums=(2,))
+    self._decode_fns: dict = {}
+
+    def _decode_fn_for(bucket: int):
+      if bucket not in self._decode_fns:
+        key = f'decode_{bucket}' if self._buckets else 'decode'
+        sig = self.graph.signature_by_key(key)
+
+        def _decode_step(weights, inputs, caches, _idx=sig.subgraph_index,
+                         _key=key):
+          # caches as a separate DONATED arg: the output caches reuse the
+          # input cache buffers in place — no per-tick copy of the pool.
+          return self._executor._run_signature(
+              _idx, _key, False, weights, {**inputs, **caches})
+
+        self._decode_fns[bucket] = jax.jit(_decode_step, donate_argnums=(2,))
+      return self._decode_fns[bucket]
+
+    self._decode_fn_for = _decode_fn_for
+    self.metrics['bucket_switches'] = 0
     pre_sig = graph.signature_by_key('prefill')
     self._prefill_fn = jax.jit(functools.partial(
         self._executor._run_signature, pre_sig.subgraph_index, 'prefill',
@@ -163,16 +186,46 @@ class DecodeServer:
     self._prefill_len = graph.subgraphs[
         pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape[1]
 
-    S, NK, H = cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim
+    NK, H = cfg.num_kv_heads, cfg.head_dim
     dec_sg = graph.subgraphs[dec_sig.subgraph_index]
-    self._caches = {}
+    self._cache_dtypes = {}
     for li in range(cfg.num_layers):
       for kind in ('k', 'v'):
         key = f'layer_{li}_{kind}_cache_in'
         t = dec_sg.tensors[dec_sig.inputs[key]]
-        dtype = jnp.int8 if t.dtype == 'int8' else jnp.float32
-        self._caches[key] = jnp.zeros((batch_slots, NK, S, H), dtype)
+        self._cache_dtypes[key] = (
+            jnp.int8 if t.dtype == 'int8' else jnp.float32)
+    self._alloc_caches(self._bucket)
     self._last_tokens = np.zeros((batch_slots, 1), np.int32)
+
+  def _alloc_caches(self, bucket: int) -> None:
+    cfg = self.cfg
+    self._caches = {
+        key: jnp.zeros((self.batch_slots, cfg.num_kv_heads, bucket,
+                        cfg.head_dim), dtype)
+        for key, dtype in self._cache_dtypes.items()
+    }
+    self._bucket = bucket
+
+  def _fit_bucket(self, need_len: int) -> None:
+    """Grow (pad) or reset the cache pool to cover need_len positions."""
+    if not self._buckets:
+      return
+    target = next((s for s in self._buckets if s >= need_len),
+                  self._buckets[-1])
+    if target > self._bucket:
+      pad = target - self._bucket
+      self._caches = {
+          key: jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+          for key, v in self._caches.items()
+      }
+      self._bucket = target
+      self.metrics['bucket_switches'] += 1
+    elif target < self._bucket and not any(
+        s.active for s in self._slots):
+      # Idle: shrink back for the next burst (contents are dead).
+      self._alloc_caches(target)
+      self.metrics['bucket_switches'] += 1
 
   # -- public API -----------------------------------------------------------
 
@@ -223,12 +276,19 @@ class DecodeServer:
     Returns {request_id: newly generated token} for this tick.
     """
     self._expire()
+    if (self._buckets and self._queue
+        and not any(s.active for s in self._slots)
+        and self._bucket != self._buckets[0]):
+      # Pool idle: restart the burst in the smallest bucket.
+      self._alloc_caches(self._buckets[0])
+      self.metrics['bucket_switches'] += 1
     self._admit()
     active = [i for i, s in enumerate(self._slots) if s.active]
     if not active:
       return {}
-    out = self._decode_fn(self._executor._weights, self._decode_inputs(),
-                          self._caches)
+    self._fit_bucket(max(self._slots[i].pos for i in active) + 1)
+    out = self._decode_fn_for(self._bucket)(
+        self._executor._weights, self._decode_inputs(), self._caches)
     for li in range(self.cfg.num_layers):
       self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
       self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
@@ -313,6 +373,8 @@ class DecodeServer:
       for kind in ('k', 'v'):
         key = f'layer_{li}_{kind}_cache_in'
         new_rows = out[f'layer_{li}_{kind}_cache']
+        if new_rows.shape[2] > self._bucket:
+          new_rows = new_rows[:, :, :self._bucket, :]
         self._caches[key] = jax.lax.dynamic_update_slice(
             self._caches[key],
             new_rows.astype(self._caches[key].dtype),
@@ -331,7 +393,7 @@ class DecodeServer:
 
   def _decode_inputs(self) -> dict:
     cfg = self.cfg
-    B, S = self.batch_slots, cfg.max_seq_len
+    B, S = self.batch_slots, self._bucket
     G = cfg.num_query_heads // cfg.num_kv_heads
     positions = np.zeros((B, 1), np.int32)
     for i, slot in enumerate(self._slots):

@@ -200,3 +200,38 @@ def test_device_masks_match_host_masks(quantized_serving_graph):
   host = run(build(False))
   dev = run(build(True))
   assert host == dev, (host, dev)
+
+
+def test_cache_buckets_equivalent_tokens(quantized_serving_graph):
+  """Bucketed decode must emit exactly the tokens of the full-cache path
+  while switching programs as the context grows."""
+  cfg, _ = quantized_serving_graph
+  from ai_edge_quantizer_tpu import Quantizer as _Q
+
+  def build(buckets):
+    g = gemma.build_serving_decoder(cfg, batch_slots=2, prefill_len=8,
+                                    cache_buckets=buckets)
+    qt = _Q(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    return qt.quantize().quantized_model
+
+  prompts = [np.array([5, 9, 2, 11, 4]), np.array([7, 1, 3])]
+
+  def run(graph, buckets):
+    srv = DecodeServer(graph, cfg, batch_slots=2)
+    if buckets:
+      assert srv._buckets == [16, 32, 64]
+    ids = [srv.submit(p, max_new_tokens=20) for p in prompts]
+    toks = {i: [] for i in ids}
+    for _ in range(40):
+      for rid, t in srv.step().items():
+        toks[rid].append(t)
+      if not srv.has_work():
+        break
+    return [toks[i] for i in ids], srv.stats()
+
+  full, _ = run(build(None), None)
+  bucketed, stats = run(build((16, 32)), (16, 32))
+  assert full == bucketed, (full, bucketed)
+  # Generation runs past position 16 -> at least one growth switch.
+  assert stats['bucket_switches'] >= 1, stats
