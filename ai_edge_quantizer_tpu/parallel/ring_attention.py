@@ -27,7 +27,6 @@ All math in f32; int8 (or int4-container) KV streams at storage width.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
