@@ -116,7 +116,6 @@ def ring_attention_int8(
   def local(q, k_blk, v_blk, q_pos, kv_pos):
     qf = q.astype(jnp.float32)
     b, n, t, h = qf.shape
-    idx = jax.lax.axis_index(axis)
 
     neg = jnp.float32(-1e30)
     m0 = jnp.full((b, n, t, 1), neg, jnp.float32)
