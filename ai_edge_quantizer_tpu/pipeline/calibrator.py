@@ -58,7 +58,14 @@ class Calibrator:
     }
     for signature_key, samples in calibration_dataset.items():
       plan = op_plans[signature_key]
-      if self._mode == 'device_stats':
+      sig = self._graph.signature_by_key(signature_key)
+      # device_stats covers only the signature's own subgraph; composite
+      # side-effect subgraph tensors are invisible to the stats program,
+      # so such signatures fall back to capture mode (correctness over
+      # transfer savings).
+      use_device_stats = self._mode == 'device_stats' and all(
+          sg_idx == sig.subgraph_index for sg_idx, *_ in plan)
+      if use_device_stats:
         runner = self._executor.stats_runner(
             signature_key,
             hessian_tensor_names=self._hessian_names(plan))

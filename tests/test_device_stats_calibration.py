@@ -120,3 +120,17 @@ class TestDeviceStatsCalibrator:
     import pytest
     with pytest.raises(ValueError):
       calibrator_lib.Calibrator(fixtures.two_layer_mlp(), mode='bogus')
+
+
+def test_composite_model_falls_back_to_capture():
+  """device_stats must still calibrate composite inner tensors (fallback)."""
+  import importlib
+  comp_tests = importlib.import_module('test_composites')
+  graph = comp_tests._composite_model()
+  mgr = _recipe()
+  data = tdl.create_random_dataset(graph, num_samples=2)
+  host = calibrator_lib.Calibrator(graph, mode='capture')
+  host.calibrate(data, mgr)
+  dev = calibrator_lib.Calibrator(graph, mode='device_stats')
+  dev.calibrate(data, mgr)
+  assert set(host.get_model_qsvs()) == set(dev.get_model_qsvs())
