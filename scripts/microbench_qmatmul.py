@@ -72,6 +72,34 @@ def main():
     print(f'pallas_int4_packed FAILED: {type(e).__name__}: {str(e)[:300]}',
           flush=True)
 
+  try:
+    bs = 64
+    scale_b = jnp.asarray(
+        rng.random((n, k // bs)) * 0.01 + 0.001, jnp.float32)
+    fnb = jax.jit(
+        lambda x, w, s: pallas_qmatmul.qmatmul_pallas_int4_packed_blockwise(
+            x, w, s, block_size=bs))
+    dt = timeit(fnb, x, w_packed, scale_b)
+    gbps = w_bytes_int4 / dt / 1e9
+    print(f'{"pallas_int4_blockwise":22s} {dt*1e6:8.1f} us  {gbps:7.1f} '
+          f'GB/s weight stream (bs={bs})', flush=True)
+  except Exception as e:
+    print(f'pallas_int4_blockwise FAILED: {type(e).__name__}: '
+          f'{str(e)[:300]}', flush=True)
+
+  try:
+    gamma = jnp.asarray(rng.random(k) * 0.5 + 0.75, jnp.float32)
+    fnn = jax.jit(
+        lambda x, g, w, s: pallas_qmatmul.qmatmul_pallas_int4_packed_rmsnorm(
+            x, g, w, s))
+    dt = timeit(fnn, x, gamma, w_packed, scale)
+    gbps = w_bytes_int4 / dt / 1e9
+    print(f'{"pallas_int4_rmsnorm":22s} {dt*1e6:8.1f} us  {gbps:7.1f} '
+          f'GB/s weight stream (norm fused)', flush=True)
+  except Exception as e:
+    print(f'pallas_int4_rmsnorm FAILED: {type(e).__name__}: '
+          f'{str(e)[:300]}', flush=True)
+
 
 if __name__ == '__main__':
   main()
