@@ -273,9 +273,17 @@ class GraphExecutor:
   def _find_norm_fusions(self) -> None:
     """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
     into the matmul kernel (norm recomputed per N-tile in VMEM; the
-    standalone norm op and its HBM round trip disappear)."""
+    standalone norm op and its HBM round trip disappear).
+
+    Opt-in via AEQT_NORM_FUSION=1: the fused kernel measured SLOWER than
+    plain packed matmul at small m on v5e (the in-kernel f32 norm breaks
+    the bf16 MXU pipelining) — kept for shapes where it wins.
+    """
     self._norm_fusions = {}
     self._norm_skip = set()
+    import os
+    if os.environ.get('AEQT_NORM_FUSION', '0') != '1':
+      return
     sig_out_tids = {
         (s.subgraph_index, tid)
         for s in self.graph.signatures for tid in s.outputs.values()

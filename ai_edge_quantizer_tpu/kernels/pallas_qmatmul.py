@@ -53,21 +53,25 @@ def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
 
 
 def _blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
-  """o[M, BN] = sum_b (x_b . w_b^T) * s[BN, b], block-diagonal scales."""
+  """o[M, BN] = sum_b (x_b . w_b^T) * s[BN, b], block-diagonal scales.
+
+  Per-block contractions unrolled at trace time — Mosaic rejects batched
+  dot_general dimension numbers.
+  """
   bn, k = w_ref.shape
   bs = k // nblocks
   m = x_ref.shape[0]
-  w = w_ref[:].astype(jnp.float32).reshape(bn, nblocks, bs)
-  x = x_ref[:].reshape(m, nblocks, bs)
-  # partial[M, BN, nb]: per-block contractions, then scale-weighted sum.
-  partial = jax.lax.dot_general(
-      x, w,
-      dimension_numbers=(((2,), (2,)), ((1,), (1,))),
-      preferred_element_type=jnp.float32,
-  )  # [nb, M, BN]
+  w = w_ref[:].astype(jnp.float32)
+  x = x_ref[:]
   scales = s_ref[:]  # [BN, nb]
-  y = jnp.einsum('bmn,nb->mn', partial, scales,
-                 preferred_element_type=jnp.float32)
+  y = jnp.zeros((m, bn), jnp.float32)
+  for b_idx in range(nblocks):
+    sl = slice(b_idx * bs, (b_idx + 1) * bs)
+    p = jax.lax.dot_general(
+        x[:, sl], w[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y += p * scales[:, b_idx][None, :]
   if b_ref is not None:
     y = y + b_ref[:].reshape(1, -1)
   o_ref[:] = y
@@ -277,17 +281,23 @@ def _int4_blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
   m = x.shape[0]
   scales = s_ref[:]                               # [BN, nb]
 
-  def half(xh, wh, sh):
-    # partial[b, M, BN] per-block contractions, then scale-weighted sum.
-    p = jax.lax.dot_general(
-        xh.reshape(m, nb2, bs), wh.reshape(bn, nb2, bs),
-        dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+  # Mosaic rejects batched dot_general dimension numbers; unroll the
+  # per-block contractions at trace time (nb small MXU dots, per-block
+  # scale applied on the [M, BN] partial).
+  y = jnp.zeros((m, bn), jnp.float32)
+  for b_idx in range(nb2):
+    sl = slice(b_idx * bs, (b_idx + 1) * bs)
+    p_lo = jax.lax.dot_general(
+        x[:, sl], lo[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return jnp.einsum('bmn,nb->mn', p, sh,
-                      preferred_element_type=jnp.float32)
-
-  y = half(x[:, :k2], lo, scales[:, :nb2]) + half(
-      x[:, k2:], hi, scales[:, nb2:])
+    y += p_lo * scales[:, b_idx][None, :]
+    sl_hi = slice(k2 + b_idx * bs, k2 + (b_idx + 1) * bs)
+    p_hi = jax.lax.dot_general(
+        x[:, sl_hi], hi[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y += p_hi * scales[:, nb2 + b_idx][None, :]
   if b_ref is not None:
     y = y + b_ref[:].reshape(1, -1)
   o_ref[:] = y

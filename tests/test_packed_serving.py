@@ -178,6 +178,10 @@ def _norm_exact_ref(model, inp, fc_name='fc'):
 
 class TestNormFusion:
 
+  @pytest.fixture(autouse=True)
+  def _enable_norm_fusion(self, monkeypatch):
+    monkeypatch.setenv('AEQT_NORM_FUSION', '1')
+
   def test_norm_folds_into_packed_fc(self):
     model, rng = _norm_fc_model()
     inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
