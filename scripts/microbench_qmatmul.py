@@ -15,14 +15,27 @@ sys.path.insert(0, '.')
 from ai_edge_quantizer_tpu.kernels import pallas_qmatmul, qmatmul  # noqa: E402
 
 
+def _sync(out):
+  # Value fetch: block_until_ready is unreliable over the axon tunnel.
+  return float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
+
+
 def timeit(fn, *args, iters=50):
-  out = fn(*args)
-  jax.block_until_ready(out)
+  _sync(fn(*args))
+  small = jnp.ones((1, 1), jnp.float32)
+  _sync(small)
+  rts = []
+  for _ in range(5):
+    t0 = time.perf_counter()
+    _sync(small)
+    rts.append(time.perf_counter() - t0)
+  rt = min(rts)
   t0 = time.perf_counter()
+  out = None
   for _ in range(iters):
     out = fn(*args)
-  jax.block_until_ready(out)
-  return (time.perf_counter() - t0) / iters
+  _sync(out)
+  return max((time.perf_counter() - t0 - rt) / iters, 1e-9)
 
 
 def main():
