@@ -289,25 +289,56 @@ def _int4_blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
   m = x.shape[0]
   scales = s_ref[:]                               # [BN, nb]
 
-  # Apply the per-(channel, block) scales ELEMENTWISE to the unpacked
-  # weights (VPU, overlaps the MXU), then contract each half with ONE
-  # full-K dot — many small per-block dots starve the MXU, and Mosaic
-  # rejects batched dot_general dimension numbers.
-  scale_lo = jnp.repeat(scales[:, :nb2], bs, axis=1)   # [BN, K/2]
-  scale_hi = jnp.repeat(scales[:, nb2:], bs, axis=1)
-  w_lo = lo.astype(jnp.float32) * scale_lo
-  w_hi = hi.astype(jnp.float32) * scale_hi
-  y = jax.lax.dot_general(
-      x[:, :k2].astype(jnp.float32), w_lo,
-      dimension_numbers=(((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32)
-  y += jax.lax.dot_general(
-      x[:, k2:].astype(jnp.float32), w_hi,
-      dimension_numbers=(((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32)
+  # Mosaic rejects batched dot_general dims AND lane-dim repeat; unroll
+  # the per-block contractions at trace time (nb small MXU dots with the
+  # per-block scale applied on each [M, BN] partial). Correct everywhere;
+  # the 2-D-grid variant below is the production fast path.
+  y = jnp.zeros((m, bn), jnp.float32)
+  for b_idx in range(nb2):
+    sl = slice(b_idx * bs, (b_idx + 1) * bs)
+    p_lo = jax.lax.dot_general(
+        x[:, sl], lo[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y += p_lo * scales[:, b_idx][None, :]
+    sl_hi = slice(k2 + b_idx * bs, k2 + (b_idx + 1) * bs)
+    p_hi = jax.lax.dot_general(
+        x[:, sl_hi], hi[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y += p_hi * scales[:, nb2 + b_idx][None, :]
   if b_ref is not None:
     y = y + b_ref[:].reshape(1, -1)
   o_ref[:] = y
+
+
+def _int4_blockwise_2d_kernel(nb2, bs, x_ref, w_ref, s_ref, b_ref, o_ref):
+  """Grid (N-tile, byte-column group): one packed byte block -> TWO
+  per-block dots (low nibble = block j, high nibble = block nb2 + j),
+  accumulated into the resident output tile with per-block scales."""
+  j = pl.program_id(1)
+  compute = x_ref.dtype
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(compute)      # [BN, bs]
+  hi = (((w32 >> 4) ^ 8) - 8).astype(compute)
+
+  @pl.when(j == 0)
+  def _():
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+  scales = s_ref[:]                                 # [BN, 2] (blocks j, nb2+j)
+  p_lo = jax.lax.dot_general(
+      x_ref[:, :bs], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  p_hi = jax.lax.dot_general(
+      x_ref[:, bs:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  acc = p_lo * scales[:, 0][None, :] + p_hi * scales[:, 1][None, :]
+  o_ref[:] += acc
+  if b_ref is not None:
+    @pl.when(j == nb2 - 1)
+    def _():
+      o_ref[:] += b_ref[:]
 
 
 @functools.partial(
@@ -325,12 +356,17 @@ def qmatmul_pallas_int4_packed_blockwise(
 
   scale: [N, K // block_size] (fp16-grid values, any float dtype).
   block_size must divide K//2 (true for K a power of two, bs 32..256).
+  Grid is 2-D (N-tile x byte-column group); the output tile stays
+  resident in VMEM across the block dimension (minor grid axis) while
+  packed weight blocks stream and accumulate.
   """
   n, k2 = w_packed.shape
   k = k2 * 2
   nblocks = k // block_size
-  if nblocks % 2 or k2 % (nblocks // 2):
+  nb2 = nblocks // 2
+  if nblocks % 2 or k2 % nb2:
     raise ValueError(f'block_size {block_size} must divide K/2 = {k2}.')
+  bs = k2 // nb2  # byte columns per block == block_size // 2 * 2
   lead_shape = x.shape[:-1]
   m = 1
   for d in lead_shape:
@@ -342,18 +378,29 @@ def qmatmul_pallas_int4_packed_blockwise(
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = _pick_tile(n, bn)
-  operands = [x2, w_packed,
-              scale.astype(jnp.float32).reshape(n, nblocks)]
+  # x layout per grid step (i, j): columns [j*bs, (j+1)*bs) (low half)
+  # and [k2 + j*bs, ...) (high half) — pre-gather them adjacently so one
+  # 2-D block spec covers both: x_pairs [m, nb2, 2*bs] flattened.
+  x_lo = x2[:, :k2].reshape(m_pad, nb2, bs)
+  x_hi = x2[:, k2:].reshape(m_pad, nb2, bs)
+  x_pairs = jnp.concatenate([x_lo, x_hi], axis=2).reshape(m_pad, k)
+  # scale pairs per (channel, group j): blocks j and nb2+j adjacent.
+  s2 = scale.astype(jnp.float32).reshape(n, nblocks)
+  s_pairs = jnp.stack([s2[:, :nb2], s2[:, nb2:]], axis=2).reshape(
+      n, 2 * nb2)
+  operands = [x_pairs, w_packed, s_pairs]
   in_specs = [
-      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, nblocks), lambda i: (i, 0),
+      pl.BlockSpec((m_pad, 2 * bs), lambda i, j: (0, j),
                    memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, bs), lambda i, j: (i, j),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
   ]
-  kernel = functools.partial(_int4_blockwise_kernel, nblocks)
+  kernel = functools.partial(_int4_blockwise_2d_kernel, nb2, bs)
   if bias is not None:
     in_specs.append(
-        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM))
     operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = kernel
   else:
@@ -361,9 +408,9 @@ def qmatmul_pallas_int4_packed_blockwise(
         x_ref, w_ref, s_ref, None, o_ref)
   out = pl.pallas_call(
       body,
-      grid=(n // bn,),
+      grid=(n // bn, nb2),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
       cost_estimate=pl.CostEstimate(
