@@ -227,8 +227,12 @@ class GraphExecutor:
         if key not in self._weights or key in self._packed_int4_keys:
           continue
         q = t.quantization
+        # Packed blockwise needs lane-aligned byte blocks: byte columns
+        # per block == block_size, and Mosaic requires >=128 lanes per
+        # tile. Smaller blocks (32/64) serve via the XLA blockwise path.
         blockwise_ok = (
             q is not None and q.block_size > 0
+            and q.block_size % 128 == 0
             and (t.shape[-1] // q.block_size) % 2 == 0
             and (t.shape[-1] // 2) % q.block_size == 0
         )

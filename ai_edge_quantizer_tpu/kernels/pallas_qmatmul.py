@@ -366,6 +366,10 @@ def qmatmul_pallas_int4_packed_blockwise(
   nb2 = nblocks // 2
   if nblocks % 2 or k2 % nb2:
     raise ValueError(f'block_size {block_size} must divide K/2 = {k2}.')
+  if block_size % 128 and not interpret:
+    raise ValueError(
+        f'packed blockwise needs block_size % 128 == 0 (lane-aligned '
+        f'byte tiles); got {block_size}. Use the XLA blockwise path.')
   bs = k2 // nb2  # byte columns per block == block_size // 2 * 2
   lead_shape = x.shape[:-1]
   m = 1

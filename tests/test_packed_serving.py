@@ -105,7 +105,7 @@ def _blockwise_exact_ref(model, inp):
   return inp['x'].astype(np.float64) @ w.T
 
 
-@pytest.mark.parametrize('n_out,block_size', [(512, 32), (384, 64)])
+@pytest.mark.parametrize('n_out,block_size', [(512, 128), (384, 128)])
 def test_blockwise_packed_matches_exact(n_out, block_size):
   model, rng = _blockwise_int4_fc_model(n_out, block_size)
   inp = {'x': rng.standard_normal((4, 256)).astype(np.float32)}
@@ -119,13 +119,13 @@ def test_blockwise_packed_matches_exact(n_out, block_size):
   np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
-def test_blockwise_odd_nblocks_not_packed():
-  # K=256, block 128 -> 2 blocks: even, eligible. K=256, block 256 would
-  # be tensorwise-per-row; use in_dim where nblocks is odd: K=96, bs=32.
-  model, _ = _blockwise_int4_fc_model(256, block_size=32, in_dim=96)
+def test_blockwise_small_blocks_not_packed():
+  # block_size < 128 lacks lane alignment for the packed kernel: the
+  # XLA blockwise path serves it instead.
+  model, _ = _blockwise_int4_fc_model(512, block_size=32)
   ex = GraphExecutor(model)
   ex.prepare_serving_weights(min_weight_params=0)
-  assert not ex._packed_block_size  # 3 blocks: split-half ineligible
+  assert not ex._packed_block_size
 
 
 def test_capture_all_rejected_after_packing():
