@@ -21,7 +21,18 @@ def _sync(out):
 
 
 def timeit(fn, *args, iters=50):
-  _sync(fn(*args))
+  """On-device scan loop: per-dispatch tunnel latency would otherwise
+  swamp kernels in the 10-100us range. The carry ties iterations into a
+  dependency chain so XLA cannot elide or overlap them."""
+
+  def body(carry, _):
+    out = fn(carry[0], *args[1:])
+    eps = (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(carry[0].dtype)
+    return (carry[0] + eps, carry[1] + 1), ()
+
+  run = jax.jit(lambda x0: jax.lax.scan(
+      body, (x0, jnp.int32(0)), None, length=iters)[0][0])
+  _sync(run(args[0]))
   small = jnp.ones((1, 1), jnp.float32)
   _sync(small)
   rts = []
@@ -31,9 +42,7 @@ def timeit(fn, *args, iters=50):
     rts.append(time.perf_counter() - t0)
   rt = min(rts)
   t0 = time.perf_counter()
-  out = None
-  for _ in range(iters):
-    out = fn(*args)
+  out = run(args[0])
   _sync(out)
   return max((time.perf_counter() - t0 - rt) / iters, 1e-9)
 
@@ -86,7 +95,7 @@ def main():
           flush=True)
 
   try:
-    bs = 64
+    bs = 128
     scale_b = jnp.asarray(
         rng.random((n, k // bs)) * 0.01 + 0.001, jnp.float32)
     fnb = jax.jit(
