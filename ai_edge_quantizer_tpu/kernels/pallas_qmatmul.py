@@ -315,7 +315,11 @@ def _int4_blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
 def _int4_blockwise_2d_kernel(nb2, bs, x_ref, w_ref, s_ref, b_ref, o_ref):
   """Grid (N-tile, byte-column group): one packed byte block -> TWO
   per-block dots (low nibble = block j, high nibble = block nb2 + j),
-  accumulated into the resident output tile with per-block scales."""
+  accumulated into the resident output tile with per-block scales.
+
+  The scale tile is the FULL [BN, nblocks] row (a narrow lane block is
+  not Mosaic-legal); the two per-group columns are picked with dynamic
+  lane slices on the grid index."""
   j = pl.program_id(1)
   compute = x_ref.dtype
   w32 = w_ref[:].astype(jnp.int32)
@@ -326,14 +330,16 @@ def _int4_blockwise_2d_kernel(nb2, bs, x_ref, w_ref, s_ref, b_ref, o_ref):
   def _():
     o_ref[:] = jnp.zeros_like(o_ref)
 
-  scales = s_ref[:]                                 # [BN, 2] (blocks j, nb2+j)
+  scales = s_ref[:]                                 # [BN, nblocks]
+  s_lo = jax.lax.dynamic_slice_in_dim(scales, j, 1, axis=1)
+  s_hi = jax.lax.dynamic_slice_in_dim(scales, nb2 + j, 1, axis=1)
   p_lo = jax.lax.dot_general(
       x_ref[:, :bs], lo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
   p_hi = jax.lax.dot_general(
       x_ref[:, bs:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
-  acc = p_lo * scales[:, 0][None, :] + p_hi * scales[:, 1][None, :]
+  acc = p_lo * s_lo[:, 0][None, :] + p_hi * s_hi[:, 0][None, :]
   o_ref[:] += acc
   if b_ref is not None:
     @pl.when(j == nb2 - 1)
@@ -388,17 +394,16 @@ def qmatmul_pallas_int4_packed_blockwise(
   x_lo = x2[:, :k2].reshape(m_pad, nb2, bs)
   x_hi = x2[:, k2:].reshape(m_pad, nb2, bs)
   x_pairs = jnp.concatenate([x_lo, x_hi], axis=2).reshape(m_pad, k)
-  # scale pairs per (channel, group j): blocks j and nb2+j adjacent.
   s2 = scale.astype(jnp.float32).reshape(n, nblocks)
-  s_pairs = jnp.stack([s2[:, :nb2], s2[:, nb2:]], axis=2).reshape(
-      n, 2 * nb2)
-  operands = [x_pairs, w_packed, s_pairs]
+  operands = [x_pairs, w_packed, s2]
   in_specs = [
       pl.BlockSpec((m_pad, 2 * bs), lambda i, j: (0, j),
                    memory_space=pltpu.VMEM),
       pl.BlockSpec((bn, bs), lambda i, j: (i, j),
                    memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+      # Full scale row per N-tile; narrow lane blocks are not legal.
+      pl.BlockSpec((bn, nblocks), lambda i, j: (i, 0),
+                   memory_space=pltpu.VMEM),
   ]
   kernel = functools.partial(_int4_blockwise_2d_kernel, nb2, bs)
   if bias is not None:
