@@ -317,9 +317,10 @@ def _int4_blockwise_2d_kernel(nb2, bs, x_ref, w_ref, s_ref, b_ref, o_ref):
   per-block dots (low nibble = block j, high nibble = block nb2 + j),
   accumulated into the resident output tile with per-block scales.
 
-  The scale tile is the FULL [BN, nblocks] row (a narrow lane block is
-  not Mosaic-legal); the two per-group columns are picked with dynamic
-  lane slices on the grid index."""
+  The per-group scale pair rides the SUBLANE dim of an 8-sublane-padded
+  tile ([8, BN]: row 0 = low-nibble block scale, row 1 = high), selected
+  by the grid's block index map — no dynamic slicing (unimplemented in
+  Mosaic) and no narrow lane blocks (illegal)."""
   j = pl.program_id(1)
   compute = x_ref.dtype
   w32 = w_ref[:].astype(jnp.int32)
@@ -330,16 +331,14 @@ def _int4_blockwise_2d_kernel(nb2, bs, x_ref, w_ref, s_ref, b_ref, o_ref):
   def _():
     o_ref[:] = jnp.zeros_like(o_ref)
 
-  scales = s_ref[:]                                 # [BN, nblocks]
-  s_lo = jax.lax.dynamic_slice_in_dim(scales, j, 1, axis=1)
-  s_hi = jax.lax.dynamic_slice_in_dim(scales, nb2 + j, 1, axis=1)
+  s_blk = s_ref[:]                                  # [8, BN]
   p_lo = jax.lax.dot_general(
       x_ref[:, :bs], lo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
   p_hi = jax.lax.dot_general(
       x_ref[:, bs:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
-  acc = p_lo * s_lo[:, 0][None, :] + p_hi * s_hi[:, 0][None, :]
+  acc = p_lo * s_blk[0:1, :] + p_hi * s_blk[1:2, :]
   o_ref[:] += acc
   if b_ref is not None:
     @pl.when(j == nb2 - 1)
@@ -395,15 +394,18 @@ def qmatmul_pallas_int4_packed_blockwise(
   x_hi = x2[:, k2:].reshape(m_pad, nb2, bs)
   x_pairs = jnp.concatenate([x_lo, x_hi], axis=2).reshape(m_pad, k)
   s2 = scale.astype(jnp.float32).reshape(n, nblocks)
-  operands = [x_pairs, w_packed, s2]
+  # Scale pairs on the sublane dim: [nb2, 8, N] (row 0 = low-nibble
+  # block j scale, row 1 = high-nibble block nb2+j, rows 2-7 padding).
+  s_pairs = jnp.stack([s2[:, :nb2].T, s2[:, nb2:].T], axis=1)
+  s_pairs = jnp.pad(s_pairs, ((0, 0), (0, 6), (0, 0))).reshape(
+      nb2 * 8, n)
+  operands = [x_pairs, w_packed, s_pairs]
   in_specs = [
       pl.BlockSpec((m_pad, 2 * bs), lambda i, j: (0, j),
                    memory_space=pltpu.VMEM),
       pl.BlockSpec((bn, bs), lambda i, j: (i, j),
                    memory_space=pltpu.VMEM),
-      # Full scale row per N-tile; narrow lane blocks are not legal.
-      pl.BlockSpec((bn, nblocks), lambda i, j: (i, 0),
-                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((8, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
   ]
   kernel = functools.partial(_int4_blockwise_2d_kernel, nb2, bs)
   if bias is not None:
