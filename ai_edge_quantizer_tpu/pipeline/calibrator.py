@@ -32,7 +32,7 @@ class Calibrator:
     Hessians reduced on device inside the forward program — the
     profiler-based calibrator analog, ref calibrator.py:590-686; only
     scalar stats cross the host link)."""
-    if mode not in ('capture', 'device_stats'):
+    if mode not in ('capture', 'device_stats', 'inference_only'):
       raise ValueError(f'Unknown calibration mode {mode!r}.')
     self._graph = float_graph
     self._mode = mode
@@ -52,6 +52,11 @@ class Calibrator:
       model_recipe_manager: rm.RecipeManager,
   ) -> None:
     """calibration_dataset: {signature_key: iterable of {input_name: array}}."""
+    if self._mode == 'inference_only':
+      # Parity: reference _InferenceOnlyCalibrator (calibrator.py:454-481)
+      # — an inference backend only; calibration is a hard error.
+      raise NotImplementedError(
+          'inference_only mode does not support calibration.')
     op_plans = {
         key: self._plan_for_signature(key, model_recipe_manager)
         for key in calibration_dataset

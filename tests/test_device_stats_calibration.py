@@ -134,3 +134,12 @@ def test_composite_model_falls_back_to_capture():
   dev = calibrator_lib.Calibrator(graph, mode='device_stats')
   dev.calibrate(data, mgr)
   assert set(host.get_model_qsvs()) == set(dev.get_model_qsvs())
+
+
+def test_inference_only_mode_refuses_calibration():
+  import pytest
+  from tests import fixtures
+  calib = calibrator_lib.Calibrator(fixtures.two_layer_mlp(),
+                                    mode='inference_only')
+  with pytest.raises(NotImplementedError):
+    calib.calibrate({'serving_default': []}, None)
