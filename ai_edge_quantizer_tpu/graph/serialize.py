@@ -174,7 +174,12 @@ def save_graph(graph: ir.Graph, path: str) -> None:
   pad = (-payload_start) % _ALIGN
   total = payload_start + pad + payload.offset
 
-  with open(path, 'w+b') as f:
+  # Write to a temp file + atomic rename: overwriting the path in place
+  # would truncate pages still referenced by zero-copy mmap loads of the
+  # SAME file (e.g. quantize-and-save-back) -> SIGBUS. The rename keeps
+  # the old inode alive for existing mappings and makes saves atomic.
+  tmp_path = path + '.tmp'
+  with open(tmp_path, 'w+b') as f:
     f.truncate(total)
     if total > 0:
       with mmap.mmap(f.fileno(), total) as mm:
@@ -187,6 +192,8 @@ def save_graph(graph: ir.Graph, path: str) -> None:
             n = len(blob)
             mm[pos:pos + n] = blob
           pos += n
+  import os
+  os.replace(tmp_path, path)
 
 
 def _read_array(mm, payload_base: int, entry: Optional[dict],

@@ -332,3 +332,26 @@ class TestQuantizerInputForms:
     # QSVs for only one tensor: quantize must refuse.
     with pytest.raises(ValueError, match='calibration'):
       qt.quantize({'x': {'min': np.zeros((1, 1)), 'max': np.ones((1, 1))}})
+
+
+def test_save_over_mmap_loaded_source(tmp_path):
+  """Quantize a zero-copy-loaded .aeqg and save back to the SAME path.
+
+  The save must not truncate pages still referenced by the source
+  graph's mmap (atomic-rename write; a plain overwrite SIGBUSes)."""
+  g = fixtures.two_layer_mlp()
+  path = str(tmp_path / 'm.aeqg')
+  serialize.save_graph(g, path)
+  loaded = serialize.load_graph(path, zero_copy=True)
+  qt = Quantizer(loaded, 'dynamic_wi8_afp32')
+  res = qt.quantize()
+  serialize.save_graph(res.quantized_model, path)  # same path
+  # Original mmap-backed graph still fully readable.
+  assert all(
+      b.data is None or np.asarray(b.data).size >= 0
+      for b in loaded.buffers)
+  np.testing.assert_array_equal(
+      np.asarray(loaded.buffers[0].data),
+      np.asarray(g.buffers[0].data))
+  again = serialize.load_graph(path)
+  assert any(t.dtype == 'int8' for t in again.main_subgraph().tensors)
