@@ -229,11 +229,25 @@ class DecodeServer:
 
   # -- public API -----------------------------------------------------------
 
+  def max_prompt_len(self) -> int:
+    """Longest admissible prompt: whole prefill chunks that fit the cache."""
+    S, T = self.cfg.max_seq_len, self._prefill_len
+    return S if S % T == 0 else (S // T) * T
+
   def submit(self, prompt, max_new_tokens: int = 16,
              timeout_s: Optional[float] = None) -> int:
     now = time.monotonic()
+    prompt = np.asarray(prompt, np.int32)
+    if prompt.size > self.max_prompt_len():
+      # Never silently drop prompt tail: a prompt that cannot fit the KV
+      # cache is a caller error, not a truncation.
+      raise ValueError(
+          f'prompt of {prompt.size} tokens exceeds the maximum admissible '
+          f'length {self.max_prompt_len()} '
+          f'(max_seq_len={self.cfg.max_seq_len}, '
+          f'prefill chunk={self._prefill_len}).')
     timeout_s = timeout_s if timeout_s is not None else self._default_timeout
-    req = Request(self._next_id, np.asarray(prompt, np.int32),
+    req = Request(self._next_id, prompt,
                   max_new_tokens, submitted_at=now,
                   deadline=(now + timeout_s) if timeout_s is not None else None)
     self._next_id += 1
@@ -352,21 +366,39 @@ class DecodeServer:
       self._prefill_into_slot(i, req)
 
   def _prefill_into_slot(self, slot_idx: int, req: Request) -> None:
+    """Prefill a slot, chunking prompts longer than one prefill window.
+
+    Each chunk's output caches feed the next chunk's cache inputs (the
+    prefill program already takes a DUS start position), so any prompt up
+    to max_prompt_len() prefills losslessly — no tail truncation.
+    """
     cfg = self.cfg
     T = self._prefill_len
-    prompt = req.prompt[:T]
-    pad = T - prompt.size
-    tokens = np.concatenate(
-        [prompt, np.zeros(pad, np.int32)])[None, :]
-    inputs = gemma.make_inputs(cfg, 'prefill', 1, T, start_pos=0)
-    inputs['tokens'] = tokens
-    # Mask out padded prompt positions.
-    G = cfg.num_query_heads // cfg.num_kv_heads
-    mask = np.asarray(inputs['mask'])
-    if pad:
-      mask[:, :, :, prompt.size:T] = -1e9
-    inputs['mask'] = mask
-    out = self._prefill_fn(self._executor._weights, inputs)
+    prompt = req.prompt
+    num_chunks = max(1, -(-prompt.size // T))
+    chunk_caches = None
+    out = None
+    for c in range(num_chunks):
+      start = c * T
+      chunk = prompt[start:start + T]
+      pad = T - chunk.size
+      tokens = np.concatenate([chunk, np.zeros(pad, np.int32)])[None, :]
+      inputs = gemma.make_inputs(cfg, 'prefill', 1, T, start_pos=start)
+      inputs['tokens'] = tokens
+      if pad:
+        # Hide padded-key columns even from padded rows (garbage K values
+        # must not leak into softmax numerics).
+        mask = np.asarray(inputs['mask'])
+        mask[:, :, :, prompt.size:start + T] = -1e9
+        inputs['mask'] = mask
+      if chunk_caches is not None:
+        inputs.update(chunk_caches)
+      out = self._prefill_fn(self._executor._weights, inputs)
+      if c + 1 < num_chunks:
+        chunk_caches = {
+            f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
+            for li in range(cfg.num_layers) for kind in ('k', 'v')
+        }
     self.metrics['prefills'] += 1
     # Write the prefilled caches into this slot's rows.
     for li in range(cfg.num_layers):
@@ -379,7 +411,8 @@ class DecodeServer:
             self._caches[key],
             new_rows.astype(self._caches[key].dtype),
             (slot_idx, 0, 0, 0))
-    logits = np.asarray(out['logits'])[0, prompt.size - 1]
+    last_row = (prompt.size - 1) - (num_chunks - 1) * T
+    logits = np.asarray(out['logits'])[0, last_row]
     first_token = self._sample(logits)
     req.generated.append(first_token)
     req.status = 'running'
@@ -390,6 +423,14 @@ class DecodeServer:
     slot.request = req
     slot.pos = prompt.size
     self._last_tokens[slot_idx, 0] = first_token
+    if (len(req.generated) >= req.max_new_tokens
+        or slot.pos >= cfg.max_seq_len
+        or (self._eos is not None and first_token == self._eos)):
+      # Done at prefill: request satisfied (or cache full — no room for a
+      # decode write) before any decode tick.
+      self._finish(req, 'done')
+      slot.request = None
+      self.metrics['requests_completed'] += 1
 
   def _decode_inputs(self) -> dict:
     cfg = self.cfg

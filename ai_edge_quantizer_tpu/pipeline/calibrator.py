@@ -89,14 +89,36 @@ class Calibrator:
   def get_model_qsvs(self) -> dict:
     return self._model_qsvs
 
-  def load_model_qsvs(self, qsvs: dict) -> None:
-    self._model_qsvs = dict(qsvs)
+  def get_num_samples_calibrated(self) -> int:
+    return self._num_samples
+
+  def reset_model_qsvs(self) -> None:
+    """Parity: reference calibrator.py:348-352."""
+    self._model_qsvs = {}
+    self._initialized_ops = set()
+    self._num_samples = 0
+
+  def load_model_qsvs(self, qsvs) -> None:
+    """Load previous QSVs from a dict or a saved-calibration JSON path.
+
+    A path restores the `num_samples_calibrated` resume metadata so a
+    resumed run's saved count keeps accumulating (parity: reference
+    calibrator.py:354-369).
+    """
+    if isinstance(qsvs, str):
+      self._model_qsvs, metadata = (
+          calibration_utils.load_qsvs_from_json(qsvs))
+      self._num_samples = int(metadata.get('num_samples_calibrated', 0))
+    else:
+      self._model_qsvs = dict(qsvs)
     # Treat all previously known ops as initialized.
     self._initialized_ops = set()
 
-  def save_calibration_result(self, path: str) -> None:
+  def save_calibration_result(self, path: str,
+                              extra_metadata: dict | None = None) -> None:
     calibration_utils.save_qsvs_to_json(
-        self._model_qsvs, path, num_samples=self._num_samples)
+        self._model_qsvs, path, num_samples=self._num_samples,
+        extra_metadata=extra_metadata)
 
   def signature_runner(self, signature_key: str,
                        model_recipe_manager: rm.RecipeManager):

@@ -30,9 +30,11 @@ def _decode_hook(d):
   return d
 
 
-def qsvs_to_json(qsvs: dict, num_samples: int = 0) -> str:
+def qsvs_to_json(qsvs: dict, num_samples: int = 0,
+                 extra_metadata: dict | None = None) -> str:
   payload = dict(qsvs)
-  payload[_METADATA_KEY] = {'num_samples_calibrated': num_samples}
+  payload[_METADATA_KEY] = {
+      'num_samples_calibrated': num_samples, **(extra_metadata or {})}
   return json.dumps(payload, cls=_NumpyEncoder)
 
 
@@ -42,9 +44,10 @@ def qsvs_from_json(text: str) -> tuple:
   return payload, metadata
 
 
-def save_qsvs_to_json(qsvs: dict, path: str, num_samples: int = 0) -> None:
+def save_qsvs_to_json(qsvs: dict, path: str, num_samples: int = 0,
+                      extra_metadata: dict | None = None) -> None:
   with open(path, 'w') as f:
-    f.write(qsvs_to_json(qsvs, num_samples))
+    f.write(qsvs_to_json(qsvs, num_samples, extra_metadata))
 
 
 def load_qsvs_from_json(path: str) -> tuple:

@@ -133,6 +133,35 @@ class TestStaticRange:
                        previous_calibration_result=loaded)
     assert set(cr2) == set(cr1)
 
+  def test_resume_from_path_restores_sample_count(self, tmp_path):
+    """A resumed calibrator keeps accumulating num_samples_calibrated
+    (reference calibrator.py:354-369 resume-metadata contract)."""
+    from ai_edge_quantizer_tpu.pipeline import calibrator as calibrator_lib
+    from ai_edge_quantizer_tpu.recipe import recipe_manager as rm_lib
+    from ai_edge_quantizer_tpu.recipe import recipe as recipe_lib
+    from ai_edge_quantizer_tpu.utils import calibration_utils
+    g = fixtures.two_layer_mlp()
+    manager = rm_lib.RecipeManager()
+    manager.load_quantization_recipe(recipe_lib.default_a8w8())
+    calib1 = calibrator_lib.Calibrator(g)
+    calib1.calibrate(self._calib(g, n=3), manager)
+    assert calib1.get_num_samples_calibrated() == 3
+    path = str(tmp_path / 'resume.json')
+    calib1.save_calibration_result(path, extra_metadata={'run': 'first'})
+    _, meta = calibration_utils.load_qsvs_from_json(path)
+    assert meta == {'num_samples_calibrated': 3, 'run': 'first'}
+    calib2 = calibrator_lib.Calibrator(g)
+    calib2.load_model_qsvs(path)
+    assert calib2.get_num_samples_calibrated() == 3
+    calib2.calibrate(self._calib(g, n=2, seed=5), manager)
+    assert calib2.get_num_samples_calibrated() == 5
+    calib2.save_calibration_result(path)
+    _, meta2 = calibration_utils.load_qsvs_from_json(path)
+    assert meta2['num_samples_calibrated'] == 5
+    calib2.reset_model_qsvs()
+    assert calib2.get_num_samples_calibrated() == 0
+    assert calib2.get_model_qsvs() == {}
+
 
 class TestMnistClassModel:
 

@@ -202,6 +202,53 @@ def test_device_masks_match_host_masks(quantized_serving_graph):
   assert host == dev, (host, dev)
 
 
+class TestChunkedPrefill:
+  """Prompts longer than the prefill window must prefill losslessly."""
+
+  def _build(self, prefill_len):
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_serving_decoder(cfg, batch_slots=2,
+                                    prefill_len=prefill_len)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    return cfg, qt.quantize().quantized_model
+
+  def _generate(self, cfg, graph, prompt, n=6):
+    srv = DecodeServer(graph, cfg, batch_slots=2)
+    rid = srv.submit(prompt, max_new_tokens=n)
+    toks = []
+    for _ in range(n + 2):
+      out = srv.step()
+      if rid in out:
+        toks.append(out[rid])
+      if not srv.has_work():
+        break
+    return toks
+
+  def test_chunked_matches_one_shot(self):
+    rng = np.random.default_rng(7)
+    cfg, g_chunked = self._build(prefill_len=8)
+    _, g_oneshot = self._build(prefill_len=32)
+    prompt = rng.integers(0, cfg.vocab_size, size=20)  # 3 chunks of 8
+    chunked = self._generate(cfg, g_chunked, prompt)
+    oneshot = self._generate(cfg, g_oneshot, prompt)
+    assert chunked == oneshot, (chunked, oneshot)
+
+  def test_exact_multiple_chunks(self):
+    rng = np.random.default_rng(8)
+    cfg, g_chunked = self._build(prefill_len=8)
+    _, g_oneshot = self._build(prefill_len=16)
+    prompt = rng.integers(0, cfg.vocab_size, size=16)  # exactly 2 chunks
+    assert self._generate(cfg, g_chunked, prompt) == self._generate(
+        cfg, g_oneshot, prompt)
+
+  def test_overlong_prompt_rejected(self):
+    cfg, g = self._build(prefill_len=8)
+    srv = DecodeServer(g, cfg, batch_slots=2)
+    with pytest.raises(ValueError, match='exceeds the maximum admissible'):
+      srv.submit(np.zeros(cfg.max_seq_len + 1, np.int32))
+
+
 def test_cache_buckets_equivalent_tokens(quantized_serving_graph):
   """Bucketed decode must emit exactly the tokens of the full-cache path
   while switching programs as the context grows."""
