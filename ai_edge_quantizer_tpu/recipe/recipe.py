@@ -187,14 +187,56 @@ def gemma_mixed48_b32() -> list:
   ]
 
 
+def gemma_mixed48_b64() -> list:
+  """Blockwise-64 variant (parity: reference gemma4_mixed48_b64,
+  recipe.py:380-397)."""
+  return [
+      _entry(weight_bits=4, operation='FULLY_CONNECTED',
+             weight_granularity=_G.BLOCKWISE_64),
+      _entry(regex='.*attn.*', weight_bits=8, operation='FULLY_CONNECTED'),
+      _entry(weight_bits=8, operation='EMBEDDING_LOOKUP'),
+  ]
+
+
+def gemma_mixed48_hr() -> list:
+  """Hadamard-rotation variant for the 4-bit FCs (parity: reference
+  gemma4_mixed48_hr, recipe.py:343-361; 'hr' uses the decomposed rotation
+  so stock runtimes execute it)."""
+  return [
+      _entry(weight_bits=4, operation='FULLY_CONNECTED',
+             algorithm_key=AlgorithmName.DECOMPOSED_HADAMARD_ROTATION),
+      _entry(regex='.*attn.*', weight_bits=8, operation='FULLY_CONNECTED'),
+      _entry(weight_bits=8, operation='EMBEDDING_LOOKUP'),
+  ]
+
+
+def _mixed48_embedder(bits: int = 8, granularity: _G = _G.CHANNELWISE,
+                      algorithm_key=AlgorithmName.MIN_MAX_UNIFORM_QUANT):
+  return [_entry(weight_bits=bits, weight_granularity=granularity,
+                 operation='EMBEDDING_LOOKUP', algorithm_key=algorithm_key)]
+
+
 # Per-model-type recipe maps for multi-program GenAI bundles: keys are
 # program model types (embedder / prefill / decode ...), 'default' is the
-# fallback.
+# fallback (parity: reference gemma4_mixed48{,_hr,_b32,_b64} maps,
+# recipe.py:321-397).
 LITERTLM_RECIPE_MAPPINGS: dict = {
     'gemma_mixed48': {
         'default': gemma_mixed48,
-        'embedder': lambda: [_entry(weight_bits=8,
-                                    operation='EMBEDDING_LOOKUP')],
+        'embedder': _mixed48_embedder,
+    },
+    'gemma_mixed48_hr': {
+        'default': gemma_mixed48_hr,
+        'embedder': lambda: _mixed48_embedder(
+            algorithm_key=AlgorithmName.DECOMPOSED_HADAMARD_ROTATION),
+    },
+    'gemma_mixed48_b32': {
+        'default': gemma_mixed48_b32,
+        'embedder': _mixed48_embedder,
+    },
+    'gemma_mixed48_b64': {
+        'default': gemma_mixed48_b64,
+        'embedder': _mixed48_embedder,
     },
 }
 

@@ -135,6 +135,8 @@ class TestPresets:
       'dynamic_wi8_afp32', 'dynamic_wi4_afp32', 'default_a8w8',
       'default_a16w8', 'default_af32w8float', 'default_af32w4float',
       'dynamic_legacy_wi8_afp32',
+      'gemma_mixed48', 'gemma_mixed48_b32', 'gemma_mixed48_b64',
+      'gemma_mixed48_hr',
   ])
   def test_presets_load(self, name):
     from ai_edge_quantizer_tpu.recipe import recipe_utils
@@ -146,3 +148,56 @@ class TestPresets:
     from ai_edge_quantizer_tpu.recipe import recipe_utils
     recipe = recipe_utils.resolve_recipe('dynamic_legacy_wi8_afp32')
     assert recipe[0]['op_config']['min_weight_elements'] == 1024
+
+  def test_gemma_mixed_variants(self):
+    """_hr uses the decomposed rotation on 4-bit FCs; _b64 uses
+    BLOCKWISE_64 (reference recipe.py:343-397 variants)."""
+    from ai_edge_quantizer_tpu.recipe import recipe as recipe_lib
+    hr = recipe_lib.gemma_mixed48_hr()
+    assert hr[0]['algorithm_key'] == 'DECOMPOSED_HADAMARD_ROTATION'
+    assert hr[0]['op_config']['weight_tensor_config']['num_bits'] == 4
+    b64 = recipe_lib.gemma_mixed48_b64()
+    assert b64[0]['op_config']['weight_tensor_config'][
+        'granularity'] == 'BLOCKWISE_64'
+
+  @pytest.mark.parametrize('name', [
+      'gemma_mixed48', 'gemma_mixed48_hr', 'gemma_mixed48_b32',
+      'gemma_mixed48_b64',
+  ])
+  def test_bundle_mapping_resolution(self, name):
+    from ai_edge_quantizer_tpu.recipe import recipe_utils
+    mapping = recipe_utils.resolve_recipe_mapping(name)
+    assert set(mapping) == {'default', 'embedder'}
+    mgr = rm.RecipeManager()
+    for recipe in mapping.values():
+      mgr.load_quantization_recipe(recipe)
+
+
+class TestPolicyExamples:
+
+  @pytest.mark.parametrize('fname,expect_op', [
+      ('example_wide_int4_policy.json', _Op.FULLY_CONNECTED),
+      ('example_mixed_precision_policy.json', _Op.SOFTMAX),
+      ('strict_fc_int4_policy.json', _Op.FULLY_CONNECTED),
+  ])
+  def test_policy_files_parse(self, fname, expect_op):
+    import os
+    from ai_edge_quantizer_tpu.recipe import default_policy
+    path = os.path.join(os.path.dirname(rm.__file__), 'policies', fname)
+    with open(path) as f:
+      policy = default_policy.policy_from_json(f.read())
+    assert expect_op in policy and policy[expect_op]
+
+  def test_load_config_policy_merges(self):
+    """User policies extend the default (reference
+    update_default_config_policy semantics)."""
+    import os
+    from ai_edge_quantizer_tpu.recipe import default_policy
+    path = os.path.join(os.path.dirname(rm.__file__), 'policies',
+                        'example_mixed_precision_policy.json')
+    with open(path) as f:
+      merged = default_policy.update_default_config_policy(f.read())
+    # Everything default-legal stays legal after the merge.
+    for op, cfgs in default_policy.DEFAULT_CONFIG_CHECK_POLICY.items():
+      for cfg in cfgs:
+        assert cfg in merged[op]
