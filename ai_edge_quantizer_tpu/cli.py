@@ -3,9 +3,9 @@
   aeqt --model_file model.aeqg --recipe dynamic_wi8_afp32 \
        [--output_dir out] [--validate] [--calibration_samples N]
 
-Handles single models (.aeqg) and multi-program GenAI bundles (.aeqb, with
-per-model-type recipe mappings). Parity: reference `aeq.py` CLI over
-.tflite/.litertlm.
+Handles single models (.aeqg), multi-program GenAI bundles (.aeqb), and
+reference LiteRT-LM bundles (.litertlm, quantized per model_type recipe
+mapping). Parity: reference `aeq.py` CLI over .tflite/.litertlm.
 """
 
 from __future__ import annotations
@@ -21,7 +21,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
       prog='aeqt',
       description='TPU-native post-training quantizer.')
   p.add_argument('--model_file', required=True,
-                 help='Input model: .aeqg graph or .aeqb bundle.')
+                 help='Input model: .aeqg graph, .aeqb bundle, or '
+                      '.litertlm bundle.')
   p.add_argument('--recipe', required=True,
                  help='Recipe: preset name, JSON path, or (for bundles) a '
                       'recipe-mapping name/JSON path.')
@@ -88,6 +89,26 @@ def quantize_bundle_file(model_file: str, recipe: str, output_dir: str) -> str:
   return out_path
 
 
+def quantize_litertlm_file(model_file: str, recipe: str,
+                           output_dir: str) -> str:
+  """Quantize a reference `.litertlm` bundle per model_type mapping
+  (parity: reference aeq.py:61-181)."""
+  from ai_edge_quantizer_tpu.models import bundles
+  from ai_edge_quantizer_tpu.recipe import recipe_utils
+
+  mapping = recipe_utils.resolve_recipe_mapping(recipe)
+  stem = os.path.splitext(os.path.basename(model_file))[0]
+  out_path = os.path.join(output_dir, f'{stem}.litertlm')
+  if os.path.abspath(out_path) == os.path.abspath(model_file):
+    out_path = os.path.join(output_dir, f'{stem}_quantized.litertlm')
+  report = bundles.quantize_litertlm(model_file, out_path, mapping)
+  for sid, model_type, applied in report:
+    state = 'quantized' if applied else 'left float (no recipe)'
+    print(f'  section {sid} ({model_type}): {state}', file=sys.stderr)
+  print(f'Quantized bundle written to {out_path}')
+  return out_path
+
+
 def main(argv=None) -> int:
   args = build_arg_parser().parse_args(argv)
   output_dir = args.output_dir or os.path.dirname(
@@ -95,6 +116,8 @@ def main(argv=None) -> int:
   os.makedirs(output_dir, exist_ok=True)
   if args.model_file.endswith('.aeqb'):
     quantize_bundle_file(args.model_file, args.recipe, output_dir)
+  elif args.model_file.endswith('.litertlm'):
+    quantize_litertlm_file(args.model_file, args.recipe, output_dir)
   else:
     quantize_graph_file(
         args.model_file, args.recipe, output_dir, args.validate,
