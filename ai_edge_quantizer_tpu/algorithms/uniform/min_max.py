@@ -40,6 +40,14 @@ def init_tensor_min_max(
     }
   if gran == qtyping.QuantGranularity.CHANNELWISE:
     qdim = qn.weight_quantized_dim(op_info.op_name, op_info.op.attrs)
+    if qdim is None:
+      # Ops without a weight-channel-dim table entry fall back to
+      # per-tensor (reference common_utils.py:1177-1186: quantized_dim
+      # stays None for untabled ops).
+      return {
+          'min': np.min(tensor_data, keepdims=True),
+          'max': np.max(tensor_data, keepdims=True),
+      }
     qdim = qdim % tensor_data.ndim
     reduce_dims = tuple(d for d in range(tensor_data.ndim) if d != qdim)
     return {

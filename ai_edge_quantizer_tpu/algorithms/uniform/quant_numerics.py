@@ -377,7 +377,9 @@ def weight_reduction_spec(
   if granularity == qtyping.QuantGranularity.CHANNELWISE:
     qdim = weight_quantized_dim(op_name, op_attrs)
     if qdim is None:
-      raise ValueError(f'{op_name} has no channelwise quantized dim.')
+      # Untabled op: per-tensor fallback (reference
+      # common_utils.py:1177-1186).
+      return None, None
     qdim = qdim % ndim
     return tuple(d for d in range(ndim) if d != qdim), qdim
   # Blockwise.

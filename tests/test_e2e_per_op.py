@@ -164,6 +164,120 @@ def _graph_builders():
     b.output(y)
     return b.finalize()
 
+  def select():
+    b = GraphBuilder('main')
+    c = b.input('c', (8, 256), 'bool')
+    x1, x2 = b.input('x1', (8, 256)), b.input('x2', (8, 256))
+    y = b.op('SELECT', [c, x1, x2], [(8, 256)], output_names=['y'])
+    b.output(y)
+    return b.finalize()
+
+  def resize(op):
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 8, 8, 4))
+    y = b.op(op, [x], [(1, 16, 16, 4)], output_names=['y'])
+    b.output(y)
+    return b.finalize()
+
+  def space_to_depth():
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 8, 8, 4))
+    y = b.op('SPACE_TO_DEPTH', [x], [(1, 4, 4, 16)], output_names=['y'],
+             attrs={'block_size': 2})
+    b.output(y)
+    return b.finalize()
+
+  def mirror_pad():
+    b = GraphBuilder('main')
+    x = b.input('x', (8, 250))
+    y = b.op('MIRROR_PAD', [x], [(8, 256)], output_names=['y'],
+             attrs={'paddings': [[0, 0], [3, 3]], 'mode': 'REFLECT'})
+    b.output(y)
+    return b.finalize()
+
+  def padv2():
+    b = GraphBuilder('main')
+    x = b.input('x', (8, 252))
+    y = b.op('PADV2', [x], [(8, 256)], output_names=['y'],
+             attrs={'paddings': [[0, 0], [2, 2]], 'constant': 0.5})
+    b.output(y)
+    return b.finalize()
+
+  def reduce(op):
+    b = GraphBuilder('main')
+    x = b.input('x', (8, 16, 16))
+    y = b.op(op, [x], [(8, 16)], output_names=['y'],
+             attrs={'axis': [1], 'keep_dims': False})
+    b.output(y)
+    return b.finalize()
+
+  def pack():
+    b = GraphBuilder('main')
+    x1, x2 = b.input('x1', (8, 128)), b.input('x2', (8, 128))
+    y = b.op('PACK', [x1, x2], [(2, 8, 128)], output_names=['y'],
+             attrs={'axis': 0})
+    b.output(y)
+    return b.finalize()
+
+  def unpack():
+    b = GraphBuilder('main')
+    x = b.input('x', (4, 8, 64))
+    outs = b.op('UNPACK', [x], [(8, 64)] * 4,
+                output_names=[f'y{i}' for i in range(4)],
+                attrs={'axis': 0})
+    for o in outs:
+      b.output(o)
+    return b.finalize()
+
+  def gather_nd():
+    b = GraphBuilder('main')
+    x = b.input('x', (16, 64))
+    idx = b.constant('idx', np.array([[0], [3], [5], [7]], np.int32))
+    y = b.op('GATHER_ND', [x, idx], [(4, 64)], output_names=['y'])
+    b.output(y)
+    return b.finalize()
+
+  def broadcast_to():
+    b = GraphBuilder('main')
+    x = b.input('x', (8, 1, 64))
+    y = b.op('BROADCAST_TO', [x], [(8, 4, 64)], output_names=['y'])
+    b.output(y)
+    return b.finalize()
+
+  def dynamic_update_slice():
+    b = GraphBuilder('main')
+    x = b.input('x', (8, 256))
+    upd = b.input('upd', (8, 64))
+    start = b.constant('start', np.array([0, 64], np.int32))
+    y = b.op('DYNAMIC_UPDATE_SLICE', [x, upd, start], [(8, 256)],
+             output_names=['y'])
+    b.output(y)
+    return b.finalize()
+
+  def div():
+    # Denominator kept away from zero: x1 / (x2^2 + 1).
+    b = GraphBuilder('main')
+    x1, x2 = b.input('x1', (8, 256)), b.input('x2', (8, 256))
+    sq = b.binary('MUL', x2, x2, name='sq')
+    one = b.constant('one', np.array([1.0], np.float32))
+    den = b.binary('ADD', sq, one, name='den')
+    y = b.binary('DIV', x1, den, name='y')
+    b.output(y)
+    return b.finalize()
+
+  def sqrt_chain(op):
+    # Positive domain: op(x^2 + 1).
+    def build():
+      b = GraphBuilder('main')
+      x = b.input('x', (8, 256))
+      sq = b.binary('MUL', x, x, name='sq')
+      one = b.constant('one', np.array([1.0], np.float32))
+      z = b.binary('ADD', sq, one, name='z')
+      y = b.unary(op, z, name='y')
+      b.output(y)
+      return b.finalize()
+    return build
+
   return {
       'ADD': lambda: _binary_graph('ADD'),
       'SUB': lambda: _binary_graph('SUB'),
@@ -192,6 +306,22 @@ def _graph_builders():
       'DEPTHWISE_CONV_2D': depthwise_conv,
       'CONV_2D': conv,
       'SELECT_V2': select_v2,
+      'SELECT': select,
+      'RESIZE_BILINEAR': lambda: resize('RESIZE_BILINEAR'),
+      'RESIZE_NEAREST_NEIGHBOR': lambda: resize('RESIZE_NEAREST_NEIGHBOR'),
+      'SPACE_TO_DEPTH': space_to_depth,
+      'MIRROR_PAD': mirror_pad,
+      'PADV2': padv2,
+      'SUM': lambda: reduce('SUM'),
+      'REDUCE_MIN': lambda: reduce('REDUCE_MIN'),
+      'PACK': pack,
+      'UNPACK': unpack,
+      'GATHER_ND': gather_nd,
+      'BROADCAST_TO': broadcast_to,
+      'DYNAMIC_UPDATE_SLICE': dynamic_update_slice,
+      'DIV': div,
+      'RSQRT': sqrt_chain('RSQRT'),
+      'SQRT': sqrt_chain('SQRT'),
   }
 
 
@@ -201,7 +331,8 @@ _BUILDERS = _graph_builders()
 # fixed output scales amplifying error).
 _LOOSE = {'SQUARED_DIFFERENCE': 5e-2, 'MAX_POOL_2D': 2e-3, 'GELU': 5e-3, 'BATCH_MATMUL': 5e-3,
           'CONV_2D': 5e-3, 'DEPTHWISE_CONV_2D': 5e-3, 'MAXIMUM': 5e-3,
-          'MUL': 5e-3}
+          'MUL': 5e-3, 'SUM': 5e-2, 'DIV': 2e-2, 'RSQRT': 1e-2,
+          'SQRT': 1e-2}
 
 
 class TestPerOpStaticRange(BaseOpTestCase):

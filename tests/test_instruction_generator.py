@@ -2,6 +2,7 @@
 duplication cleanup, requantize fusion, validity (the reference's largest
 test surface, transformation_instruction_generator_test.py)."""
 
+import collections
 import numpy as np
 import pytest
 
@@ -149,6 +150,168 @@ class TestTensorInstructions:
     kinds = [i.transformation for i in insts.instructions]
     assert kinds == [_QT.ADD_DEQUANTIZE]
     assert sorted(insts.instructions[0].consumers) == [1, 2]
+
+  def test_multi_depth_horizontal_groups(self):
+    """Groups refine with depth: a depth-0 group splits when chains
+    diverge at depth 1, and never re-merges across depth-0 groups
+    (reference transformation_instruction_generator_test.py multi-depth
+    grouping cases)."""
+    g = _fanout_graph(4)
+    gen = self._gen(g)
+    p, q = _params(0.5), _params(0.1)
+    # Weight-only-style chains on a shared constant: quantize in place,
+    # explicit dequantize per consumer group.
+    params = {'prod/out': qtyping.TensorTransformationParams(
+        tensor_name='prod/out',
+        producer=None,
+        consumers=[
+            _o2t(1, [_QT.QUANTIZE_TENSOR, _QT.ADD_DEQUANTIZE], p),
+            _o2t(2, [_QT.QUANTIZE_TENSOR, _QT.ADD_DEQUANTIZE], p),
+            _o2t(3, [_QT.QUANTIZE_TENSOR], p),
+            _o2t(4, [_QT.QUANTIZE_TENSOR, _QT.ADD_DEQUANTIZE], q),
+        ],
+    )}
+    insts = gen.quant_params_to_transformation_insts(params)['prod/out']
+    by_kind = collections.defaultdict(list)
+    for i in insts.instructions:
+      by_kind[i.transformation].append(sorted(i.consumers))
+    # Depth 0: {1,2,3} share one QUANTIZE_TENSOR (params p); {4} its own.
+    assert sorted(by_kind[_QT.QUANTIZE_TENSOR]) == [[1, 2, 3], [4]]
+    # Depth 1: {1,2} share the ADD_DEQUANTIZE; 3 has no depth-1; {4} alone.
+    assert sorted(by_kind[_QT.ADD_DEQUANTIZE]) == [[1, 2], [4]]
+
+  def test_requantize_chain_not_fused_for_constrained_producer(self):
+    """A SAME_AS_INPUT producer's output scale is pinned: the
+    QUANTIZE_TENSOR + ADD_QUANTIZE requantize chain must survive."""
+    rng = np.random.default_rng(0)
+    b = GraphBuilder('main')
+    x = b.input('x', (1, 8))
+    t = b.op('RESHAPE', [x], [(8,)], output_names=['mid'],
+             attrs={'new_shape': [8]})
+    y = b.unary('RELU', t, name='relu')
+    b.output(y)
+    g = b.finalize()
+    gen = self._gen(g)
+    params = {'mid': qtyping.TensorTransformationParams(
+        tensor_name='mid',
+        producer=_o2t(0, [_QT.ADD_DEQUANTIZE], _params(0.5)),
+        consumers=[_o2t(1, [_QT.ADD_QUANTIZE], _params(0.25))],
+    )}
+    insts = gen.quant_params_to_transformation_insts(params)['mid']
+    kinds = [i.transformation for i in insts.instructions]
+    assert kinds == [_QT.QUANTIZE_TENSOR, _QT.ADD_QUANTIZE]
+    assert np.allclose(np.asarray(insts.instructions[0].parameters.scale),
+                       0.5)
+    assert np.allclose(np.asarray(insts.instructions[1].parameters.scale),
+                       0.25)
+
+  def test_graph_input_keeps_requantize(self):
+    """Requantize on a graph-input tensor (producer -1) never fuses."""
+    g = _fanout_graph(1)
+    gen = self._gen(g)
+    params = {'x': qtyping.TensorTransformationParams(
+        tensor_name='x',
+        producer=_o2t(-1, [_QT.ADD_DEQUANTIZE], _params(0.5)),
+        consumers=[_o2t(0, [_QT.ADD_QUANTIZE], _params(0.25))],
+    )}
+    insts = gen.quant_params_to_transformation_insts(params)['x']
+    kinds = [i.transformation for i in insts.instructions]
+    assert kinds == [_QT.QUANTIZE_TENSOR, _QT.ADD_QUANTIZE]
+
+  def test_partial_vertical_elimination_mixed_consumers(self):
+    """One DQ producer against eliminate / requantize / float consumers
+    at once: each consumer group resolves independently."""
+    g = _fanout_graph(3)
+    gen = self._gen(g)
+    p, q = _params(0.5), _params(0.25)
+    params = {'prod/out': qtyping.TensorTransformationParams(
+        tensor_name='prod/out',
+        producer=_o2t(0, [_QT.ADD_DEQUANTIZE], p),
+        consumers=[_o2t(1, [_QT.ADD_QUANTIZE], p),      # eliminate
+                   _o2t(2, [_QT.NO_QUANTIZE]),          # keep dequant
+                   _o2t(3, [_QT.ADD_QUANTIZE], q)],     # requantize
+    )}
+    insts = gen.quant_params_to_transformation_insts(params)['prod/out']
+    got = [(i.transformation, sorted(i.consumers),
+            float(np.asarray(i.parameters.scale)[0])
+            if i.parameters is not None else None)
+           for i in insts.instructions]
+    assert (_QT.QUANTIZE_TENSOR, [1], 0.5) in got
+    assert (_QT.QUANTIZE_TENSOR, [3], 0.5) in got
+    assert (_QT.ADD_QUANTIZE, [3], 0.25) in got
+    assert (_QT.ADD_DEQUANTIZE, [2], 0.5) in got
+    # The original producer ADD_DEQUANTIZE serving all consumers is gone.
+    assert len(insts.instructions) == 4
+
+  def test_duplicate_subset_mixed_quantization_valid(self):
+    """Quantized and float consumers are legal when duplication separates
+    them into distinct tensor subsets (reference duplicate-subset
+    validity)."""
+    g = _fanout_graph(2)
+    gen = self._gen(g)
+    params = {'prod/out': qtyping.TensorTransformationParams(
+        tensor_name='prod/out',
+        producer=None,
+        consumers=[
+            _o2t(1, [_QT.DUPLICATE_TENSOR, _QT.QUANTIZE_TENSOR], _params()),
+            _o2t(2, [_QT.DUPLICATE_TENSOR, _QT.NO_QUANTIZE]),
+        ],
+    )}
+    # Must not raise: consumer 1 quantizes its duplicate; consumer 2's
+    # (last) duplication is elided so it keeps the float original.
+    insts = gen.quant_params_to_transformation_insts(params)['prod/out']
+    kinds = [i.transformation for i in insts.instructions]
+    assert _QT.QUANTIZE_TENSOR in kinds
+    dups = [i for i in insts.instructions
+            if i.transformation == _QT.DUPLICATE_TENSOR]
+    assert len(dups) == 1 and dups[0].consumers == [1]
+
+  def test_duplicate_subset_conflict_within_subset_raises(self):
+    """Within ONE duplicated subset quantized + unquantized still
+    conflicts."""
+    g = _fanout_graph(3)
+    gen = self._gen(g)
+    params = {'prod/out': qtyping.TensorTransformationParams(
+        tensor_name='prod/out',
+        producer=None,
+        consumers=[
+            _o2t(1, [_QT.DUPLICATE_TENSOR, _QT.QUANTIZE_TENSOR], _params()),
+            _o2t(2, [_QT.QUANTIZE_TENSOR], _params()),
+            _o2t(3, [_QT.NO_QUANTIZE]),  # same (original) subset as 2
+        ],
+    )}
+    with pytest.raises(ValueError, match='quantized and unquantized'):
+      gen.quant_params_to_transformation_insts(params)
+
+  def test_redundant_buffer_duplication_dropped(self):
+    """DUPLICATE_BUFFER is subsumed when the same consumers already get
+    DUPLICATE_TENSOR (a duplicated tensor owns a fresh buffer)."""
+    g = _fanout_graph(2)
+    gen = self._gen(g)
+    # The reference's canonical shared-weight case
+    # (transformation_instruction_generator_test.py:1200-1276): both
+    # consumers request DUPLICATE_TENSOR + DUPLICATE_BUFFER + QUANTIZE;
+    # consumer 1 keeps the tensor duplicate (buffer dup redundant),
+    # consumer 2 reuses the original tensor (tensor dup elided, buffer
+    # dup survives).
+    params = {'prod/out': qtyping.TensorTransformationParams(
+        tensor_name='prod/out',
+        producer=None,
+        consumers=[
+            _o2t(1, [_QT.DUPLICATE_TENSOR, _QT.DUPLICATE_BUFFER,
+                     _QT.QUANTIZE_TENSOR], _params()),
+            _o2t(2, [_QT.DUPLICATE_TENSOR, _QT.DUPLICATE_BUFFER,
+                     _QT.QUANTIZE_TENSOR], _params(0.1, bits=4)),
+        ],
+    )}
+    insts = gen.quant_params_to_transformation_insts(params)['prod/out']
+    got = [(i.transformation, sorted(i.consumers))
+           for i in insts.instructions]
+    assert (_QT.DUPLICATE_TENSOR, [1]) in got
+    assert (_QT.DUPLICATE_BUFFER, [2]) in got
+    assert got.count((_QT.QUANTIZE_TENSOR, [1])) == 1
+    assert got.count((_QT.QUANTIZE_TENSOR, [2])) == 1
+    assert len(got) == 4
 
   def test_duplicate_tensor_last_removed(self):
     g = _fanout_graph(2)
