@@ -324,18 +324,22 @@ class GraphExecutor:
   # -- public API -----------------------------------------------------------
 
   def signature_runner(self, signature_key: str = 'serving_default',
-                       capture_all: bool = False):
-    """A callable(inputs: dict) -> dict of outputs (or all tensors)."""
-    if capture_all and self._packed_int4_keys:
-      raise ValueError(
-          'capture_all is unavailable after prepare_serving_weights(): '
-          'packed weights no longer match their tensor shapes. Use a '
-          'fresh GraphExecutor for calibration/validation.')
-    key = (signature_key, capture_all)
+                       capture_all: bool = False,
+                       serving_fastpaths: bool = False):
+    """A callable(inputs: dict) -> dict of outputs (or all tensors).
+
+    capture_all works with packed serving weights: packed int4 FC weights
+    are returned as their unpacked true-shape int8 view, so the dual-model
+    validator can assert per-tensor error bounds on the exact production
+    configuration. serving_fastpaths additionally keeps the fused
+    attention / norm-fusion kernels engaged under capture (their internal
+    intermediates are simply absent from the capture dict)."""
+    key = (signature_key, capture_all, serving_fastpaths)
     if key not in self._jit_cache:
       sig = self.graph.signature_by_key(signature_key)
       fn = functools.partial(
-          self._run_signature, sig.subgraph_index, signature_key, capture_all)
+          self._run_signature, sig.subgraph_index, signature_key, capture_all,
+          serving_fastpaths=serving_fastpaths)
       jitted = jax.jit(fn)
       self._jit_cache[key] = jitted
     jitted = self._jit_cache[key]
@@ -414,7 +418,8 @@ class GraphExecutor:
   # -- evaluation -----------------------------------------------------------
 
   def _run_signature(self, sg_idx: int, signature_key: str,
-                     capture_all: bool, weights: dict, inputs: dict):
+                     capture_all: bool, weights: dict, inputs: dict,
+                     serving_fastpaths: bool = False):
     sig = self.graph.signature_by_key(signature_key)
     sg = self.graph.subgraphs[sg_idx]
     env: dict = {}
@@ -438,7 +443,9 @@ class GraphExecutor:
       env[tid] = val
 
     for op_idx, op in enumerate(sg.ops):
-      if not capture_all:  # capture_all keeps every intermediate visible
+      # capture_all keeps every intermediate visible (fusions unrolled)
+      # unless serving_fastpaths pins the production kernels.
+      if not capture_all or serving_fastpaths:
         fusion = self._attn_fusions.get((sg_idx, op_idx))
         if fusion is not None:
           self._eval_fused_attention(sg_idx, sg, fusion, env)
@@ -450,11 +457,22 @@ class GraphExecutor:
       self._eval_op(sg_idx, sg, op, env)
 
     if capture_all:
-      return {
-          t.name: env[tid]
-          for tid, t in enumerate(sg.tensors)
-          if tid in env
-      }
+      out = {}
+      for tid, t in enumerate(sg.tensors):
+        if tid not in env:
+          continue
+        val = env[tid]
+        key = (sg_idx, tid)
+        if key in self._packed_int4_keys:
+          # Unpacked true-shape int8 view so packed serving weights stay
+          # validator-visible per tensor.
+          from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+          val = pallas_qmatmul.unpack_int4_split(val)
+          true_n = self._packed_pad_n.get(key)
+          if true_n is not None:
+            val = val[:true_n]
+        out[t.name] = val
+      return out
     return {name: env[tid] for name, tid in sig.outputs.items()}
 
   def _dequant_view(self, sg: ir.Subgraph, tid: int, env: dict):

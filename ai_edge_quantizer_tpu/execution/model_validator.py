@@ -164,21 +164,30 @@ def compare_model(
     error_metric: str = 'mse',
     compare_fn: Optional[Callable] = None,
     compare_outputs_only: bool = False,
+    target_executor: Optional['executor_lib.GraphExecutor'] = None,
+    use_serving_paths: bool = False,
 ) -> ComparisonResult:
   """Compare target (quantized) vs reference (float) model numerically.
 
   signature_test_data: {signature_key: [ {input_name: array}, ... ]}.
+
+  target_executor: validate a pre-configured executor (e.g. after
+  prepare_serving_weights()) instead of a fresh one — the packed serving
+  configuration stays per-tensor validator-visible (packed weights are
+  captured as their unpacked int8 view). use_serving_paths keeps the
+  fused serving kernels engaged during capture.
   """
   compare_fn = compare_fn or validation_utils.get_validation_func(error_metric)
   ref_exec = executor_lib.GraphExecutor(reference_graph)
-  tgt_exec = executor_lib.GraphExecutor(target_graph)
+  tgt_exec = target_executor or executor_lib.GraphExecutor(target_graph)
   result = ComparisonResult(reference_graph, target_graph)
 
   for signature_key, samples in signature_test_data.items():
     ref_runner = ref_exec.signature_runner(
         signature_key, capture_all=not compare_outputs_only)
     tgt_runner = tgt_exec.signature_runner(
-        signature_key, capture_all=not compare_outputs_only)
+        signature_key, capture_all=not compare_outputs_only,
+        serving_fastpaths=use_serving_paths)
     ref_sig = reference_graph.signature_by_key(signature_key)
     tgt_sig = target_graph.signature_by_key(signature_key)
     ref_sg = reference_graph.subgraphs[ref_sig.subgraph_index]

@@ -90,6 +90,18 @@ def pack_int4_split(w_q: jax.Array) -> jax.Array:
   return (lo | (hi << 4)).astype(jnp.uint8)
 
 
+def unpack_int4_split(packed: jax.Array) -> jax.Array:
+  """Inverse of pack_int4_split: uint8 [N, K//2] -> int8 [N, K].
+
+  Restores the sign-extended int4 values so packed serving weights can be
+  validated per-tensor against the float model (capture mode)."""
+  lo = (packed & 0xF).astype(jnp.int8)
+  hi = (packed >> 4).astype(jnp.int8)
+  lo = jnp.where(lo >= 8, lo - 16, lo)
+  hi = jnp.where(hi >= 8, hi - 16, hi)
+  return jnp.concatenate([lo, hi], axis=1)
+
+
 def _int4_channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
   """o[M, BN] = x[M, K] . unpack(w[BN, K//2])^T * s[BN], split-half.
 

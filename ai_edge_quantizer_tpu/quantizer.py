@@ -194,7 +194,12 @@ class Quantizer:
       error_metrics: str = 'mse',
       compare_outputs_only: bool = False,
       num_samples: int = 4,
+      target_executor=None,
+      use_serving_paths: bool = False,
   ) -> model_validator.ComparisonResult:
+    """target_executor/use_serving_paths: validate a pre-configured
+    serving executor (packed weights, fused kernels) per tensor instead
+    of a fresh plain executor."""
     target = self._target_model_for_validation()
     if test_data is None:
       from ai_edge_quantizer_tpu.utils import test_data as test_data_lib
@@ -206,6 +211,8 @@ class Quantizer:
         test_data,
         error_metric=error_metrics,
         compare_outputs_only=compare_outputs_only,
+        target_executor=target_executor,
+        use_serving_paths=use_serving_paths,
     )
 
   def _target_model_for_validation(self) -> ir.Graph:
