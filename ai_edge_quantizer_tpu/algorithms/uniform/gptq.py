@@ -73,9 +73,18 @@ def calibrate(
   return op_qsvs
 
 
-def _inverse_via_cholesky(hessian: np.ndarray,
-                          damp_factor: float = _DAMP_FACTOR) -> np.ndarray:
-  """H⁻¹ with diagonal damping, via Cholesky + triangular inversion."""
+# Hessians at or above this dimension solve ON DEVICE (f32 Cholesky on
+# the MXU + Newton refinement) instead of host f64 LAPACK: Gemma-7B-class
+# FFN dims (>16k) hit the host-numpy memory/time ceiling (round-1 backlog,
+# docs/ROUND1_NOTES.md:121-122). Override via AEQT_GPTQ_DEVICE_SOLVE_DIM.
+def _device_solve_threshold() -> int:
+  import os
+  return int(os.environ.get('AEQT_GPTQ_DEVICE_SOLVE_DIM', '8192'))
+
+
+def _inverse_via_cholesky_host(hessian: np.ndarray,
+                               damp_factor: float) -> np.ndarray:
+  """H⁻¹ in f64 on host: Cholesky + LAPACK triangular inversion."""
   h = np.array(hessian, dtype=np.float64)
   diag = np.diag(h).copy()
   diag = np.where(diag != 0, diag, 1.0)
@@ -85,6 +94,49 @@ def _inverse_via_cholesky(hessian: np.ndarray,
   if err != 0:
     raise RuntimeError(f'Triangular inversion failed (info={err}).')
   return (l_inv.T @ l_inv).astype(np.float32)
+
+
+def _inverse_via_cholesky_device(hessian: np.ndarray,
+                                 damp_factor: float) -> np.ndarray:
+  """H⁻¹ on device: f32 Cholesky + triangular solve + Newton refinement.
+
+  The O(d³) factorization/solves run as MXU matmuls; two Newton steps
+  X ← X(2I − HX) recover the accuracy the f32 factorization loses vs the
+  host f64 path (residual ‖HX − I‖ squares per step). Memory: 3 d×d f32
+  buffers — a 32k-dim FFN Hessian fits one chip's HBM, where the host
+  f64 path needs >8 GiB and minutes of single-threaded LAPACK.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  d = hessian.shape[0]
+
+  @jax.jit
+  def solve(h):
+    h = h.astype(jnp.float32)
+    diag = jnp.diagonal(h)
+    diag = jnp.where(diag != 0, diag, 1.0)
+    damped = diag + damp_factor * jnp.mean(diag)
+    h = jnp.fill_diagonal(h, damped, inplace=False)
+    eye = jnp.eye(d, dtype=jnp.float32)
+    l = jax.scipy.linalg.cholesky(h, lower=True)
+    l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    x = l_inv.T @ l_inv
+    for _ in range(2):  # Newton: X <- X (2I - H X)
+      x = x @ (2.0 * eye - h @ x)
+    x = 0.5 * (x + x.T)  # re-symmetrize f32 round-off
+    return x
+
+  return np.asarray(jax.device_get(solve(jnp.asarray(hessian))))
+
+
+def _inverse_via_cholesky(hessian: np.ndarray,
+                          damp_factor: float = _DAMP_FACTOR) -> np.ndarray:
+  """H⁻¹ with diagonal damping (host f64 LAPACK below the device
+  threshold; on-device MXU solve at Gemma-7B-scale dims)."""
+  if hessian.shape[0] >= _device_solve_threshold():
+    return _inverse_via_cholesky_device(hessian, damp_factor)
+  return _inverse_via_cholesky_host(hessian, damp_factor)
 
 
 def apply_gptq(

@@ -119,6 +119,57 @@ class TestGptq:
     assert np.mean((y - y_gq) ** 2) < np.mean((y - y_mm) ** 2)
 
 
+class TestGptqDeviceSolve:
+  """On-device f32 Cholesky + Newton refinement vs host f64 LAPACK
+  (the Gemma-7B-scale Hessian path, round-1 backlog item)."""
+
+  def _hessian(self, d, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(4 * d, d)).astype(np.float32)
+    return 2.0 / x.shape[0] * (x.T @ x)
+
+  def test_device_inverse_matches_host(self):
+    h = self._hessian(512)
+    inv_host = gptq._inverse_via_cholesky_host(h, 0.01)
+    inv_dev = gptq._inverse_via_cholesky_device(h, 0.01)
+    # Relative agreement after Newton refinement.
+    denom = np.maximum(np.abs(inv_host), 1e-6)
+    assert np.max(np.abs(inv_dev - inv_host) / denom) < 1e-2
+    # Both are true inverses of the damped Hessian.
+    hd = h.astype(np.float64).copy()
+    np.fill_diagonal(hd, np.diag(hd) + 0.01 * np.mean(np.diag(hd)))
+    for inv in (inv_host, inv_dev):
+      resid = hd @ inv.astype(np.float64) - np.eye(h.shape[0])
+      assert np.max(np.abs(resid)) < 1e-3, np.max(np.abs(resid))
+
+  def test_quantized_weights_match_across_solvers(self, monkeypatch):
+    """End-to-end GPTQ output is solver-independent: forcing the device
+    solve reproduces the host path's quantized weights."""
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(96, 256)).astype(np.float32)
+    h = self._hessian(256, seed=5)
+    cfg = _wcfg(4)
+    info = _fc_op_info(qtyping.OpQuantizationConfig(weight_tensor_config=cfg))
+    from ai_edge_quantizer_tpu.algorithms.uniform import min_max
+    import dataclasses as dc
+    p_mm = dc.replace(
+        min_max.get_tensor_quant_params(info, cfg, w), quantized_data=None)
+    host = gptq.apply_gptq(w, p_mm, h)
+    monkeypatch.setenv('AEQT_GPTQ_DEVICE_SOLVE_DIM', '1')
+    dev = gptq.apply_gptq(w, p_mm, h)
+    agree = np.mean(host.quantized_data == dev.quantized_data)
+    # Int grids match except where f32 round-off flips a borderline cell.
+    assert agree > 0.999, agree
+    y = w  # error of the dequantized weights against the float originals
+    e_host = np.mean((qn.dequantize_array(host.quantized_data, host) - y) ** 2)
+    e_dev = np.mean((qn.dequantize_array(dev.quantized_data, dev) - y) ** 2)
+    assert abs(e_host - e_dev) / e_host < 0.05
+
+  def test_threshold_routing(self, monkeypatch):
+    monkeypatch.setenv('AEQT_GPTQ_DEVICE_SOLVE_DIM', '4096')
+    assert gptq._device_solve_threshold() == 4096
+
+
 class TestHadamard:
 
   def test_rotation_is_involutory(self):
