@@ -110,18 +110,46 @@ class DecodeServer:
       eos_token_id: Optional[int] = None,
       request_timeout_s: Optional[float] = None,
       pack_weights: bool = False,
+      mesh=None,
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
-    and 'prefill' (batch=1) signatures."""
+    and 'prefill' (batch=1) signatures.
+
+    mesh: optional jax.sharding.Mesh with 'dp'/'tp' axes. The slot pool
+    (KV caches + per-tick decode inputs) shards over 'dp' (batch_slots
+    must divide by dp); weights shard per parallel.sharding rules
+    (tp column/row-parallel, quantized-dim congruent). One server then
+    drives a whole slice; decode ticks scale with dp since slots are
+    batch-local.
+    """
     self.cfg = cfg
     self.batch_slots = batch_slots
     self.graph = graph
+    self._mesh = mesh
+    self._cache_sharding = None
+    self._input_sharding = None
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      if batch_slots % mesh.shape['dp'] != 0:
+        raise ValueError(
+            f"batch_slots={batch_slots} must divide by the mesh dp axis "
+            f"({mesh.shape['dp']}).")
+      self._cache_sharding = NamedSharding(mesh, P('dp'))
+      self._input_sharding = NamedSharding(mesh, P('dp'))
     self._executor = executor_lib.GraphExecutor(graph)
     if weights is not None:
       self._executor._weights = weights
     if pack_weights:
       # Packed-int4 + norm-fusion serving fast paths (TPU production mode).
       self._executor.prepare_serving_weights()
+    if mesh is not None:
+      from ai_edge_quantizer_tpu.parallel import sharding as sharding_lib
+      w_shard = sharding_lib.weight_shardings(
+          graph, self._executor._weights, mesh)
+      self._executor._weights = {
+          k: jax.device_put(v, w_shard[k])
+          for k, v in self._executor._weights.items()
+      }
     self._slots = [_Slot() for _ in range(batch_slots)]
     self._queue: collections.deque = collections.deque()
     self._next_id = 0
@@ -205,6 +233,9 @@ class DecodeServer:
                         cfg.head_dim), dtype)
         for key, dtype in self._cache_dtypes.items()
     }
+    if self._cache_sharding is not None:
+      self._caches = {k: jax.device_put(v, self._cache_sharding)
+                      for k, v in self._caches.items()}
     self._bucket = bucket
 
   def _fit_bucket(self, need_len: int) -> None:
@@ -219,6 +250,9 @@ class DecodeServer:
           key: jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
           for key, v in self._caches.items()
       }
+      if self._cache_sharding is not None:
+        self._caches = {k: jax.device_put(v, self._cache_sharding)
+                        for k, v in self._caches.items()}
       self._bucket = target
       self.metrics['bucket_switches'] += 1
     elif target < self._bucket and not any(
@@ -301,8 +335,12 @@ class DecodeServer:
     if not active:
       return {}
     self._fit_bucket(max(self._slots[i].pos for i in active) + 1)
+    decode_inputs = self._decode_inputs()
+    if self._input_sharding is not None:
+      decode_inputs = {k: jax.device_put(v, self._input_sharding)
+                       for k, v in decode_inputs.items()}
     out = self._decode_fn_for(self._bucket)(
-        self._executor._weights, self._decode_inputs(), self._caches)
+        self._executor._weights, decode_inputs, self._caches)
     for li in range(self.cfg.num_layers):
       self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
       self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']

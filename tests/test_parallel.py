@@ -103,3 +103,50 @@ class TestRingWeightGatherMatmul:
     dense = np.asarray(x) @ (
         np.asarray(w_q, np.float32) * np.asarray(scale)[:, None]).T
     np.testing.assert_allclose(np.asarray(y), dense, rtol=1e-4, atol=1e-4)
+
+
+class TestMeshDecodeServer:
+  """Continuous batching with the dp-sharded slot pool (VERDICT round-2
+  item 5: the serving path exercised under the mesh)."""
+
+  def _build(self, slots):
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_serving_decoder(cfg, batch_slots=slots, prefill_len=8)
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    return cfg, qt.quantize().quantized_model
+
+  def test_mesh_server_matches_unsharded_tokens(self):
+    from ai_edge_quantizer_tpu.parallel.batching import DecodeServer
+    cfg, graph = self._build(slots=4)
+    mesh = mesh_lib.make_mesh(8, dp=2)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n) for n in (3, 5, 4)]
+
+    def run(mesh_arg):
+      srv = DecodeServer(graph, cfg, batch_slots=4, mesh=mesh_arg)
+      ids = [srv.submit(p, max_new_tokens=4) for p in prompts]
+      toks = {i: [] for i in ids}
+      for _ in range(20):
+        for rid, t in srv.step().items():
+          toks[rid].append(t)
+        if not srv.has_work():
+          break
+      return [toks[i] for i in ids], srv
+
+    sharded_toks, srv = run(mesh)
+    plain_toks, _ = run(None)
+    assert sharded_toks == plain_toks, (sharded_toks, plain_toks)
+    # The slot pool is genuinely dp-sharded.
+    cache = next(iter(srv._caches.values()))
+    assert not cache.sharding.is_fully_replicated
+    shard_shape = cache.sharding.shard_shape(cache.shape)
+    assert shard_shape[0] == cache.shape[0] // 2  # split over dp=2
+
+  def test_mesh_server_rejects_indivisible_slots(self):
+    from ai_edge_quantizer_tpu.parallel.batching import DecodeServer
+    cfg, graph = self._build(slots=3)
+    mesh = mesh_lib.make_mesh(8, dp=2)
+    with pytest.raises(ValueError, match='must divide'):
+      DecodeServer(graph, cfg, batch_slots=3, mesh=mesh)
