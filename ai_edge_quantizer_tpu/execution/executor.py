@@ -712,9 +712,16 @@ class GraphExecutor:
     zp_v = float(np.asarray(v_info.zero_point).reshape(()))
     if jax.default_backend() == 'tpu':
       from ai_edge_quantizer_tpu.kernels import pallas_attention
-      ctx = pallas_attention.decode_attention_int8_masked(
-          q_val, k_q, v_q, k_scale, v_scale, mask,
-          k_zero_point=zp_k, v_zero_point=zp_v)
+      if q_val.shape[2] >= 32:
+        # Prefill-shaped (R = G*T rows): flash kernel, S-blocked online
+        # softmax — the [R, S] score matrix never hits VMEM whole.
+        ctx = pallas_attention.flash_attention_int8_masked(
+            q_val, k_q, v_q, k_scale, v_scale, mask,
+            k_zero_point=zp_k, v_zero_point=zp_v)
+      else:
+        ctx = pallas_attention.decode_attention_int8_masked(
+            q_val, k_q, v_q, k_scale, v_scale, mask,
+            k_zero_point=zp_k, v_zero_point=zp_v)
     else:
       # XLA twin with the same numerics (zp corrections in closed form).
       qf = q_val.astype(jnp.float32)

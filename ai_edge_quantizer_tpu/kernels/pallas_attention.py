@@ -128,6 +128,130 @@ def decode_attention_int8_ref(q, k_cache_q, v_cache_q, k_scale, v_scale,
   return jnp.einsum('bngs,bnsh->bngh', probs, v)
 
 
+def _flash_attn_kernel(q_ref, k_ref, v_ref, mask_ref, scales_ref, o_ref,
+                       acc_ref, m_ref, l_ref):
+  """One (batch*kv_head, q_tile, s_tile) program; S innermost.
+
+  Online-softmax accumulation in VMEM scratch (persists across the
+  sequential S grid steps): the [R, S] score matrix never materializes, so
+  prefill-shaped R (= G * T) runs in bounded VMEM while the int8 K/V
+  blocks stream HBM -> VMEM once.
+  """
+  s_idx = pl.program_id(2)
+  n_s = pl.num_programs(2)
+  k_scale = scales_ref[0, 0]
+  v_scale = scales_ref[0, 1]
+  zp_k = scales_ref[0, 2]
+  zp_v = scales_ref[0, 3]
+
+  @pl.when(s_idx == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+  q = q_ref[0].astype(jnp.float32)
+  k = k_ref[0].astype(jnp.float32)
+  h = q.shape[-1]
+  scores = jax.lax.dot_general(
+      q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )  # [br, bs]
+  scores = scores - zp_k * jnp.sum(q, axis=1, keepdims=True)
+  scores = scores * (k_scale / (h ** 0.5))
+  scores = scores + mask_ref[0]
+
+  m_prev = m_ref[:]
+  l_prev = l_ref[:]
+  m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+  alpha = jnp.exp(m_prev - m_new)
+  p = jnp.exp(scores - m_new)
+  l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+  m_ref[:] = m_new
+  v = v_ref[0].astype(jnp.float32)
+  pv = jax.lax.dot_general(
+      p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )
+  acc_ref[:] = acc_ref[:] * alpha + pv
+
+  @pl.when(s_idx == n_s - 1)
+  def _():
+    denom = jnp.maximum(l_ref[:], 1e-30)
+    o_ref[0] = ((acc_ref[:] / denom) - zp_v) * v_scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('k_zero_point', 'v_zero_point', 'block_r', 'block_s',
+                     'interpret'))
+def flash_attention_int8_masked(
+    q: jax.Array,
+    k_cache_q: jax.Array,
+    v_cache_q: jax.Array,
+    k_scale,
+    v_scale,
+    mask: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    block_r: int = 256,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+  """Prefill-shaped fused attention over an int8 KV cache.
+
+  q: [B, NK, R, H] with R = G * T grouped query rows; caches
+  [B, NK, S, H] int8 per-tensor; mask [B, 1, R, S] additive.
+  Flash (S-blocked, online softmax) so R x S never materializes.
+  Returns [B, NK, R, H] f32.
+  """
+  b, nk, r, h = q.shape
+  s = k_cache_q.shape[2]
+  br = min(block_r, r)
+  while r % br:
+    br //= 2
+  bs = min(block_s, s)
+  while s % bs:
+    bs //= 2
+  q2 = q.reshape(b * nk, r, h).astype(jnp.float32)
+  k2 = k_cache_q.reshape(b * nk, s, h)
+  v2 = v_cache_q.reshape(b * nk, s, h)
+  m2 = jnp.broadcast_to(mask.astype(jnp.float32), (b, nk, r, s)).reshape(
+      b * nk, r, s)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+
+  out = pl.pallas_call(
+      _flash_attn_kernel,
+      grid=(b * nk, r // br, s // bs),
+      in_specs=[
+          pl.BlockSpec((1, br, h), lambda i, j, t: (i, j, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, bs, h), lambda i, j, t: (i, t, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, bs, h), lambda i, j, t: (i, t, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, br, bs), lambda i, j, t: (i, j, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, j, t: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, br, h), lambda i, j, t: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b * nk, r, h), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((br, h), jnp.float32),
+          pltpu.VMEM((br, 1), jnp.float32),
+          pltpu.VMEM((br, 1), jnp.float32),
+      ],
+      interpret=interpret,
+  )(q2, k2, v2, m2, scales)
+  return out.reshape(b, nk, r, h)
+
+
 def _decode_attn_mask_kernel(q_ref, k_ref, v_ref, mask_ref, scales_ref,
                              o_ref):
   """Masked variant: additive mask [G, S]; asymmetric caches supported.

@@ -1,0 +1,185 @@
+"""Decode-step segment profile: where does the step time actually go?
+
+On-device scan timing (the only trustworthy clock through the axon
+tunnel): each segment runs ITERS times inside ONE jitted lax.scan, so the
+measured wall time is device compute + a single dispatch.
+
+Segments at the bench configuration (B, int8 KV, packed int4):
+  full        — the whole decode step
+  attention   — fused int8-KV masked attention x num_layers
+  fc_sweep    — every FC weight at its true shape/count (packed or XLA)
+  cache_dus   — int8 cache DUS updates x num_layers x 2
+
+Env: AEQT_PROF_PRESET (gemma2b_lite|gemma2b|toy), AEQT_PROF_BATCH,
+AEQT_PROF_ITERS.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import jax
+if os.environ.get('JAX_PLATFORMS'):
+  jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+import jax.numpy as jnp
+import numpy as np
+
+from ai_edge_quantizer_tpu.execution import executor as executor_lib  # noqa
+from ai_edge_quantizer_tpu.models import gemma  # noqa
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def scan_time(fn, iters):
+  """Seconds per fn() call, measured as one jitted scan of `iters` steps.
+
+  A data dependence threads each step's output into the carry so steps
+  cannot be elided."""
+  def body(carry, _):
+    out = fn()
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    bump = leaf.reshape(-1)[0].astype(jnp.float32)
+    return carry + bump * 1e-30, None
+
+  scanned = jax.jit(
+      lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0])
+  v = float(scanned())  # compile + first run
+  t0 = time.perf_counter()
+  v = float(scanned())
+  dt = time.perf_counter() - t0
+  assert np.isfinite(v)
+  return dt / iters
+
+
+def main():
+  preset = os.environ.get('AEQT_PROF_PRESET', 'gemma2b_lite')
+  batch = int(os.environ.get('AEQT_PROF_BATCH', '256'))
+  iters = int(os.environ.get('AEQT_PROF_ITERS', '16'))
+  cfg = {'toy': gemma.TOY_DECODER, 'gemma2b': gemma.GEMMA_2B,
+         'gemma2b_lite': gemma.GEMMA_2B_LITE}[preset]
+  log(f'profile: {preset} batch={batch} iters={iters} '
+      f'backend={jax.default_backend()}')
+
+  graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
+                              signatures=('decode',),
+                              materialize_weights=False)
+  gemma.stamp_int8_kv_cache(graph)
+  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                               embedding_bits=8)
+  jax.block_until_ready(list(weights.values()))
+  ex = executor_lib.GraphExecutor(graph, activation_dtype='bfloat16')
+  ex._weights = weights
+  on_tpu = jax.default_backend() == 'tpu'
+  if on_tpu:
+    ex.prepare_serving_weights(min_weight_params=0)
+  log(f'packed FCs: {len(ex._packed_int4_keys)}; '
+      f'attn fusions: {len(ex._attn_fusions)}')
+  weights = ex._weights
+  sig = graph.signature_by_key('decode')
+  run_sig = functools.partial(
+      ex._run_signature, sig.subgraph_index, 'decode', False)
+  inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
+  inputs = {k: jax.device_put(np.asarray(v)) for k, v in inputs.items()}
+
+  NK, H, S = cfg.num_kv_heads, cfg.head_dim, cfg.max_seq_len
+  G = cfg.num_query_heads // cfg.num_kv_heads
+  L = cfg.num_layers
+
+  results = {}
+
+  def full_step():
+    return run_sig(weights, inputs)['logits']
+
+  results['full'] = scan_time(full_step, iters)
+  log(f"full step: {results['full']*1e3:.3f} ms")
+
+  # -- attention only: the fused masked kernel at bench shapes x L.
+  from ai_edge_quantizer_tpu.kernels import pallas_attention
+  rngk = np.random.default_rng(0)
+  q = jnp.asarray(rngk.standard_normal((batch, NK, G, H)), jnp.float32)
+  kq = jnp.asarray(rngk.integers(-127, 127, (batch, NK, S, H)), jnp.int8)
+  vq = jnp.asarray(rngk.integers(-127, 127, (batch, NK, S, H)), jnp.int8)
+  mask = jnp.zeros((batch, 1, G, S), jnp.float32)
+
+  def attn_all_layers():
+    out = q
+    for _ in range(L):
+      out = pallas_attention.decode_attention_int8_masked(
+          out, kq, vq, 0.06, 0.06, mask, interpret=not on_tpu)
+    return out
+
+  results['attention'] = scan_time(attn_all_layers, iters)
+  log(f"attention x{L}: {results['attention']*1e3:.3f} ms")
+
+  # -- FC sweep: every FC weight through its production dispatch.
+  from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+  sg = graph.subgraphs[sig.subgraph_index]
+  fc_keys = [(sig.subgraph_index, op.inputs[1]) for op in sg.ops
+             if op.opcode == 'FULLY_CONNECTED' and len(op.inputs) > 1]
+  x_by_k = {}
+
+  def fc_one(key):
+    arr = weights[key]
+    packed = key in ex._packed_int4_keys
+    k_dim = arr.shape[1] * (2 if packed else 1)
+    if k_dim not in x_by_k:
+      x_by_k[k_dim] = jnp.asarray(
+          rngk.standard_normal((batch, k_dim)), jnp.float32)
+    x = x_by_k[k_dim]
+    if packed:
+      true_n = ex._packed_pad_n.get(key)
+      bn = 512 if arr.shape[0] >= 65536 else 256
+      y = pallas_qmatmul.qmatmul_pallas_int4_packed(
+          x, arr, ex._packed_scale[key], bn=bn, interpret=not on_tpu)
+      if true_n is not None:
+        y = y[..., :true_n]
+      return y
+    t = sg.tensors[key[1]]
+    scale = jnp.asarray(np.asarray(t.quantization.scale, np.float32)
+                        ) if t.quantization is not None else 1.0
+    w = arr.astype(jnp.float32)
+    if t.quantization is not None:
+      w = w * scale.reshape(-1, 1)
+    return x @ w.T
+
+  def fc_sweep():
+    acc = jnp.zeros((), jnp.float32)
+    for key in fc_keys:
+      acc = acc + fc_one(key).reshape(-1)[0].astype(jnp.float32)
+    return acc
+
+  results['fc_sweep'] = scan_time(fc_sweep, iters)
+  log(f"fc sweep ({len(fc_keys)} FCs): {results['fc_sweep']*1e3:.3f} ms")
+
+  # -- cache DUS updates: int8 one-position write x L x 2.
+  upd = jnp.asarray(rngk.standard_normal((batch, NK, 1, H)), jnp.float32)
+
+  def cache_updates():
+    outs = []
+    for _ in range(L):
+      for c in (kq, vq):
+        outs.append(jax.lax.dynamic_update_slice(
+            c, jnp.clip(jnp.round(upd / 0.06), -127, 127).astype(jnp.int8),
+            (0, 0, 64, 0)))
+    return outs
+
+  results['cache_dus'] = scan_time(cache_updates, iters)
+  log(f"cache DUS x{L}x2: {results['cache_dus']*1e3:.3f} ms")
+
+  known = results['attention'] + results['fc_sweep'] + results['cache_dus']
+  log(f"accounted: {known*1e3:.3f} of {results['full']*1e3:.3f} ms "
+      f"({100*known/max(results['full'],1e-12):.0f}%); residual "
+      f"{1e3*(results['full']-known):.3f} ms = XLA glue "
+      f"(rope/norm/residual/reshape/embed)")
+  for k, v in results.items():
+    print(f'{k}: {v*1e3:.3f} ms')
+
+
+if __name__ == '__main__':
+  main()

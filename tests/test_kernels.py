@@ -138,3 +138,64 @@ class TestDecodeAttentionInt8:
                                       jnp.asarray([5], jnp.int32),
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(short), np.asarray(short2))
+
+
+class TestFlashAttentionInt8:
+  """Prefill-shaped flash attention (S-blocked online softmax, int8 KV)."""
+
+  def _data(self, b=2, nk=1, r=64, s=128, h=64, seed=0, causal=True):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, nk, r, h)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    mask = np.zeros((b, 1, r, s), np.float32)
+    if causal:
+      g = 2  # pretend grouped rows: row t visible up to t//g + 1
+      for t in range(r):
+        mask[:, :, t, (t // g) + 1:] = -1e9
+    return q, kq, vq, mask
+
+  def _xla_ref(self, q, kq, vq, ks, vs, mask, zp_k=0.0, zp_v=0.0):
+    qf = q.astype(np.float64)
+    scores = np.einsum('bngh,bnsh->bngs', qf, kq.astype(np.float64))
+    scores = scores - zp_k * qf.sum(-1, keepdims=True)
+    scores = scores * (ks / np.sqrt(q.shape[-1]))
+    scores = scores + mask.astype(np.float64)
+    scores -= scores.max(-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(-1, keepdims=True)
+    return (np.einsum('bngs,bnsh->bngh', p,
+                      vq.astype(np.float64)) - zp_v) * vs
+
+  @pytest.mark.parametrize('r,s,block_r,block_s', [
+      (64, 128, 32, 64),     # multi-tile in both dims
+      (64, 128, 256, 512),   # blocks clamp to full extents
+      (96, 160, 32, 64),     # non-power-of-two extents (block halving)
+  ])
+  def test_matches_reference(self, r, s, block_r, block_s):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, mask = self._data(r=r, s=s)
+    got = np.asarray(pa.flash_attention_int8_masked(
+        q, kq, vq, 0.04, 0.03, mask, block_r=block_r, block_s=block_s,
+        interpret=True))
+    want = self._xla_ref(q, kq, vq, 0.04, 0.03, mask)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  def test_zero_points(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, mask = self._data(seed=3)
+    got = np.asarray(pa.flash_attention_int8_masked(
+        q, kq, vq, 0.05, 0.02, mask, k_zero_point=3.0, v_zero_point=-2.0,
+        block_r=32, block_s=64, interpret=True))
+    want = self._xla_ref(q, kq, vq, 0.05, 0.02, mask, zp_k=3.0, zp_v=-2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  def test_matches_decode_kernel_on_decode_shape(self):
+    """Same numerics as the decode kernel when R is small."""
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, mask = self._data(r=8, s=128, causal=False)
+    flash = np.asarray(pa.flash_attention_int8_masked(
+        q, kq, vq, 0.04, 0.03, mask, interpret=True))
+    decode = np.asarray(pa.decode_attention_int8_masked(
+        q, kq, vq, 0.04, 0.03, mask, interpret=True))
+    np.testing.assert_allclose(flash, decode, rtol=1e-4, atol=1e-4)
