@@ -816,7 +816,7 @@ class GraphExecutor:
             prefer_pallas=False)
       # DRQ: float activation quantized dynamically on device.
       elif symmetric and q.block_size == 0:
-        y = qmm.drq_matmul_ref(x_val, w_q, jnp.asarray(q.scale), bias=bias)
+        y = qmm.drq_matmul(x_val, w_q, jnp.asarray(q.scale), bias=bias)
       else:
         y = qmm.qmatmul(
             x_val, w_q, jnp.asarray(q.scale),

@@ -445,6 +445,95 @@ def qmatmul_pallas_int4_packed_blockwise(
   return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
 
 
+def _int8_drq_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xq_ref, xs_ref):
+  """o[M, BN] = int8(x) . w[BN, K]^T as an int8 x int8 MXU matmul.
+
+  Activations quantize per ROW inside the kernel (dynamic range), once on
+  the first N-tile; the int8 product accumulates in int32 — 2x the MXU
+  rate of the f32 path and half its VMEM traffic. Rescale by
+  act_scale[M] * weight_scale[BN].
+  """
+  @pl.when(pl.program_id(0) == 0)
+  def _():
+    x = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-9) * (1.0 / 127.0)
+    xs_ref[:] = xs
+    xq_ref[:] = jnp.round(x * pl.reciprocal(xs, approx=False)).astype(
+        jnp.int8)
+
+  acc = jax.lax.dot_general(
+      xq_ref[:], w_ref[:],
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32,
+  )
+  y = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:]
+  if b_ref is not None:
+    y = y + b_ref[:]
+  o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def qmatmul_pallas_int8_drq(
+    x: jax.Array,
+    w_q: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+  """Dynamic-range int8 matmul: quantize acts in-kernel, int8 x int8 MXU.
+
+  x [..., K] float; w_q [N, K] int8 symmetric per-channel scale [N].
+  Matches drq_matmul_ref numerics (same per-row activation quantization).
+  """
+  n, k = w_q.shape
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  x2 = x.reshape(m, k).astype(jnp.float32)
+  m_pad = _round_up(max(m, 8), 8)
+  if m_pad != m:
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+  bn = _pick_tile(n, bn)
+  scale2 = scale.astype(jnp.float32).reshape(1, n)
+
+  in_specs = [
+      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+  ]
+  operands = [x2, w_q, scale2]
+  if bias is not None:
+    in_specs.append(
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    body = _int8_drq_kernel
+  else:
+    body = lambda x_ref, w_ref, s_ref, o_ref, xq_ref, xs_ref: \
+        _int8_drq_kernel(x_ref, w_ref, s_ref, None, o_ref, xq_ref, xs_ref)
+
+  out = pl.pallas_call(
+      body,
+      grid=(n // bn,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((m_pad, k), jnp.int8),
+          pltpu.VMEM((m_pad, 1), jnp.float32),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=m_pad * k * 4 + n * k + m_pad * n * 4,
+          transcendentals=0),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=('block_size', 'bn', 'interpret'))
 def qmatmul_pallas(

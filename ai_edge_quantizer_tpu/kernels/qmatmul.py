@@ -102,6 +102,38 @@ def drq_matmul_ref(
   return y.astype(x.dtype)
 
 
+def drq_matmul(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act_num_bits: int = 8,
+    prefer_pallas: bool = True,
+) -> jax.Array:
+  """DRQ dispatch: int8 x int8 Pallas kernel (acts quantized in-kernel)
+  on TPU for aligned shapes; XLA reference otherwise.
+
+  Disable the kernel with AEQT_INT8_PALLAS=0.
+  """
+  import os
+  n, k = w_q.shape
+  if (
+      prefer_pallas and act_num_bits == 8
+      and jax.default_backend() == 'tpu'
+      and w_q.dtype == jnp.int8
+      and k % 256 == 0 and n % 128 == 0
+      and os.environ.get('AEQT_INT8_PALLAS', '1') == '1'
+  ):
+    from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+    try:
+      return pallas_qmatmul.qmatmul_pallas_int8_drq(
+          x, w_q, w_scale, bias=bias)
+    except Exception:  # pragma: no cover - fall back on any kernel issue
+      pass
+  return drq_matmul_ref(x, w_q, w_scale, bias=bias,
+                        act_num_bits=act_num_bits)
+
+
 def qmatmul(
     x: jax.Array,
     w_q: jax.Array,

@@ -36,22 +36,25 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def scan_time(fn, iters):
-  """Seconds per fn() call, measured as one jitted scan of `iters` steps.
+def scan_time(fn, iters, *args):
+  """Seconds per fn(*args) call: one jitted scan of `iters` steps.
 
-  A data dependence threads each step's output into the carry so steps
-  cannot be elided."""
-  def body(carry, _):
-    out = fn()
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    bump = leaf.reshape(-1)[0].astype(jnp.float32)
-    return carry + bump * 1e-30, None
+  args pass through jit as REAL arguments (device buffers), never as
+  closure-captured lowering constants — a closed-over cache pool would
+  otherwise duplicate gigabytes into the executable. A data dependence
+  threads each step's output into the carry so steps cannot be elided."""
+  def scanned(*a):
+    def body(carry, _):
+      out = fn(*a)
+      leaf = jax.tree_util.tree_leaves(out)[0]
+      bump = leaf.reshape(-1)[0].astype(jnp.float32)
+      return carry + bump * 1e-30, None
+    return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
 
-  scanned = jax.jit(
-      lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0])
-  v = float(scanned())  # compile + first run
+  jitted = jax.jit(scanned)
+  v = float(jitted(*args))  # compile + first run
   t0 = time.perf_counter()
-  v = float(scanned())
+  v = float(jitted(*args))
   dt = time.perf_counter() - t0
   assert np.isfinite(v)
   return dt / iters
@@ -85,6 +88,12 @@ def main():
   run_sig = functools.partial(
       ex._run_signature, sig.subgraph_index, 'decode', False)
   inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
+  dec_sg = graph.subgraphs[sig.subgraph_index]
+  for name, tid in sig.inputs.items():
+    # Feed caches pre-quantized: a float cache pool would be gigabytes of
+    # pointless f32 on device.
+    if name.endswith('_cache_in') and dec_sg.tensors[tid].dtype == 'int8':
+      inputs[name] = np.zeros(inputs[name].shape, np.int8)
   inputs = {k: jax.device_put(np.asarray(v)) for k, v in inputs.items()}
 
   NK, H, S = cfg.num_kv_heads, cfg.head_dim, cfg.max_seq_len
@@ -93,10 +102,10 @@ def main():
 
   results = {}
 
-  def full_step():
-    return run_sig(weights, inputs)['logits']
+  def full_step(w, inp):
+    return run_sig(w, inp)['logits']
 
-  results['full'] = scan_time(full_step, iters)
+  results['full'] = scan_time(full_step, iters, weights, inputs)
   log(f"full step: {results['full']*1e3:.3f} ms")
 
   # -- attention only: the fused masked kernel at bench shapes x L.
@@ -107,14 +116,14 @@ def main():
   vq = jnp.asarray(rngk.integers(-127, 127, (batch, NK, S, H)), jnp.int8)
   mask = jnp.zeros((batch, 1, G, S), jnp.float32)
 
-  def attn_all_layers():
-    out = q
+  def attn_all_layers(q_, kq_, vq_, mask_):
+    out = q_
     for _ in range(L):
       out = pallas_attention.decode_attention_int8_masked(
-          out, kq, vq, 0.06, 0.06, mask, interpret=not on_tpu)
+          out, kq_, vq_, 0.06, 0.06, mask_, interpret=not on_tpu)
     return out
 
-  results['attention'] = scan_time(attn_all_layers, iters)
+  results['attention'] = scan_time(attn_all_layers, iters, q, kq, vq, mask)
   log(f"attention x{L}: {results['attention']*1e3:.3f} ms")
 
   # -- FC sweep: every FC weight through its production dispatch.
@@ -124,14 +133,11 @@ def main():
              if op.opcode == 'FULLY_CONNECTED' and len(op.inputs) > 1]
   x_by_k = {}
 
-  def fc_one(key):
-    arr = weights[key]
+  def fc_one(w, xs, key):
+    arr = w[key]
     packed = key in ex._packed_int4_keys
     k_dim = arr.shape[1] * (2 if packed else 1)
-    if k_dim not in x_by_k:
-      x_by_k[k_dim] = jnp.asarray(
-          rngk.standard_normal((batch, k_dim)), jnp.float32)
-    x = x_by_k[k_dim]
+    x = xs[k_dim]
     if packed:
       true_n = ex._packed_pad_n.get(key)
       bn = 512 if arr.shape[0] >= 65536 else 256
@@ -148,28 +154,36 @@ def main():
       w = w * scale.reshape(-1, 1)
     return x @ w.T
 
-  def fc_sweep():
+  for key in fc_keys:
+    arr = weights[key]
+    packed = key in ex._packed_int4_keys
+    k_dim = arr.shape[1] * (2 if packed else 1)
+    if k_dim not in x_by_k:
+      x_by_k[k_dim] = jnp.asarray(
+          rngk.standard_normal((batch, k_dim)), jnp.float32)
+
+  def fc_sweep(w, xs):
     acc = jnp.zeros((), jnp.float32)
     for key in fc_keys:
-      acc = acc + fc_one(key).reshape(-1)[0].astype(jnp.float32)
+      acc = acc + fc_one(w, xs, key).reshape(-1)[0].astype(jnp.float32)
     return acc
 
-  results['fc_sweep'] = scan_time(fc_sweep, iters)
+  results['fc_sweep'] = scan_time(fc_sweep, iters, weights, x_by_k)
   log(f"fc sweep ({len(fc_keys)} FCs): {results['fc_sweep']*1e3:.3f} ms")
 
   # -- cache DUS updates: int8 one-position write x L x 2.
   upd = jnp.asarray(rngk.standard_normal((batch, NK, 1, H)), jnp.float32)
 
-  def cache_updates():
+  def cache_updates(kq_, vq_, upd_):
     outs = []
     for _ in range(L):
-      for c in (kq, vq):
+      for c in (kq_, vq_):
         outs.append(jax.lax.dynamic_update_slice(
-            c, jnp.clip(jnp.round(upd / 0.06), -127, 127).astype(jnp.int8),
+            c, jnp.clip(jnp.round(upd_ / 0.06), -127, 127).astype(jnp.int8),
             (0, 0, 64, 0)))
     return outs
 
-  results['cache_dus'] = scan_time(cache_updates, iters)
+  results['cache_dus'] = scan_time(cache_updates, iters, kq, vq, upd)
   log(f"cache DUS x{L}x2: {results['cache_dus']*1e3:.3f} ms")
 
   known = results['attention'] + results['fc_sweep'] + results['cache_dus']

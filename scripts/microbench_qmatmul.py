@@ -67,6 +67,8 @@ def main():
           lambda x, w, s: qmatmul.drq_matmul_ref(x, w, s)),
       'pallas_int8': jax.jit(
           lambda x, w, s: pallas_qmatmul.qmatmul_pallas(x, w, s)),
+      'pallas_int8_drq': jax.jit(
+          lambda x, w, s: pallas_qmatmul.qmatmul_pallas_int8_drq(x, w, s)),
   }
   for name, fn in fns.items():
     try:

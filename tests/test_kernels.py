@@ -199,3 +199,31 @@ class TestFlashAttentionInt8:
     decode = np.asarray(pa.decode_attention_int8_masked(
         q, kq, vq, 0.04, 0.03, mask, interpret=True))
     np.testing.assert_allclose(flash, decode, rtol=1e-4, atol=1e-4)
+
+
+class TestInt8DrqKernel:
+  """In-kernel activation quantization int8 x int8 DRQ matmul."""
+
+  @pytest.mark.parametrize('m,n,k', [(8, 256, 256), (5, 384, 512)])
+  def test_matches_xla_drq(self, m, n, k):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.integers(-127, 128, (n, k)).astype(np.int8)
+    s = (rng.random(n) * 0.01 + 0.001).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int8_drq(
+        x, w, jnp.asarray(s), bias=jnp.asarray(b), interpret=True))
+    want = np.asarray(qmatmul.drq_matmul_ref(
+        x, w, jnp.asarray(s), bias=jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  def test_3d_input_no_bias(self):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 256)).astype(np.float32)
+    w = rng.integers(-127, 128, (128, 256)).astype(np.int8)
+    s = np.full(128, 0.01, np.float32)
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int8_drq(
+        x, w, jnp.asarray(s), interpret=True))
+    want = np.asarray(qmatmul.drq_matmul_ref(x, w, jnp.asarray(s)))
+    assert got.shape == (2, 4, 128)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
