@@ -70,6 +70,14 @@ class Calibrator:
       # transfer savings).
       use_device_stats = self._mode == 'device_stats' and all(
           sg_idx == sig.subgraph_index for sg_idx, *_ in plan)
+      from ai_edge_quantizer_tpu.utils import progress_utils
+      try:
+        n_samples = len(samples)
+      except TypeError:
+        n_samples = 0
+      bar = progress_utils.ProgressBar(
+          n_samples, description=f'Calibrating {signature_key}',
+          disappear_on_finish=True)
       if use_device_stats:
         runner = self._executor.stats_runner(
             signature_key,
@@ -78,6 +86,8 @@ class Calibrator:
           stats = runner(sample)
           self._calibrate_step_stats(plan, stats)
           self._num_samples += 1
+          bar.update_single_step()
+        bar.close()
         continue
       runner = self._executor.signature_runner(
           signature_key, capture_all=True)
@@ -85,6 +95,8 @@ class Calibrator:
         tensor_content_map = runner(sample)
         self._calibrate_step(plan, tensor_content_map)
         self._num_samples += 1
+        bar.update_single_step()
+      bar.close()
 
   def get_model_qsvs(self) -> dict:
     return self._model_qsvs

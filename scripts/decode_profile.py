@@ -159,8 +159,10 @@ def main():
     packed = key in ex._packed_int4_keys
     k_dim = arr.shape[1] * (2 if packed else 1)
     if k_dim not in x_by_k:
+      # bf16 activations (the serving dtype): an f32 [256, 16384] x block
+      # would blow the 16 MB VMEM scoped limit.
       x_by_k[k_dim] = jnp.asarray(
-          rngk.standard_normal((batch, k_dim)), jnp.float32)
+          rngk.standard_normal((batch, k_dim)), jnp.bfloat16)
 
   def fc_sweep(w, xs):
     acc = jnp.zeros((), jnp.float32)
