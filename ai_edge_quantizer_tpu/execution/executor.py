@@ -710,7 +710,13 @@ class GraphExecutor:
     v_scale = float(np.asarray(v_info.scale).reshape(()))
     zp_k = float(np.asarray(k_info.zero_point).reshape(()))
     zp_v = float(np.asarray(v_info.zero_point).reshape(()))
-    if jax.default_backend() == 'tpu':
+    # Mosaic tiling: the head dim must fill full 128-lane tiles and the
+    # cache length full sublane tiles; toy-sized heads (e.g. H=32) crash
+    # the remote compiler (memref_slice) — keep them on the XLA twin.
+    h_dim = q_val.shape[-1]
+    s_dim = k_q.shape[2]
+    pallas_ok = h_dim % 128 == 0 and s_dim % 128 == 0
+    if jax.default_backend() == 'tpu' and pallas_ok:
       from ai_edge_quantizer_tpu.kernels import pallas_attention
       if q_val.shape[2] >= 32:
         # Prefill-shaped (R = G*T rows): flash kernel, S-blocked online
@@ -719,9 +725,12 @@ class GraphExecutor:
             q_val, k_q, v_q, k_scale, v_scale, mask,
             k_zero_point=zp_k, v_zero_point=zp_v)
       else:
+        import os
         ctx = pallas_attention.decode_attention_int8_masked(
             q_val, k_q, v_q, k_scale, v_scale, mask,
-            k_zero_point=zp_k, v_zero_point=zp_v)
+            k_zero_point=zp_k, v_zero_point=zp_v,
+            compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+            batch_block=int(os.environ.get('AEQT_ATTN_BB', '1')))
     else:
       # XLA twin with the same numerics (zp corrections in closed form).
       qf = q_val.astype(jnp.float32)

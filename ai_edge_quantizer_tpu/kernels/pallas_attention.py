@@ -252,6 +252,78 @@ def flash_attention_int8_masked(
   return out.reshape(b, nk, r, h)
 
 
+def _decode_attn_mask_kernel_bf16(q_ref, k_ref, v_ref, mask_ref, scales_ref,
+                                  o_ref):
+  """bf16-compute variant: int8 K/V convert to bf16 (exact for int8
+  values), both dots run as native bf16 MXU ops with f32 accumulators —
+  half the VPU conversion traffic and 4x the MXU rate of the f32 path."""
+  g, h = q_ref.shape
+  k_scale = scales_ref[0, 0]
+  v_scale = scales_ref[0, 1]
+  zp_k = scales_ref[0, 2]
+  zp_v = scales_ref[0, 3]
+  q = q_ref[:]
+  qb = q.astype(jnp.bfloat16)
+  k = k_ref[:].astype(jnp.bfloat16)
+  scores = jax.lax.dot_general(
+      qb, k, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )
+  scores = scores - zp_k * jnp.sum(q, axis=1, keepdims=True)
+  scores = scores * (k_scale / (h ** 0.5))
+  scores = scores + mask_ref[:]
+  scores = scores - jnp.max(scores, axis=1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+  ctx = jax.lax.dot_general(
+      probs.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )
+  ctx = (ctx - zp_v) * v_scale
+  o_ref[:] = ctx
+
+
+def _decode_attn_mask_kernel_int8(q_ref, k_ref, v_ref, mask_ref, scales_ref,
+                                  o_ref):
+  """Full-int8 compute: q quantized per row in-kernel, probs quantized to
+  7 bits; BOTH dots run int8 x int8 -> int32 on the MXU and the int8 K/V
+  blocks feed the MXU with NO dtype conversion pass at all."""
+  g, h = q_ref.shape
+  k_scale = scales_ref[0, 0]
+  v_scale = scales_ref[0, 1]
+  zp_k = scales_ref[0, 2]
+  zp_v = scales_ref[0, 3]
+  q = q_ref[:]
+  q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+  q_scale = jnp.maximum(q_absmax, 1e-9) * (1.0 / 127.0)
+  q_q = jnp.round(q / q_scale).astype(jnp.int8)
+  acc = jax.lax.dot_general(
+      q_q, k_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32,
+  )
+  scores = acc.astype(jnp.float32) * q_scale
+  scores = scores - zp_k * jnp.sum(
+      q_q.astype(jnp.float32) * q_scale, axis=1, keepdims=True)
+  scores = scores * (k_scale / (h ** 0.5))
+  scores = scores + mask_ref[:]
+  scores = scores - jnp.max(scores, axis=1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+  p_q = jnp.round(probs * 127.0).astype(jnp.int8)
+  ctx_acc = jax.lax.dot_general(
+      p_q, v_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.int32,
+  )
+  # Renormalize by the quantized-probability row sum (not 127): rounding
+  # keeps rows summing to ~127 but the exact sum preserves E[ctx].
+  p_sum = jnp.maximum(
+      jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True), 1.0)
+  ctx = ctx_acc.astype(jnp.float32) / p_sum
+  ctx = (ctx - zp_v) * v_scale
+  o_ref[:] = ctx
+
+
 def _decode_attn_mask_kernel(q_ref, k_ref, v_ref, mask_ref, scales_ref,
                              o_ref):
   """Masked variant: additive mask [G, S]; asymmetric caches supported.
@@ -286,8 +358,16 @@ def _decode_attn_mask_kernel(q_ref, k_ref, v_ref, mask_ref, scales_ref,
   o_ref[:] = ctx
 
 
+_ATTN_KERNELS = {
+    'f32': _decode_attn_mask_kernel,
+    'bf16': _decode_attn_mask_kernel_bf16,
+    'int8': _decode_attn_mask_kernel_int8,
+}
+
+
 @functools.partial(
-    jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point'))
+    jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
+                              'compute', 'batch_block'))
 def decode_attention_int8_masked(
     q: jax.Array,
     k_cache_q: jax.Array,
@@ -297,6 +377,8 @@ def decode_attention_int8_masked(
     mask: jax.Array,
     k_zero_point: float = 0.0,
     v_zero_point: float = 0.0,
+    compute: str = 'f32',
+    batch_block: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
   """Fused int8-cache attention with an additive mask (graph semantics).
@@ -304,42 +386,54 @@ def decode_attention_int8_masked(
   q: [B, NK, G, H]; caches: [B, NK, S, H] int8 (per-tensor scale +
   optional zero point); mask: [B, 1, G, S] additive (0 = visible).
   Returns [B, NK, G, H] f32.
+
+  compute: 'f32' (exact twin of the XLA path), 'bf16' (int8->bf16 K/V,
+  bf16 MXU dots), or 'int8' (q and probs quantized in-kernel, both dots
+  int8 x int8 -> int32 with no K/V conversion pass — fastest, with a
+  bounded ~1/254 probability-rounding error).
+  batch_block: (batch * kv_head) rows processed per grid program —
+  amortizes per-program pipeline overhead across rows.
   """
   b, nk, g, h = q.shape
   s = k_cache_q.shape[2]
-  q2 = q.reshape(b * nk, g, h).astype(jnp.float32)
-  k2 = k_cache_q.reshape(b * nk, s, h)
-  v2 = v_cache_q.reshape(b * nk, s, h)
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_cache_q.reshape(bn_rows, s, h)
+  v2 = v_cache_q.reshape(bn_rows, s, h)
   m2 = jnp.broadcast_to(mask.astype(jnp.float32), (b, nk, g, s)).reshape(
-      b * nk, g, s)
+      bn_rows, g, s)
   scales = jnp.stack(
       [jnp.asarray(k_scale, jnp.float32).reshape(()),
        jnp.asarray(v_scale, jnp.float32).reshape(()),
        jnp.asarray(k_zero_point, jnp.float32).reshape(()),
        jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+  inner = _ATTN_KERNELS[compute]
 
   def kernel(q_ref, k_ref, v_ref, m_ref, scales_ref, o_ref):
-    _decode_attn_mask_kernel(
-        q_ref.at[0], k_ref.at[0], v_ref.at[0], m_ref.at[0], scales_ref,
-        o_ref.at[0])
+    for row in range(bb):
+      inner(q_ref.at[row], k_ref.at[row], v_ref.at[row], m_ref.at[row],
+            scales_ref, o_ref.at[row])
 
   out = pl.pallas_call(
       kernel,
-      grid=(b * nk,),
+      grid=(bn_rows // bb,),
       in_specs=[
-          pl.BlockSpec((1, g, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, g, s), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, g, s), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, g, h), lambda i: (i, 0, 0),
+      out_specs=pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b * nk, g, h), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), jnp.float32),
       interpret=interpret,
   )(q2, k2, v2, m2, scales)
   return out.reshape(b, nk, g, h)

@@ -102,11 +102,43 @@ def main():
 
   results = {}
 
-  def full_step(w, inp):
-    return run_sig(w, inp)['logits']
+  # Full step with REAL step-to-step dependencies (cache carry + sampled
+  # token feedback), exactly like bench.py's on-device loop. A body whose
+  # inputs repeat every iteration gets hoisted out of the scan by XLA and
+  # times as a no-op.
+  iota_s = jnp.arange(S, dtype=jnp.int32)
+  cache_keys = [k for k in inputs if k.endswith('_cache_in')]
 
-  results['full'] = scan_time(full_step, iters, weights, inputs)
-  log(f"full step: {results['full']*1e3:.3f} ms")
+  def full_chunk(w, caches, tokens, pos):
+    def body(carry, _):
+      caches_c, tokens_c, pos_c = carry
+      m = jnp.where(iota_s[None, None, None, :] <= pos_c,
+                    jnp.float32(0.0), jnp.float32(-1e9))
+      inp = {
+          'tokens': tokens_c,
+          'positions': jnp.full((batch, 1), pos_c, jnp.int32),
+          'mask': jnp.broadcast_to(m, (batch, 1, G, S)),
+          'cache_pos': jnp.stack(
+              [jnp.int32(0), jnp.int32(0), pos_c, jnp.int32(0)]),
+      }
+      inp.update(caches_c)
+      out = run_sig(w, inp)
+      new_caches = {k: out[k[:-3]] for k in cache_keys}
+      nxt = jnp.argmax(out['logits'][:, -1, :], axis=-1).astype(
+          jnp.int32)[:, None]
+      return (new_caches, nxt, pos_c + 1), None
+    (caches, tokens, pos), _ = jax.lax.scan(
+        body, (caches, tokens, pos), None, length=iters)
+    return tokens
+
+  caches0 = {k: inputs[k] for k in cache_keys}
+  tokens0 = inputs['tokens']
+  jit_full = jax.jit(full_chunk)
+  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(64)))
+  t0 = time.perf_counter()
+  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(64)))
+  results['full'] = (time.perf_counter() - t0) / iters
+  log(f"full step (chained): {results['full']*1e3:.3f} ms")
 
   # -- attention only: the fused masked kernel at bench shapes x L.
   from ai_edge_quantizer_tpu.kernels import pallas_attention
@@ -117,13 +149,25 @@ def main():
   mask = jnp.zeros((batch, 1, G, S), jnp.float32)
 
   def attn_all_layers(q_, kq_, vq_, mask_):
+    # Chained: each layer consumes the previous output (reshaped back to
+    # the q shape), so nothing is loop-invariant.
     out = q_
     for _ in range(L):
       out = pallas_attention.decode_attention_int8_masked(
           out, kq_, vq_, 0.06, 0.06, mask_, interpret=not on_tpu)
     return out
 
-  results['attention'] = scan_time(attn_all_layers, iters, q, kq, vq, mask)
+  def attn_chained(q0, kq_, vq_, mask_):
+    def body(carry, _):
+      out = attn_all_layers(carry, kq_, vq_, mask_)
+      return out * 1e-3, None
+    return jax.lax.scan(body, q0, None, length=iters)[0]
+
+  jit_attn = jax.jit(attn_chained)
+  v = np.asarray(jit_attn(q, kq, vq, mask))
+  t0 = time.perf_counter()
+  v = np.asarray(jit_attn(q, kq, vq, mask))
+  results['attention'] = (time.perf_counter() - t0) / iters
   log(f"attention x{L}: {results['attention']*1e3:.3f} ms")
 
   # -- FC sweep: every FC weight through its production dispatch.
@@ -164,28 +208,42 @@ def main():
       x_by_k[k_dim] = jnp.asarray(
           rngk.standard_normal((batch, k_dim)), jnp.bfloat16)
 
-  def fc_sweep(w, xs):
-    acc = jnp.zeros((), jnp.float32)
-    for key in fc_keys:
-      acc = acc + fc_one(w, xs, key).reshape(-1)[0].astype(jnp.float32)
-    return acc
+  def fc_sweep_chained(w, xs):
+    def body(carry, _):
+      acc = carry
+      for key in fc_keys:
+        xs_k = {k: v + acc.astype(v.dtype) for k, v in xs.items()}
+        acc = acc + fc_one(w, xs_k, key).reshape(-1)[0].astype(
+            jnp.float32) * 1e-30
+      return acc, None
+    return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
 
-  results['fc_sweep'] = scan_time(fc_sweep, iters, weights, x_by_k)
+  jit_fc = jax.jit(fc_sweep_chained)
+  v = float(jit_fc(weights, x_by_k))
+  t0 = time.perf_counter()
+  v = float(jit_fc(weights, x_by_k))
+  results['fc_sweep'] = (time.perf_counter() - t0) / iters
   log(f"fc sweep ({len(fc_keys)} FCs): {results['fc_sweep']*1e3:.3f} ms")
 
   # -- cache DUS updates: int8 one-position write x L x 2.
   upd = jnp.asarray(rngk.standard_normal((batch, NK, 1, H)), jnp.float32)
 
-  def cache_updates(kq_, vq_, upd_):
-    outs = []
-    for _ in range(L):
-      for c in (kq_, vq_):
-        outs.append(jax.lax.dynamic_update_slice(
-            c, jnp.clip(jnp.round(upd_ / 0.06), -127, 127).astype(jnp.int8),
-            (0, 0, 64, 0)))
-    return outs
+  def cache_updates_chained(kq_, vq_, upd_):
+    def body(carry, _):
+      kq_c, vq_c = carry
+      u = jnp.clip(jnp.round(upd_ / 0.06), -127, 127).astype(jnp.int8)
+      new_k, new_v = kq_c, vq_c
+      for _ in range(L):
+        new_k = jax.lax.dynamic_update_slice(new_k, u, (0, 0, 64, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, u, (0, 0, 64, 0))
+      return (new_k, new_v), None
+    return jax.lax.scan(body, (kq_, vq_), None, length=iters)[0][0]
 
-  results['cache_dus'] = scan_time(cache_updates, iters, kq, vq, upd)
+  jit_dus = jax.jit(cache_updates_chained)
+  v = np.asarray(jit_dus(kq, vq, upd))[0, 0, 0, 0]
+  t0 = time.perf_counter()
+  v = np.asarray(jit_dus(kq, vq, upd))[0, 0, 0, 0]
+  results['cache_dus'] = (time.perf_counter() - t0) / iters
   log(f"cache DUS x{L}x2: {results['cache_dus']*1e3:.3f} ms")
 
   known = results['attention'] + results['fc_sweep'] + results['cache_dus']
