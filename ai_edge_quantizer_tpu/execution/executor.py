@@ -726,11 +726,23 @@ class GraphExecutor:
             k_zero_point=zp_k, v_zero_point=zp_v)
       else:
         import os
-        ctx = pallas_attention.decode_attention_int8_masked(
-            q_val, k_q, v_q, k_scale, v_scale, mask,
-            k_zero_point=zp_k, v_zero_point=zp_v,
-            compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
-            batch_block=int(os.environ.get('AEQT_ATTN_BB', '1')))
+        if os.environ.get('AEQT_ATTN_DYNLEN', '0') == '1':
+          # Dynamic-length cache reads: decode masks are visibility
+          # prefixes ([0, pos] visible), so the kernel streams only the
+          # live rows — a 256-token conversation reads 1/4 of an S=1024
+          # cache. Lengths derive in-graph from the mask (one tiny
+          # reduce), preserving the graph's mask semantics.
+          lengths = jnp.sum(
+              (mask[:, 0, 0, :] > -1e8).astype(jnp.int32), axis=-1)
+          ctx = pallas_attention.decode_attention_int8_dynlen(
+              q_val, k_q, v_q, k_scale, v_scale, lengths,
+              k_zero_point=zp_k, v_zero_point=zp_v)
+        else:
+          ctx = pallas_attention.decode_attention_int8_masked(
+              q_val, k_q, v_q, k_scale, v_scale, mask,
+              k_zero_point=zp_k, v_zero_point=zp_v,
+              compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+              batch_block=int(os.environ.get('AEQT_ATTN_BB', '1')))
     else:
       # XLA twin with the same numerics (zp corrections in closed form).
       qf = q_val.astype(jnp.float32)

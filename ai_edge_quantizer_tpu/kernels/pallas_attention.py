@@ -366,6 +366,138 @@ _ATTN_KERNELS = {
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=('k_zero_point', 'v_zero_point', 'chunk', 'interpret'))
+def decode_attention_int8_dynlen(
+    q: jax.Array,
+    k_cache_q: jax.Array,
+    v_cache_q: jax.Array,
+    k_scale,
+    v_scale,
+    lengths: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+  """Decode attention reading ONLY the live cache prefix per row.
+
+  The static-shape answer to paged attention: K/V stay in HBM; the kernel
+  double-buffer-DMAs `chunk`-row windows and STOPS at ceil(length/chunk),
+  so a conversation at position P streams ~P rows instead of the whole
+  allocated S (a 256-token chat reads 4x less cache than S=1024 would).
+  Online softmax across chunks; rows are masked to [0, length).
+
+  q [B, NK, G, H]; caches [B, NK, S, H] int8 per-tensor scale;
+  lengths [B] int32 (attend to cache[:length] per batch row).
+  Returns [B, NK, G, H] f32.
+  """
+  b, nk, g, h = q.shape
+  s = k_cache_q.shape[2]
+  c = min(chunk, s)
+  while s % c:
+    c //= 2
+  n_rows = b * nk
+  q2 = q.reshape(n_rows, g, h).astype(jnp.float32)
+  k2 = k_cache_q.reshape(n_rows, s, h)
+  v2 = v_cache_q.reshape(n_rows, s, h)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(n_rows)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+  max_chunks = s // c
+
+  def kernel(lens_ref, q_ref, scales_ref, k_hbm, v_hbm, o_ref):
+    i = pl.program_id(0)
+    length = lens_ref[i]
+    n_chunks = jnp.clip(pl.cdiv(length, c), 1, max_chunks)
+    k_scale_ = scales_ref[0, 0]
+    v_scale_ = scales_ref[0, 1]
+    zp_k = scales_ref[0, 2]
+    zp_v = scales_ref[0, 3]
+    q_blk = q_ref[0]  # [G, H] f32
+
+    def body(k_buf, v_buf, sem):
+      def dma(slot, ci, hbm, buf):
+        return pltpu.make_async_copy(
+            hbm.at[i, pl.ds(ci * c, c)], buf.at[slot],
+            sem.at[slot if hbm is k_hbm else slot + 2])
+
+      dma(0, 0, k_hbm, k_buf).start()
+      dma(0, 0, v_hbm, v_buf).start()
+
+      def loop(ci, carry):
+        m_prev, l_prev, acc = carry
+        slot = ci % 2
+        nxt = (ci + 1) % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+          dma(nxt, ci + 1, k_hbm, k_buf).start()
+          dma(nxt, ci + 1, v_hbm, v_buf).start()
+
+        dma(slot, ci, k_hbm, k_buf).wait()
+        dma(slot, ci, v_hbm, v_buf).wait()
+        k_c = k_buf[slot].astype(jnp.float32)  # [c, H]
+        scores = jax.lax.dot_general(
+            q_blk, k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, c]
+        scores = scores - zp_k * jnp.sum(q_blk, axis=1, keepdims=True)
+        scores = scores * (k_scale_ / (h ** 0.5))
+        pos = ci * c + jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+        scores = jnp.where(pos < length, scores, -1e30)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        v_c = v_buf[slot].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p, v_c, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+      init = (jnp.full((g, 1), -1e30, jnp.float32),
+              jnp.zeros((g, 1), jnp.float32),
+              jnp.zeros((g, h), jnp.float32))
+      _, l_fin, acc_fin = jax.lax.fori_loop(0, n_chunks, loop, init)
+      denom = jnp.maximum(l_fin, 1e-30)
+      o_ref[0] = ((acc_fin / denom) - zp_v) * v_scale_
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((2, c, h), jnp.int8),
+        pltpu.VMEM((2, c, h), jnp.int8),
+        pltpu.SemaphoreType.DMA((4,)),
+    )
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(n_rows,),
+      in_specs=[
+          pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      out_specs=pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+  )
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((n_rows, g, h), jnp.float32),
+      interpret=interpret,
+  )(lens, q2, scales, k2, v2)
+  return out.reshape(b, nk, g, h)
+
+
+@functools.partial(
     jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
                               'compute', 'batch_block'))
 def decode_attention_int8_masked(

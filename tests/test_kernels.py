@@ -227,3 +227,55 @@ class TestInt8DrqKernel:
     want = np.asarray(qmatmul.drq_matmul_ref(x, w, jnp.asarray(s)))
     assert got.shape == (2, 4, 128)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestDynlenAttention:
+  """Dynamic-length decode attention: manual HBM DMA, live-prefix reads."""
+
+  def test_matches_reference_per_row_lengths(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(0)
+    b, nk, g, h, s = 3, 1, 8, 128, 512
+    q = rng.standard_normal((b, nk, g, h)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    lengths = np.array([65, 300, 512], np.int32)
+    got = np.asarray(pa.decode_attention_int8_dynlen(
+        q, kq, vq, 0.04, 0.03, jnp.asarray(lengths), k_zero_point=2.0,
+        v_zero_point=-1.0, chunk=128, interpret=True))
+    qf = q.astype(np.float64)
+    scores = np.einsum('bngh,bnsh->bngs', qf, kq.astype(np.float64))
+    scores -= 2.0 * qf.sum(-1, keepdims=True)
+    scores *= 0.04 / np.sqrt(h)
+    pos = np.arange(s)[None, None, None, :]
+    scores = np.where(pos < lengths[:, None, None, None], scores, -1e30)
+    scores -= scores.max(-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(-1, keepdims=True)
+    want = (np.einsum('bngs,bnsh->bngh', p,
+                      vq.astype(np.float64)) + 1.0) * 0.03
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  def test_executor_dynlen_matches_masked(self, monkeypatch):
+    """AEQT_ATTN_DYNLEN derives lengths from the prefix mask in-graph and
+    must reproduce the masked path's outputs (CPU: XLA twin vs XLA twin
+    plus the length reduce — a structural smoke test)."""
+    import jax as _jax
+    monkeypatch.setenv('AEQT_ATTN_DYNLEN', '1')
+    from ai_edge_quantizer_tpu.models import gemma
+    from ai_edge_quantizer_tpu import Quantizer
+    from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=2, prefill_len=8,
+                            signatures=('decode',))
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=5)
+    out1 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    monkeypatch.setenv('AEQT_ATTN_DYNLEN', '0')
+    out2 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    np.testing.assert_allclose(np.asarray(out1['logits']),
+                               np.asarray(out2['logits']), rtol=1e-4,
+                               atol=1e-4)
