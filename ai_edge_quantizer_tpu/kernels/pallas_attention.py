@@ -367,7 +367,8 @@ _ATTN_KERNELS = {
 
 @functools.partial(
     jax.jit,
-    static_argnames=('k_zero_point', 'v_zero_point', 'chunk', 'interpret'))
+    static_argnames=('k_zero_point', 'v_zero_point', 'chunk', 'row_block',
+                     'interpret'))
 def decode_attention_int8_dynlen(
     q: jax.Array,
     k_cache_q: jax.Array,
@@ -378,15 +379,20 @@ def decode_attention_int8_dynlen(
     k_zero_point: float = 0.0,
     v_zero_point: float = 0.0,
     chunk: int = 256,
+    row_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
   """Decode attention reading ONLY the live cache prefix per row.
 
   The static-shape answer to paged attention: K/V stay in HBM; the kernel
-  double-buffer-DMAs `chunk`-row windows and STOPS at ceil(length/chunk),
-  so a conversation at position P streams ~P rows instead of the whole
-  allocated S (a 256-token chat reads 4x less cache than S=1024 would).
-  Online softmax across chunks; rows are masked to [0, length).
+  double-buffer-DMAs `chunk`-position windows for a block of `row_block`
+  (batch, kv-head) rows at once and STOPS at ceil(max_live/chunk) for the
+  block, so a conversation at position P streams ~P positions instead of
+  the whole allocated S (a 256-token chat reads 4x less cache than S=1024
+  would). Row-blocking keeps each DMA large (row_block*chunk*H bytes) and
+  the grid short — the single-row variant was DMA-latency-bound at short
+  lengths (1 chunk/row = zero double-buffering overlap). Online softmax
+  across chunks; rows are masked to their own [0, length).
 
   q [B, NK, G, H]; caches [B, NK, S, H] int8 per-tensor scale;
   lengths [B] int32 (attend to cache[:length] per batch row).
@@ -398,6 +404,13 @@ def decode_attention_int8_dynlen(
   while s % c:
     c //= 2
   n_rows = b * nk
+  rb = max(1, min(row_block, n_rows))
+  while n_rows % rb:
+    rb //= 2
+  # VMEM guard: 2 slots x 2 caches x rb*c*h int8 must stay well under the
+  # 16 MB Mosaic scoped limit (plus accumulators).
+  while rb > 1 and 4 * rb * c * h > 8 * 2**20:
+    rb //= 2
   q2 = q.reshape(n_rows, g, h).astype(jnp.float32)
   k2 = k_cache_q.reshape(n_rows, s, h)
   v2 = v_cache_q.reshape(n_rows, s, h)
@@ -411,25 +424,27 @@ def decode_attention_int8_dynlen(
 
   def kernel(lens_ref, q_ref, scales_ref, k_hbm, v_hbm, o_ref):
     i = pl.program_id(0)
-    length = lens_ref[i]
-    n_chunks = jnp.clip(pl.cdiv(length, c), 1, max_chunks)
+    row0 = i * rb
+    # Per-row live lengths for this block (SMEM scalar reads, unrolled).
+    lens_blk = [lens_ref[row0 + j] for j in range(rb)]
+    blk_len = functools.reduce(jnp.maximum, lens_blk)
+    n_chunks = jnp.clip(pl.cdiv(blk_len, c), 1, max_chunks)
     k_scale_ = scales_ref[0, 0]
     v_scale_ = scales_ref[0, 1]
     zp_k = scales_ref[0, 2]
     zp_v = scales_ref[0, 3]
-    q_blk = q_ref[0]  # [G, H] f32
+    q_blk = q_ref[:]  # [rb, G, H] f32
 
     def body(k_buf, v_buf, sem):
       def dma(slot, ci, hbm, buf):
         return pltpu.make_async_copy(
-            hbm.at[i, pl.ds(ci * c, c)], buf.at[slot],
+            hbm.at[pl.ds(row0, rb), pl.ds(ci * c, c)], buf.at[slot],
             sem.at[slot if hbm is k_hbm else slot + 2])
 
       dma(0, 0, k_hbm, k_buf).start()
       dma(0, 0, v_hbm, v_buf).start()
 
       def loop(ci, carry):
-        m_prev, l_prev, acc = carry
         slot = ci % 2
         nxt = (ci + 1) % 2
 
@@ -440,52 +455,62 @@ def decode_attention_int8_dynlen(
 
         dma(slot, ci, k_hbm, k_buf).wait()
         dma(slot, ci, v_hbm, v_buf).wait()
-        k_c = k_buf[slot].astype(jnp.float32)  # [c, H]
-        scores = jax.lax.dot_general(
-            q_blk, k_c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, c]
-        scores = scores - zp_k * jnp.sum(q_blk, axis=1, keepdims=True)
-        scores = scores * (k_scale_ / (h ** 0.5))
-        pos = ci * c + jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
-        scores = jnp.where(pos < length, scores, -1e30)
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        v_c = v_buf[slot].astype(jnp.float32)
-        pv = jax.lax.dot_general(
-            p, v_c, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc * alpha + pv
+        # Per-row dots, unrolled: Mosaic has no batched dot_general, and
+        # this mirrors the (compiling) masked kernel's structure.
+        new_carry = []
+        for j in range(rb):
+          m_prev, l_prev, acc = carry[j]
+          k_c = k_buf[slot, j].astype(jnp.float32)  # [c, H]
+          scores = jax.lax.dot_general(
+              q_blk[j], k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32,
+          )  # [G, c]
+          scores = scores - zp_k * jnp.sum(q_blk[j], axis=1, keepdims=True)
+          scores = scores * (k_scale_ / (h ** 0.5))
+          pos = ci * c + jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+          scores = jnp.where(pos < lens_blk[j], scores, -1e30)
+          m_new = jnp.maximum(
+              m_prev, jnp.max(scores, axis=1, keepdims=True))
+          alpha = jnp.exp(m_prev - m_new)
+          p = jnp.exp(scores - m_new)
+          l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+          v_c = v_buf[slot, j].astype(jnp.float32)  # [c, H]
+          pv = jax.lax.dot_general(
+              p, v_c, dimension_numbers=(((1,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32,
+          )
+          new_carry.append((m_new, l_new, acc * alpha + pv))
+        return tuple(new_carry)
 
-      init = (jnp.full((g, 1), -1e30, jnp.float32),
-              jnp.zeros((g, 1), jnp.float32),
-              jnp.zeros((g, h), jnp.float32))
-      _, l_fin, acc_fin = jax.lax.fori_loop(0, n_chunks, loop, init)
-      denom = jnp.maximum(l_fin, 1e-30)
-      o_ref[0] = ((acc_fin / denom) - zp_v) * v_scale_
+      init = tuple(
+          (jnp.full((g, 1), -1e30, jnp.float32),
+           jnp.zeros((g, 1), jnp.float32),
+           jnp.zeros((g, h), jnp.float32)) for _ in range(rb))
+      fin = jax.lax.fori_loop(0, n_chunks, loop, init)
+      for j in range(rb):
+        _, l_fin, acc_fin = fin[j]
+        denom = jnp.maximum(l_fin, 1e-30)
+        o_ref[j] = ((acc_fin / denom) - zp_v) * v_scale_
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((2, c, h), jnp.int8),
-        pltpu.VMEM((2, c, h), jnp.int8),
+        pltpu.VMEM((2, rb, c, h), jnp.int8),
+        pltpu.VMEM((2, rb, c, h), jnp.int8),
         pltpu.SemaphoreType.DMA((4,)),
     )
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
-      grid=(n_rows,),
+      grid=(n_rows // rb,),
       in_specs=[
-          pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
+          pl.BlockSpec((rb, g, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, 4), lambda i, lens_ref: (0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec(memory_space=pl.ANY),
       ],
-      out_specs=pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
+      out_specs=pl.BlockSpec((rb, g, h), lambda i, lens_ref: (i, 0, 0),
                              memory_space=pltpu.VMEM),
   )
   out = pl.pallas_call(
@@ -531,6 +556,12 @@ def decode_attention_int8_masked(
   bn_rows = b * nk
   bb = max(1, batch_block)
   while bn_rows % bb:
+    bb //= 2
+  # VMEM clamp: double-buffered int8 K/V blocks + f32 mask block + per-row
+  # f32 conversion temps must stay under the ~16 MB Mosaic scoped limit
+  # (bb=16 at S=1024 H=256 fails to compile; bb<=8 fits).
+  while bb > 1 and 2 * (2 * bb * s * h + bb * g * s * 4) + 8 * s * h > \
+      14 * 2**20:
     bb //= 2
   q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
   k2 = k_cache_q.reshape(bn_rows, s, h)

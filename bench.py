@@ -124,7 +124,7 @@ def main():
                               signatures=('decode',),
                               materialize_weights=False,
                               fused_projections=os.environ.get(
-                                  'AEQT_BENCH_FUSED_PROJ', '0') == '1')
+                                  'AEQT_BENCH_FUSED_PROJ', '1') == '1')
   log(f'build graph: {time.time()-t0:.1f}s')
   kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
   if kv_mode == 'int8':
@@ -132,7 +132,7 @@ def main():
     # DUS fast path and the fused attention kernel.
     gemma.stamp_int8_kv_cache(graph)
   t0 = time.time()
-  fused_tag = os.environ.get('AEQT_BENCH_FUSED_PROJ', '0')
+  fused_tag = os.environ.get('AEQT_BENCH_FUSED_PROJ', '1')
   cache_path = (f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}_'
                 f'f{fused_tag}.npz')
   weights = None
@@ -182,7 +182,11 @@ def main():
   G = cfg.num_query_heads // cfg.num_kv_heads
   S = cfg.max_seq_len
   iota_s = jnp.arange(S, dtype=jnp.int32)
-  start_pos = 64
+  # Decode at a NEAR-FULL context by default: the headline "decode at
+  # context S" number must pay for ~S live cache rows. (With the
+  # dynamic-length attention kernel, a small start_pos would measure a
+  # mostly-empty bucket instead — a different, easier point.)
+  start_pos = int(os.environ.get('AEQT_BENCH_START_POS', max(64, S - 128)))
 
   def one_step(w, caches, tokens, pos):
     """One decode step with inputs derived ON DEVICE from `pos`."""

@@ -59,21 +59,23 @@ def main():
     for bb in (1, 4, 8, 16):
       variants.append((compute, bb))
 
-  # Dynamic-length kernel at several live-context lengths.
-  for frac in (1.0, 0.25, 0.125):
-    length = int(s * frac)
-    lengths = jnp.full((b,), length, jnp.int32)
-    label = f'dynlen {length:4d}/{s}'
-    try:
-      fn = lambda q_, kq_, vq_, l_: pa.decode_attention_int8_dynlen(
-          q_, kq_, vq_, 0.06, 0.06, l_, interpret=not on_tpu)
-      dt = chained_time(fn, q, (kq, vq, lengths))
-      live = 2 * b * nk * length * h
-      print(f'{label} {dt*1e6:9.1f} us  {live/dt/1e9:7.0f} GB/s live '
-            f'({cache_bytes/dt/1e9:5.0f} GB/s allocated-equiv)', flush=True)
-    except Exception as e:
-      print(f'{label} FAILED: {type(e).__name__}: {str(e)[:160]}',
-            flush=True)
+  # Dynamic-length kernel at several live-context lengths x row blocks.
+  for rb in (8, 16, 4, 1):
+    for frac in (1.0, 0.25, 0.125):
+      length = int(s * frac)
+      lengths = jnp.full((b,), length, jnp.int32)
+      label = f'dynlen rb={rb:<2d} {length:4d}/{s}'
+      try:
+        fn = lambda q_, kq_, vq_, l_: pa.decode_attention_int8_dynlen(
+            q_, kq_, vq_, 0.06, 0.06, l_, row_block=rb,
+            interpret=not on_tpu)
+        dt = chained_time(fn, q, (kq, vq, lengths))
+        live = 2 * b * nk * length * h
+        print(f'{label} {dt*1e6:9.1f} us  {live/dt/1e9:7.0f} GB/s live '
+              f'({cache_bytes/dt/1e9:5.0f} GB/s allocated-equiv)', flush=True)
+      except Exception as e:
+        print(f'{label} FAILED: {type(e).__name__}: {str(e)[:160]}',
+              flush=True)
 
   ref = None
   for compute, bb in variants:
