@@ -30,6 +30,22 @@ def _unary_graph(op, shape=(8, 256), attrs=None):
   return b.finalize()
 
 
+def _comparison_graph(op):
+  """EQUAL/NOT_EQUAL: bool output is never quantized; inputs are
+  quantized then compared int-side (reference
+  tests/end_to_end_tests/{equal,not_equal}_test.py). A trailing ADD off
+  one input keeps a quantizable tensor in the graph so SRQ has work."""
+  b = GraphBuilder('main')
+  x1 = b.input('x1', (8, 256))
+  x2 = b.input('x2', (8, 256))
+  cmp = b.op(op, [x1, x2], [(8, 256)], output_names=['cmp'],
+             output_dtypes=['bool'])
+  y = b.binary('ADD', x1, x2, name='y')
+  b.output(cmp)
+  b.output(y)
+  return b.finalize()
+
+
 def _graph_builders():
   def concat():
     b = GraphBuilder('main')
@@ -322,6 +338,8 @@ def _graph_builders():
       'DIV': div,
       'RSQRT': sqrt_chain('RSQRT'),
       'SQRT': sqrt_chain('SQRT'),
+      'EQUAL': lambda: _comparison_graph('EQUAL'),
+      'NOT_EQUAL': lambda: _comparison_graph('NOT_EQUAL'),
   }
 
 
