@@ -21,6 +21,7 @@ Execution semantics for quantized graphs:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -813,6 +814,16 @@ class GraphExecutor:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed_blockwise(
             x_f, w_q, self._packed_scale[key],
             bias=None if true_n is not None else bias, block_size=bs,
+            bn=bn, interpret=jax.default_backend() != 'tpu')
+      elif (os.environ.get('AEQT_INT4_DRQ', '0') == '1'
+            and w_q.shape[1] * 2 <= 8192):
+        # True DRQ execution: per-row int8 activation quantization inside
+        # the kernel, int8 x int8 MXU contraction (2x the bf16 MXU rate —
+        # the binding constraint at serving batch sizes). Matches the
+        # reference's dynamic-range runtime semantics (XNNPACK QD8).
+        y = pallas_qmatmul.qmatmul_pallas_int4_packed_drq(
+            x_f, w_q, self._packed_scale[key],
+            bias=None if true_n is not None else bias,
             bn=bn, interpret=jax.default_backend() != 'tpu')
       else:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed(

@@ -597,6 +597,16 @@ def decode_attention_int8_masked(
       out_specs=pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), jnp.float32),
+      # Row blocks are independent: declaring the grid parallel lets
+      # Mosaic double-buffer across steps without revisiting guards, and
+      # the cost estimate tells XLA this call is HBM-bound (schedules
+      # surrounding FCs to overlap it).
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * bn_rows * g * s * h,
+          bytes_accessed=2 * bn_rows * s * h + 4 * bn_rows * g * s,
+          transcendentals=bn_rows * g * s),
       interpret=interpret,
   )(q2, k2, v2, m2, scales)
   return out.reshape(b, nk, g, h)

@@ -49,7 +49,7 @@ def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
   y = acc * s_ref[:]
   if b_ref is not None:
     y = y + b_ref[:]
-  o_ref[:] = y
+  o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _blockwise_kernel(nblocks, x_ref, w_ref, s_ref, b_ref, o_ref):
@@ -125,7 +125,10 @@ def _int4_channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
   y = acc * s_ref[:]
   if b_ref is not None:
     y = y + b_ref[:]
-  o_ref[:] = y
+  # Store in the compute dtype (bf16 for bf16 activations): the caller
+  # casts to x.dtype anyway, so values are identical, but the HBM write
+  # of the output — and its read by the consumer — is half the bytes.
+  o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
@@ -175,7 +178,7 @@ def qmatmul_pallas_int4_packed(
       in_specs=in_specs,
       out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
           bytes_accessed=m_pad * k * 4 + n * k2 + m_pad * n * 4,
@@ -219,7 +222,7 @@ def _int4_channelwise_norm_kernel(eps, x_ref, g_ref, w_ref, s_ref, b_ref,
   y = acc * s_ref[:]
   if b_ref is not None:
     y = y + b_ref[:]
-  o_ref[:] = y
+  o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('eps', 'bn', 'interpret'))
@@ -271,7 +274,7 @@ def qmatmul_pallas_int4_packed_rmsnorm(
       in_specs=in_specs,
       out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
       scratch_shapes=[pltpu.VMEM((m_pad, k), compute)],
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
@@ -470,7 +473,7 @@ def _int8_drq_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xq_ref, xs_ref):
   y = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:]
   if b_ref is not None:
     y = y + b_ref[:]
-  o_ref[:] = y
+  o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
@@ -497,6 +500,7 @@ def qmatmul_pallas_int8_drq(
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = _pick_tile(n, bn)
+  out_dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
   scale2 = scale.astype(jnp.float32).reshape(1, n)
 
   in_specs = [
@@ -520,7 +524,7 @@ def qmatmul_pallas_int8_drq(
       in_specs=in_specs,
       out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dt),
       scratch_shapes=[
           pltpu.VMEM((m_pad, k), jnp.int8),
           pltpu.VMEM((m_pad, 1), jnp.float32),
@@ -528,6 +532,113 @@ def qmatmul_pallas_int8_drq(
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
           bytes_accessed=m_pad * k * 4 + n * k + m_pad * n * 4,
+          transcendentals=0),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)
+
+
+def _int4_drq_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xq_ref, xs_ref):
+  """o[M, BN] = int8(x) . unpack(w[BN, K//2])^T * xs[M] * s[BN].
+
+  True dynamic-range quantization: activations quantize per ROW to int8
+  inside the kernel (once, on the first N-tile), and the contraction runs
+  as int8 x int8 on the MXU with int32 accumulation — 2x the MXU rate of
+  the bf16 path. This is the reference's DRQ execution semantics
+  (XNNPACK QD8 path: dynamic per-row activation quantization feeding an
+  integer kernel) mapped to the TPU MXU. |acc| <= K * 7 * 127 < 2^31 for
+  any transformer K, so int32 never saturates.
+  """
+  @pl.when(pl.program_id(0) == 0)
+  def _():
+    x = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-9) * (1.0 / 127.0)
+    xs_ref[:] = xs
+    xq_ref[:] = jnp.round(x * pl.reciprocal(xs, approx=False)).astype(
+        jnp.int8)
+
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+  hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
+  k2 = w32.shape[1]
+  acc = jax.lax.dot_general(
+      xq_ref[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  acc += jax.lax.dot_general(
+      xq_ref[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  y = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:]
+  if b_ref is not None:
+    y = y + b_ref[:]
+  o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def qmatmul_pallas_int4_packed_drq(
+    x: jax.Array,
+    w_packed: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+  """DRQ x [..., K] . packed int4 [N, K//2] -> [..., N], int8 MXU.
+
+  At large batch the decode step is MXU-bound, not HBM-bound
+  (2*B*params flops exceed the weight-stream time from B ~ 128 up);
+  int8 x int8 doubles the MXU rate over bf16 and pays for the in-kernel
+  activation quantization many times over.
+  """
+  n, k2 = w_packed.shape
+  k = k2 * 2
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+  x2 = x.reshape(m, k).astype(compute)
+  # int8 scratch rows tile at 32 sublanes.
+  m_pad = _round_up(max(m, 32), 32)
+  if m_pad != m:
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+  # Fit x block + int8 scratch + the quantize branch's whole-block f32
+  # temp + double-buffered weight tiles in VMEM (16 MiB Mosaic scoped
+  # limit). K=16384-class layers (FFN down projections) do NOT fit at
+  # any tile — callers route those to the bf16 kernel.
+  x_bytes = m_pad * k * (x2.dtype.itemsize + 1 + 4)
+  bn_fit = bn
+  while bn_fit > 128 and x_bytes + 3 * bn_fit * k2 > 14 * 2**20:
+    bn_fit //= 2
+  bn = _pick_tile(n, bn_fit)
+  operands = [x2, w_packed, scale.astype(jnp.float32).reshape(1, n)]
+  in_specs = [
+      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+  ]
+  if bias is not None:
+    in_specs.append(
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    body = _int4_drq_kernel
+  else:
+    body = lambda x_ref, w_ref, s_ref, o_ref, xq_ref, xs_ref: \
+        _int4_drq_kernel(x_ref, w_ref, s_ref, None, o_ref, xq_ref, xs_ref)
+  out = pl.pallas_call(
+      body,
+      grid=(n // bn,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
+      scratch_shapes=[
+          pltpu.VMEM((m_pad, k), jnp.int8),
+          pltpu.VMEM((m_pad, 1), jnp.float32),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=m_pad * k * 2 + n * k2 + m_pad * n * 2,
           transcendentals=0),
       interpret=interpret,
   )(*operands)

@@ -80,6 +80,11 @@ def main():
   # The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly.
   if os.environ.get('JAX_PLATFORMS'):
     jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+  # Serve with true DRQ execution (per-row int8 activations, int8 MXU):
+  # the reference's dynamic-range semantics, and +19% step throughput at
+  # B=256 (8.42 vs 10.04 ms/step lite A/B) — the MXU, not HBM, binds at
+  # this batch. Override with AEQT_INT4_DRQ=0.
+  os.environ.setdefault('AEQT_INT4_DRQ', '1')
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer

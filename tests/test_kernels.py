@@ -229,6 +229,59 @@ class TestInt8DrqKernel:
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+class TestInt4PackedDrqKernel:
+  """Packed int4 weights x in-kernel int8-quantized activations (MXU int8)."""
+
+  @pytest.mark.parametrize('m,n,k', [(8, 256, 256), (5, 384, 512)])
+  def test_matches_integer_twin(self, m, n, k):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.integers(-8, 8, (n, k)).astype(np.int8)
+    s = (rng.random(n) * 0.01 + 0.001).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    packed = pallas_qmatmul.pack_int4_split(jnp.asarray(w))
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int4_packed_drq(
+        x, packed, jnp.asarray(s), bias=jnp.asarray(b), interpret=True))
+    # Exact twin: identical per-row activation quantization, exact
+    # integer contraction, same rescale order.
+    absmax = np.max(np.abs(x), axis=1, keepdims=True)
+    xs = np.maximum(absmax, 1e-9) / 127.0
+    xq = np.round(x / xs).astype(np.int32)
+    want = (xq @ w.astype(np.int32).T).astype(np.float32) * xs * s + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+  def test_bf16_input_and_3d(self):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 256)).astype(np.float32)
+    w = rng.integers(-8, 8, (128, 256)).astype(np.int8)
+    s = np.full(128, 0.01, np.float32)
+    packed = pallas_qmatmul.pack_int4_split(jnp.asarray(w))
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int4_packed_drq(
+        jnp.asarray(x, jnp.bfloat16), packed, jnp.asarray(s),
+        interpret=True).astype(jnp.float32))
+    want = np.asarray(qmatmul.drq_matmul_ref(
+        x, w, jnp.asarray(s))).astype(np.float32)
+    assert got.shape == (2, 4, 128)
+    # bf16 inputs round before quantization; compare loosely to the f32
+    # DRQ twin.
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+  def test_drq_close_to_weight_only(self):
+    # DRQ adds activation-quantization noise only: ~0.4% relative on
+    # gaussian data (the reference's accepted DRQ error regime).
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    w = rng.integers(-8, 8, (256, 512)).astype(np.int8)
+    s = np.full(256, 0.01, np.float32)
+    packed = pallas_qmatmul.pack_int4_split(jnp.asarray(w))
+    drq = np.asarray(pallas_qmatmul.qmatmul_pallas_int4_packed_drq(
+        x, packed, jnp.asarray(s), interpret=True))
+    wo = np.asarray(pallas_qmatmul.qmatmul_pallas_int4_packed(
+        x, packed, jnp.asarray(s), interpret=True))
+    err = np.linalg.norm(drq - wo) / np.linalg.norm(wo)
+    assert err < 0.02, err
+
+
 class TestDynlenAttention:
   """Dynamic-length decode attention: manual HBM DMA, live-prefix reads."""
 
