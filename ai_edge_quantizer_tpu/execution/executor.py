@@ -88,6 +88,9 @@ class GraphExecutor:
     self._packed_block_size: dict = {}  # key -> block size (blockwise int4)
     # RMS_NORM -> packed-FC fusion (serving): (sg, norm_out_tid) -> info.
     self._norm_fusions: dict = {}
+    # GeGLU MLP chain -> one megakernel: (sg, gate_up op idx) -> info.
+    self._mlp_fusions: dict = {}
+    self._mlp_skip: set = set()
     self._norm_skip: set = set()
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
@@ -274,6 +277,7 @@ class GraphExecutor:
         self._packed_scale[key] = jnp.asarray(scale)
         self._packed_int4_keys.add(key)
     self._find_norm_fusions()
+    self._find_mlp_fusions()
 
   def _find_norm_fusions(self) -> None:
     """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
@@ -321,6 +325,235 @@ class GraphExecutor:
             'eps': float(op.attrs.get('epsilon', 1e-6)),
         }
         self._norm_skip.add((sg_idx, op_idx))
+
+  def _find_mlp_fusions(self) -> None:
+    """Fuse the GeGLU FFN chain into ONE Pallas megakernel call.
+
+    Patterns (the reference's GenAI FFN; models/gemma.py both layouts):
+      A. FULLY_CONNECTED(gate_up) -> SLICE(gate), SLICE(up)
+           -> GELU(gate) -> MUL(gelu, up) -> FULLY_CONNECTED(down)
+      B. FULLY_CONNECTED(gate), FULLY_CONNECTED(up) on the same input
+           -> GELU(gate) -> MUL(gelu, up) -> FULLY_CONNECTED(down)
+         (the two projection weights are concatenated row-wise into a
+         synthetic gate_up weight at prepare time)
+    With all weights packed channelwise int4, the whole chain becomes
+    one pallas_call (kernels/pallas_mlp.py): the [M, F] hidden tensor
+    never round-trips HBM and all three contractions run on the int8
+    MXU when DRQ is on. Default on (measured +15% full decode step on
+    gemma2b_lite, docs/ROUND2_NOTES.md); AEQT_MLP_FUSION=0 disables.
+
+    The down weight is re-packed into the kernel's grouped split-half
+    layout and stashed in the weights dict under a synthetic negative
+    tensor id (so it rides the traced-weights argument, not a baked
+    jit constant); the canonical packed form stays for capture mode.
+    """
+    self._mlp_fusions = {}
+    self._mlp_skip = set()
+    if os.environ.get('AEQT_MLP_FUSION', '1') != '1':
+      return
+    from ai_edge_quantizer_tpu.kernels import pallas_mlp, pallas_qmatmul
+    bf = int(os.environ.get('AEQT_MLP_BF', '512'))
+    sig_out_tids = {
+        (s.subgraph_index, tid)
+        for s in self.graph.signatures for tid in s.outputs.values()
+    }
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      cons: dict = {}
+      for oi, o in enumerate(sg.ops):
+        for t in o.inputs:
+          cons.setdefault(t, []).append((oi, o))
+      protected = set(sg.outputs) | {
+          tid for (si, tid) in sig_out_tids if si == sg_idx}
+
+      def packed_channelwise(tid):
+        key = (sg_idx, tid)
+        return (key in self._packed_int4_keys
+                and key not in self._packed_block_size
+                and self._packed_pad_n.get(key) is None)
+
+      def plain_fc(o):
+        return (o.opcode == 'FULLY_CONNECTED' and len(o.inputs) > 1
+                and (len(o.inputs) < 3 or o.inputs[2] < 0)
+                and o.attrs.get('fused_activation', 'NONE') == 'NONE')
+
+      for gu_idx, gu_op in enumerate(sg.ops):
+        if not plain_fc(gu_op) or not packed_channelwise(gu_op.inputs[1]):
+          continue
+        wgu_key = (sg_idx, gu_op.inputs[1])
+        wgu = self._weights.get(wgu_key)
+        if wgu is None:  # e.g. a down weight already moved to grouped form
+          continue
+        two_f = int(wgu.shape[0])
+        f = two_f // 2
+        if f % bf or f // bf < 2:
+          continue
+        gu_out = gu_op.outputs[0]
+        slices = cons.get(gu_out, [])
+        if gu_out in protected or len(slices) != 2 or any(
+            o.opcode != 'SLICE' for _, o in slices):
+          continue
+        gate_e = up_e = None
+        for oi, o in slices:
+          begin = list(o.attrs.get('begin', []))
+          if begin and all(b == 0 for b in begin):
+            gate_e = (oi, o)
+          elif (begin and begin[-1] == f
+                and all(b == 0 for b in begin[:-1])):
+            up_e = (oi, o)
+        if gate_e is None or up_e is None:
+          continue
+        gate_tid = gate_e[1].outputs[0]
+        up_tid = up_e[1].outputs[0]
+        if (sg.tensors[gate_tid].shape[-1] != f
+            or sg.tensors[up_tid].shape[-1] != f):
+          continue
+        gcons = cons.get(gate_tid, [])
+        if (len(gcons) != 1 or gcons[0][1].opcode != 'GELU'
+            or not bool(gcons[0][1].attrs.get('approximate', True))):
+          continue
+        gelu_idx, gelu_op = gcons[0]
+        gact_tid = gelu_op.outputs[0]
+        mcons = cons.get(gact_tid, [])
+        if len(mcons) != 1 or mcons[0][1].opcode != 'MUL':
+          continue
+        mul_idx, mul_op = mcons[0]
+        if (set(mul_op.inputs) != {gact_tid, up_tid}
+            or len(cons.get(up_tid, [])) != 1):
+          continue
+        prod_tid = mul_op.outputs[0]
+        pcons = cons.get(prod_tid, [])
+        if len(pcons) != 1 or not plain_fc(pcons[0][1]):
+          continue
+        down_idx, down_op = pcons[0]
+        if (down_op.inputs[0] != prod_tid
+            or not packed_channelwise(down_op.inputs[1])):
+          continue
+        wd_key = (sg_idx, down_op.inputs[1])
+        grouped_tid = -1000 - down_op.inputs[1]
+        grouped_key = (sg_idx, grouped_tid)
+        wd_packed = self._weights.get(wd_key)
+        if wd_packed is None and grouped_key not in self._weights:
+          continue
+        if wd_packed is not None and int(wd_packed.shape[1]) * 2 != f:
+          continue
+        if any(t in protected for t in
+               (gate_tid, up_tid, gact_tid, prod_tid)):
+          continue
+        if grouped_key not in self._weights:
+          # The grouped layout REPLACES the canonical packed form (no
+          # duplicate HBM copy); capture mode rebuilds the canonical
+          # view on the fly in _run_signature.
+          self._weights[grouped_key] = pallas_mlp.pack_int4_split_grouped(
+              pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          del self._weights[wd_key]
+        self._mlp_fusions[(sg_idx, gu_idx)] = {
+            'x': gu_op.inputs[0],
+            'wgu_key': wgu_key,
+            'wd_key': wd_key,
+            'wd_grouped_tid': grouped_tid,
+            'out': down_op.outputs[0],
+            'bf': bf,
+            'act': 'gelu',
+        }
+        for oi in (gate_e[0], up_e[0], gelu_idx, mul_idx, down_idx):
+          self._mlp_skip.add((sg_idx, oi))
+
+      # Pattern B: separate gate / up projections on the same input.
+      prods: dict = {}
+      for oi, o in enumerate(sg.ops):
+        for t in o.outputs:
+          prods[t] = (oi, o)
+      for gelu_idx, gelu_op in enumerate(sg.ops):
+        if (sg_idx, gelu_idx) in self._mlp_skip:
+          continue
+        if (gelu_op.opcode != 'GELU'
+            or not bool(gelu_op.attrs.get('approximate', True))):
+          continue
+        gate_tid = gelu_op.inputs[0]
+        ge = prods.get(gate_tid)
+        if (ge is None or not plain_fc(ge[1])
+            or not packed_channelwise(ge[1].inputs[1])
+            or len(cons.get(gate_tid, [])) != 1):
+          continue
+        gate_idx, gate_op = ge
+        gact_tid = gelu_op.outputs[0]
+        mcons = cons.get(gact_tid, [])
+        if len(mcons) != 1 or mcons[0][1].opcode != 'MUL':
+          continue
+        mul_idx, mul_op = mcons[0]
+        others = [t for t in mul_op.inputs if t != gact_tid]
+        if len(others) != 1:
+          continue
+        up_tid = others[0]
+        ue = prods.get(up_tid)
+        if (ue is None or not plain_fc(ue[1])
+            or not packed_channelwise(ue[1].inputs[1])
+            or ue[1].inputs[0] != gate_op.inputs[0]
+            or len(cons.get(up_tid, [])) != 1):
+          continue
+        up_idx, up_op = ue
+        f = sg.tensors[gate_tid].shape[-1]
+        if (sg.tensors[up_tid].shape[-1] != f or f % bf or f // bf < 2):
+          continue
+        prod_tid = mul_op.outputs[0]
+        pcons = cons.get(prod_tid, [])
+        if len(pcons) != 1 or not plain_fc(pcons[0][1]):
+          continue
+        down_idx, down_op = pcons[0]
+        if (down_op.inputs[0] != prod_tid
+            or not packed_channelwise(down_op.inputs[1])):
+          continue
+        if any(t in protected for t in
+               (gate_tid, up_tid, gact_tid, prod_tid)):
+          continue
+        gw_key = (sg_idx, gate_op.inputs[1])
+        uw_key = (sg_idx, up_op.inputs[1])
+        if gw_key == uw_key:  # shared gate/up weight: concat would alias
+          continue
+        wd_key = (sg_idx, down_op.inputs[1])
+        synth_tid = -2000 - gate_op.inputs[1]
+        synth_key = (sg_idx, synth_tid)
+        grouped_tid = -1000 - down_op.inputs[1]
+        grouped_key = (sg_idx, grouped_tid)
+        gw, uw = self._weights.get(gw_key), self._weights.get(uw_key)
+        if gw is None or uw is None:
+          if synth_key not in self._weights:
+            continue
+        else:
+          if gw.shape != uw.shape or int(gw.shape[0]) != f:
+            continue
+        wd_packed = self._weights.get(wd_key)
+        if wd_packed is None and grouped_key not in self._weights:
+          continue
+        if wd_packed is not None and int(wd_packed.shape[1]) * 2 != f:
+          continue
+        if synth_key not in self._weights:
+          # Row-concat [gate; up] of the canonical packed forms IS the
+          # canonical packed gate_up layout the kernel expects; the two
+          # originals are dropped (capture mode re-slices the concat).
+          self._weights[synth_key] = jnp.concatenate([gw, uw], axis=0)
+          self._packed_scale[synth_key] = jnp.concatenate(
+              [self._packed_scale[gw_key], self._packed_scale[uw_key]])
+          del self._weights[gw_key]
+          del self._weights[uw_key]
+        if grouped_key not in self._weights:
+          self._weights[grouped_key] = pallas_mlp.pack_int4_split_grouped(
+              pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          del self._weights[wd_key]
+        first_idx = min(gate_idx, up_idx)
+        self._mlp_fusions[(sg_idx, first_idx)] = {
+            'x': gate_op.inputs[0],
+            'wgu_key': synth_key,
+            'wgu_split': (gw_key[1], uw_key[1], f),
+            'wd_key': wd_key,
+            'wd_grouped_tid': grouped_tid,
+            'out': down_op.outputs[0],
+            'bf': bf,
+            'act': 'gelu',
+        }
+        for oi in (gate_idx, up_idx, gelu_idx, mul_idx, down_idx):
+          if oi != first_idx:
+            self._mlp_skip.add((sg_idx, oi))
 
   # -- public API -----------------------------------------------------------
 
@@ -427,6 +660,27 @@ class GraphExecutor:
     for (w_sg, w_tid), arr in weights.items():
       if w_sg == sg_idx:
         env[w_tid] = arr
+    if capture_all:
+      # MLP-fused down weights live only in the grouped kernel layout;
+      # rebuild the canonical packed view so the unrolled chain and the
+      # validator's per-tensor capture still see the weight.
+      from ai_edge_quantizer_tpu.kernels import pallas_mlp, pallas_qmatmul
+      for (f_sg, _), info in self._mlp_fusions.items():
+        if f_sg != sg_idx:
+          continue
+        wd_tid = info['wd_key'][1]
+        if wd_tid not in env:
+          env[wd_tid] = pallas_qmatmul.pack_int4_split(
+              pallas_mlp.unpack_int4_split_grouped(
+                  env[info['wd_grouped_tid']], info['bf']))
+        split = info.get('wgu_split')
+        if split is not None:
+          g_tid, u_tid, f = split
+          synth = env[info['wgu_key'][1]]
+          if g_tid not in env:
+            env[g_tid] = synth[:f]
+          if u_tid not in env:
+            env[u_tid] = synth[f:]
     for user_name, tid in sig.inputs.items():
       if user_name not in inputs:
         raise ValueError(
@@ -451,8 +705,14 @@ class GraphExecutor:
         if fusion is not None:
           self._eval_fused_attention(sg_idx, sg, fusion, env)
           continue
+        mlp = self._mlp_fusions.get((sg_idx, op_idx))
+        if mlp is not None:
+          self._eval_fused_mlp(sg_idx, sg, mlp, env)
+          continue
         if (sg_idx, op_idx) in self._attn_skip:
           continue
+        if (sg_idx, op_idx) in self._mlp_skip:
+          continue  # folded into the MLP megakernel
         if (sg_idx, op_idx) in self._norm_skip:
           continue  # folded into the consuming packed-FC kernels
       self._eval_op(sg_idx, sg, op, env)
@@ -761,6 +1021,25 @@ class GraphExecutor:
     out_t = sg.tensors[fusion['out']]
     out_op = ir.Op(opcode='BATCH_MATMUL', inputs=[], outputs=[fusion['out']])
     self._store_outputs(sg, out_op, (ctx,), env)
+
+  def _eval_fused_mlp(self, sg_idx: int, sg: ir.Subgraph,
+                      fusion: dict, env: dict) -> None:
+    """Emit one MLP megakernel call for a matched GeGLU chain."""
+    from ai_edge_quantizer_tpu.kernels import pallas_mlp
+    x = self._dequant_view(sg, fusion['x'], env)
+    y = pallas_mlp.mlp_pallas_int4_packed(
+        x,
+        env[fusion['wgu_key'][1]],
+        self._packed_scale[fusion['wgu_key']],
+        env[fusion['wd_grouped_tid']],
+        self._packed_scale[fusion['wd_key']],
+        act=fusion['act'],
+        drq=os.environ.get('AEQT_INT4_DRQ', '0') == '1',
+        bf=fusion['bf'],
+        interpret=jax.default_backend() != 'tpu')
+    out_op = ir.Op(opcode='FULLY_CONNECTED', inputs=[],
+                   outputs=[fusion['out']])
+    self._store_outputs(sg, out_op, (y,), env)
 
   # -- quantized FULLY_CONNECTED fast paths ---------------------------------
 

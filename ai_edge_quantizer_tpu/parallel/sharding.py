@@ -60,8 +60,21 @@ def weight_shardings(
   out: dict = {}
   for key, arr in weights.items():
     sg_idx, tid = key
+    if tid <= -2000:
+      # Synthetic concatenated gate_up weight (executor MLP fusion,
+      # pattern B: tid = -2000 - gate_tid). Row-concat of two
+      # column-parallel projections stays column-parallel; inherit the
+      # gate tensor's role and hints.
+      tid = -2000 - tid
+    elif tid < 0:
+      # Synthetic kernel-layout weight (executor MLP fusion stores the
+      # grouped down projection under tid = -1000 - canonical_tid);
+      # inherit the canonical tensor's role and row/column hints. The
+      # grouped layout keeps rows = output channels and packs K bytes
+      # along axis 1, so the same P spec stays congruent.
+      tid = -1000 - tid
     tensor = graph.subgraphs[sg_idx].tensors[tid]
-    role = roles.get(key)
+    role = roles.get((sg_idx, tid))
     spec = P()
     if role in ('fc', 'embedding') and arr.ndim == 2:
       row_parallel = any(
