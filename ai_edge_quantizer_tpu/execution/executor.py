@@ -376,8 +376,16 @@ class GraphExecutor:
                 and (len(o.inputs) < 3 or o.inputs[2] < 0)
                 and o.attrs.get('fused_activation', 'NONE') == 'NONE')
 
+      def norm_fused_input(tid):
+        # A norm-fused tensor is produced by a SKIPPED RMS_NORM; only the
+        # plain packed-FC path re-applies the norm in-kernel, so the MLP
+        # megakernel must not consume it.
+        return (sg_idx, tid) in self._norm_fusions
+
       for gu_idx, gu_op in enumerate(sg.ops):
         if not plain_fc(gu_op) or not packed_channelwise(gu_op.inputs[1]):
+          continue
+        if norm_fused_input(gu_op.inputs[0]):
           continue
         wgu_key = (sg_idx, gu_op.inputs[1])
         wgu = self._weights.get(wgu_key)
@@ -476,6 +484,8 @@ class GraphExecutor:
             or len(cons.get(gate_tid, [])) != 1):
           continue
         gate_idx, gate_op = ge
+        if norm_fused_input(gate_op.inputs[0]):
+          continue
         gact_tid = gelu_op.outputs[0]
         mcons = cons.get(gact_tid, [])
         if len(mcons) != 1 or mcons[0][1].opcode != 'MUL':

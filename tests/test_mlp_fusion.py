@@ -99,6 +99,48 @@ def test_fusion_skipped_when_f_too_small_for_bf(monkeypatch):
   assert not ex._mlp_fusions
 
 
+def test_norm_fusion_excludes_mlp_chain(monkeypatch):
+  """With AEQT_NORM_FUSION=1, a norm-fed chain must not MLP-fuse (the
+  megakernel would silently drop the skipped RMS_NORM)."""
+  rng = np.random.default_rng(6)
+  b = GraphBuilder('main')
+  x = b.input('x', (BATCH, D))
+  gamma = b.constant('norm/gamma', np.ones(D, np.float32))
+  xn = b.op('RMS_NORM', [x, gamma], [(BATCH, D)], output_names=['norm'],
+            attrs={'epsilon': 1e-6})
+  wgu = b.constant(
+      'gate_up/w', (rng.standard_normal((2 * F, D)) * 0.1).astype(
+          np.float32))
+  gu = b.op('FULLY_CONNECTED', [xn, wgu, -1], [(BATCH, 2 * F)],
+            output_names=['gate_up/out'],
+            attrs={'fused_activation': 'NONE'})
+  gate = b.op('SLICE', [gu], [(BATCH, F)], output_names=['gate'],
+              attrs={'begin': [0, 0]})
+  up = b.op('SLICE', [gu], [(BATCH, F)], output_names=['up'],
+            attrs={'begin': [0, F]})
+  gact = b.op('GELU', [gate], [(BATCH, F)], output_names=['gelu'])
+  prod = b.op('MUL', [gact, up], [(BATCH, F)], output_names=['prod'])
+  wd = b.constant(
+      'down/w', (rng.standard_normal((D, F)) * 0.1).astype(np.float32))
+  down = b.op('FULLY_CONNECTED', [prod, wd, -1], [(BATCH, D)],
+              output_names=['down/out'],
+              attrs={'fused_activation': 'NONE'})
+  b.output(down)
+  qt = Quantizer(b.finalize())
+  qt.add_dynamic_config('.*', qtyping.OpName.FULLY_CONNECTED, num_bits=4)
+  model = qt.quantize().quantized_model
+  inp = {'x': rng.standard_normal((BATCH, D)).astype(np.float32)}
+  monkeypatch.setenv('AEQT_NORM_FUSION', '0')
+  ex_plain = _prep(model, monkeypatch, fuse=False)
+  want = np.asarray(list(ex_plain.signature_runner()(inp).values())[0])
+  monkeypatch.setenv('AEQT_NORM_FUSION', '1')
+  ex = _prep(model, monkeypatch, fuse=True)
+  if ex._norm_fusions:
+    assert not ex._mlp_fusions
+  got = np.asarray(list(ex.signature_runner()(inp).values())[0])
+  np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
 def _split_geglu_model(seed=0):
   """Pattern B: separate gate / up projections on the same input."""
   rng = np.random.default_rng(seed)
