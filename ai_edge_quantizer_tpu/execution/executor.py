@@ -91,6 +91,10 @@ class GraphExecutor:
     # GeGLU MLP chain -> one megakernel: (sg, gate_up op idx) -> info.
     self._mlp_fusions: dict = {}
     self._mlp_skip: set = set()
+    # Greedy head: FC(logits) -> ARG_MAX fused into one vocab-tiled
+    # kernel (the [B, vocab] logits tensor never reaches HBM).
+    self._head_fusions: dict = {}
+    self._head_skip: set = set()
     self._norm_skip: set = set()
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
@@ -278,6 +282,7 @@ class GraphExecutor:
         self._packed_int4_keys.add(key)
     self._find_norm_fusions()
     self._find_mlp_fusions()
+    self._find_head_fusions()
 
   def _find_norm_fusions(self) -> None:
     """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
@@ -565,6 +570,70 @@ class GraphExecutor:
           if oi != first_idx:
             self._mlp_skip.add((sg_idx, oi))
 
+  def _find_head_fusions(self) -> None:
+    """Fuse FC(logits) -> ARG_MAX into one vocab-tiled Pallas kernel.
+
+    Greedy decode reduces the [B, vocab] logits to [B] token ids; fusing
+    the argmax into the matmul keeps every logits tile in VMEM (131 MB
+    of HBM round trip at B=256 over a 256k vocab disappears). Matches a
+    plain FULLY_CONNECTED whose weight is channelwise packed int4 or
+    symmetric per-channel int8, consumed ONLY by ARG_MAX over the last
+    axis. AEQT_HEAD_FUSION=0 disables.
+    """
+    self._head_fusions = {}
+    self._head_skip = set()
+    if os.environ.get('AEQT_HEAD_FUSION', '1') != '1':
+      return
+    sig_out_tids = {
+        (s.subgraph_index, tid)
+        for s in self.graph.signatures for tid in s.outputs.values()
+    }
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      cons: dict = {}
+      for oi, o in enumerate(sg.ops):
+        for t in o.inputs:
+          cons.setdefault(t, []).append((oi, o))
+      protected = set(sg.outputs) | {
+          tid for (si, tid) in sig_out_tids if si == sg_idx}
+      for fc_idx, fc_op in enumerate(sg.ops):
+        if (fc_op.opcode != 'FULLY_CONNECTED' or len(fc_op.inputs) < 2
+            or fc_op.inputs[1] < 0
+            or (len(fc_op.inputs) > 2 and fc_op.inputs[2] >= 0)
+            or fc_op.attrs.get('fused_activation', 'NONE') != 'NONE'):
+          continue
+        if (sg_idx, fc_op.inputs[0]) in self._norm_fusions:
+          continue  # only the plain FC kernel re-applies a skipped norm
+        out_tid = fc_op.outputs[0]
+        if out_tid in protected:
+          continue
+        consumers = cons.get(out_tid, [])
+        if len(consumers) != 1 or consumers[0][1].opcode != 'ARG_MAX':
+          continue
+        am_idx, am_op = consumers[0]
+        rank = len(sg.tensors[out_tid].shape)
+        axis = int(am_op.attrs.get('axis', -1))
+        if axis not in (-1, rank - 1):
+          continue
+        w_tid = fc_op.inputs[1]
+        key = (sg_idx, w_tid)
+        if key in self._packed_int4_keys:
+          if key in self._packed_block_size:
+            continue
+          info = {'packed': True, 'true_n': self._packed_pad_n.get(key)}
+        else:
+          w_t = sg.tensors[w_tid]
+          q = w_t.quantization
+          if (w_t.dtype != 'int8' or q is None or q.block_size
+              or not np.all(np.asarray(q.zero_point) == 0)
+              or np.asarray(q.scale).size != sg.tensors[w_tid].shape[0]):
+            continue
+          info = {'packed': False, 'true_n': None,
+                  'scale': jnp.asarray(q.scale, jnp.float32).reshape(-1)}
+        info.update(x=fc_op.inputs[0], w_tid=w_tid,
+                    out=am_op.outputs[0])
+        self._head_fusions[(sg_idx, fc_idx)] = info
+        self._head_skip.add((sg_idx, am_idx))
+
   # -- public API -----------------------------------------------------------
 
   def signature_runner(self, signature_key: str = 'serving_default',
@@ -719,10 +788,16 @@ class GraphExecutor:
         if mlp is not None:
           self._eval_fused_mlp(sg_idx, sg, mlp, env)
           continue
+        head = self._head_fusions.get((sg_idx, op_idx))
+        if head is not None:
+          self._eval_fused_head(sg_idx, sg, head, env)
+          continue
         if (sg_idx, op_idx) in self._attn_skip:
           continue
         if (sg_idx, op_idx) in self._mlp_skip:
           continue  # folded into the MLP megakernel
+        if (sg_idx, op_idx) in self._head_skip:
+          continue  # ARG_MAX folded into the head kernel
         if (sg_idx, op_idx) in self._norm_skip:
           continue  # folded into the consuming packed-FC kernels
       self._eval_op(sg_idx, sg, op, env)
@@ -1050,6 +1125,31 @@ class GraphExecutor:
     out_op = ir.Op(opcode='FULLY_CONNECTED', inputs=[],
                    outputs=[fusion['out']])
     self._store_outputs(sg, out_op, (y,), env)
+
+  def _eval_fused_head(self, sg_idx: int, sg: ir.Subgraph,
+                       fusion: dict, env: dict) -> None:
+    """Emit one matmul+argmax call for a matched greedy-head chain."""
+    from ai_edge_quantizer_tpu.kernels import pallas_head
+    x = self._dequant_view(sg, fusion['x'], env)
+    w = env[fusion['w_tid']]
+    if fusion['packed']:
+      scale = self._packed_scale[(sg_idx, fusion['w_tid'])]
+      # Match the unfused packed-FC compute mode so fused and unfused
+      # greedy tokens agree (DRQ engages under the same gate).
+      drq = (os.environ.get('AEQT_INT4_DRQ', '0') == '1'
+             and w.shape[1] * 2 <= 8192)
+    else:
+      scale = fusion['scale']
+      drq = True  # int8 DRQ semantics (reference dynamic-range runtime)
+    ids = pallas_head.head_argmax_pallas(
+        x, w, scale,
+        packed=fusion['packed'],
+        true_n=fusion['true_n'],
+        bn=512 if w.shape[0] >= 65536 else 256,
+        drq=drq,
+        interpret=jax.default_backend() != 'tpu')
+    out_op = ir.Op(opcode='ARG_MAX', inputs=[], outputs=[fusion['out']])
+    self._store_outputs(sg, out_op, (ids,), env)
 
   # -- quantized FULLY_CONNECTED fast paths ---------------------------------
 

@@ -104,6 +104,7 @@ def _build_signature(
     cache_update: str = 'dus',
     fused_projections: bool = False,
     device_masks: bool = False,
+    greedy_head: bool = False,
 ) -> None:
   """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
 
@@ -354,7 +355,17 @@ def _build_signature(
                 [(B, T, cfg.vocab_size)],
                 output_names=[f'{sig}/logits'],
                 attrs={'fused_activation': 'NONE'})
-  b.output(logits, user_name='logits')
+  if greedy_head:
+    # Greedy sampling IN-GRAPH: the executor fuses FC -> ARG_MAX into one
+    # vocab-tiled kernel, so the [B, T, vocab] logits never reach HBM.
+    # (The logits tensor is intentionally NOT a signature output — an
+    # escaping logits output would block the fusion.)
+    tokens_out = b.op('ARG_MAX', [logits], [(B, T)],
+                      output_names=[f'{sig}/next_tokens'],
+                      attrs={'axis': -1}, output_dtypes=['int32'])
+    b.output(tokens_out, user_name='next_tokens')
+  else:
+    b.output(logits, user_name='logits')
   for name, tid in kv_outs:
     b.output(tid, user_name=name)
 
@@ -369,6 +380,7 @@ def build_decoder(
     decode_cache_update: str = 'dus',
     fused_projections: bool = False,
     decode_device_masks: bool = False,
+    greedy_head: bool = False,
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
@@ -380,7 +392,8 @@ def build_decoder(
                      cache_update=(decode_cache_update if sig == 'decode'
                                    else 'dus'),
                      fused_projections=fused_projections,
-                     device_masks=(decode_device_masks and sig == 'decode'))
+                     device_masks=(decode_device_masks and sig == 'decode'),
+                     greedy_head=(greedy_head and sig == 'decode'))
     b.finalize(signature_key=sig)
   graph.metadata['weight_init_specs'] = store.init_specs
   if decode_device_masks:

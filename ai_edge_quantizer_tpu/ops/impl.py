@@ -364,6 +364,12 @@ def softmax(ctx: OpContext, x):
   return jax.nn.softmax(beta * x, axis=-1)
 
 
+@register('ARG_MAX')
+def arg_max(ctx: OpContext, x, axis=None):
+  ax = int(ctx.attrs.get('axis', -1 if axis is None else axis))
+  return jnp.argmax(x, axis=ax).astype(jnp.int32)
+
+
 @register('MEAN')
 def mean(ctx: OpContext, x, axis=None):
   ax = ctx.attrs.get('axis', axis)

@@ -125,11 +125,13 @@ def main():
   t0 = time.time()
   # Structure on host, weights generated + int4/int8-quantized ON DEVICE —
   # the host never materializes the fp32 weights.
+  greedy = os.environ.get('AEQT_BENCH_GREEDY_HEAD', '1') == '1'
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
                               signatures=('decode',),
                               materialize_weights=False,
                               fused_projections=os.environ.get(
-                                  'AEQT_BENCH_FUSED_PROJ', '1') == '1')
+                                  'AEQT_BENCH_FUSED_PROJ', '1') == '1',
+                              greedy_head=greedy)
   log(f'build graph: {time.time()-t0:.1f}s')
   kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
   if kv_mode == 'int8':
@@ -214,8 +216,13 @@ def main():
     # the whole autoregressive loop is one XLA program — no host dispatch
     # per token (the tunnel's per-dispatch latency would otherwise swamp
     # the ~3 ms device step; profiled in scripts/decode_profile.py).
-    next_tokens = jnp.argmax(out['logits'][:, -1, :], axis=-1).astype(
-        jnp.int32)[:, None]
+    if greedy:
+      # In-graph ARG_MAX fused into the head matmul (pallas_head): the
+      # [B, vocab] logits never round-trip HBM.
+      next_tokens = out['next_tokens'].astype(jnp.int32)
+    else:
+      next_tokens = jnp.argmax(out['logits'][:, -1, :], axis=-1).astype(
+          jnp.int32)[:, None]
     return new_caches, next_tokens
 
   inner = int(os.environ.get('AEQT_BENCH_INNER', '16'))
@@ -338,6 +345,7 @@ def _supervise() -> int:
   deadline = int(os.environ.get('AEQT_BENCH_DEADLINE_S', '2100'))
   attempts = [
       ({}, deadline),
+      ({'AEQT_BENCH_GREEDY_HEAD': '0'}, deadline),    # head-fusion trouble
       ({'AEQT_BENCH_PRESET': 'gemma2b_lite'}, 1500),  # full-vocab trouble
       ({'AEQT_BENCH_KV': 'float32'}, 1200),           # skip fused attention
       ({'AEQT_BENCH_PACKED': '0'}, 1200),             # skip pallas kernels
