@@ -1072,7 +1072,24 @@ class GraphExecutor:
             k_zero_point=zp_k, v_zero_point=zp_v)
       else:
         import os
-        if os.environ.get('AEQT_ATTN_DYNLEN', '0') == '1':
+        if os.environ.get('AEQT_ATTN_LENGTHS', '0') == '1':
+          # Prefix-visibility serving mode: the harness guarantees the
+          # additive mask is prefix-form (0 up to the live position,
+          # -inf after — true for the bench loop and DecodeServer by
+          # construction), so per-row lengths replace the mask and the
+          # [B, G, S] mask block (~8 MB/layer at B=256 S=1024) never
+          # streams into the kernel. The one derivation reduce below is
+          # CSE'd across all layers (same mask tensor). Exact twin of
+          # the masked kernel for prefix masks.
+          lengths = jnp.sum(
+              (mask[:, 0, 0, :] > -1e8).astype(jnp.int32), axis=-1)
+          ctx = pallas_attention.decode_attention_int8_lengths(
+              q_val, k_q, v_q, k_scale, v_scale, lengths,
+              k_zero_point=zp_k, v_zero_point=zp_v,
+              compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+              batch_block=int(os.environ.get('AEQT_ATTN_BB', '4')),
+              out_dtype=self._act_dtype)
+        elif os.environ.get('AEQT_ATTN_DYNLEN', '0') == '1':
           # Dynamic-length cache reads: decode masks are visibility
           # prefixes ([0, pos] visible), so the kernel streams only the
           # live rows — a 256-token conversation reads 1/4 of an S=1024

@@ -365,6 +365,159 @@ _ATTN_KERNELS = {
 }
 
 
+def _decode_attn_len_kernel(compute, q_ref, k_ref, v_ref, len_ref,
+                            scales_ref, o_ref):
+  """Length-masked variant: visibility is the prefix [0, length).
+
+  Identical numerics to the mask kernels when the additive mask is
+  prefix-form (0 for pos < length, <= -1e30 after): exp underflows to
+  exactly 0.0 in f32 either way, so scores/probs/context match the
+  masked twin bit-for-bit. The [G, S] mask block never streams from
+  HBM — lengths ride in as one scalar per row.
+  """
+  g, h = q_ref.shape
+  s = k_ref.shape[0]
+  k_scale = scales_ref[0, 0]
+  v_scale = scales_ref[0, 1]
+  zp_k = scales_ref[0, 2]
+  zp_v = scales_ref[0, 3]
+  length = len_ref[0]
+  pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+  q = q_ref[:]
+  if compute == 'int8':
+    q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+    q_scale = jnp.maximum(q_absmax, 1e-9) * (1.0 / 127.0)
+    q_q = jnp.round(q / q_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q_q, k_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * q_scale
+    scores = scores - zp_k * jnp.sum(
+        q_q.astype(jnp.float32) * q_scale, axis=1, keepdims=True)
+  else:
+    if compute == 'bf16':
+      k = k_ref[:].astype(jnp.bfloat16)
+      qd = q.astype(jnp.bfloat16)
+    else:
+      k = k_ref[:].astype(jnp.float32)
+      qd = q
+    scores = jax.lax.dot_general(
+        qd, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores - zp_k * jnp.sum(q, axis=1, keepdims=True)
+  scores = scores * (k_scale / (h ** 0.5))
+  scores = jnp.where(pos < length, scores, -1e30)
+  scores = scores - jnp.max(scores, axis=1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+  if compute == 'int8':
+    p_q = jnp.round(probs * 127.0).astype(jnp.int8)
+    ctx_acc = jax.lax.dot_general(
+        p_q, v_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    p_sum = jnp.maximum(
+        jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True), 1.0)
+    ctx = ctx_acc.astype(jnp.float32) / p_sum
+  elif compute == 'bf16':
+    ctx = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+  else:
+    ctx = jax.lax.dot_general(
+        probs, v_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+  ctx = (ctx - zp_v) * v_scale
+  o_ref[:] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
+                              'compute', 'batch_block', 'out_dtype'))
+def decode_attention_int8_lengths(
+    q: jax.Array,
+    k_cache_q: jax.Array,
+    v_cache_q: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    compute: str = 'f32',
+    batch_block: int = 4,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+  """Batch-blocked int8-cache decode attention masked by prefix lengths.
+
+  Same contract as decode_attention_int8_masked but visibility comes as
+  per-row lengths [B] instead of an additive [B, 1, G, S] mask — the
+  mask block (g*s*4 bytes per row, ~8 MB/layer at the bench shape) never
+  streams from HBM. Exact twin of the masked kernel whenever the mask is
+  prefix-form. out_dtype bf16 skips the downstream f32->bf16 cast pass.
+  """
+  b, nk, g, h = q.shape
+  s = k_cache_q.shape[2]
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  # VMEM clamp (no mask block to budget for, just double-buffered K/V).
+  while bb > 1 and 2 * (2 * bb * s * h) + 8 * s * h > 14 * 2**20:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_cache_q.reshape(bn_rows, s, h)
+  v2 = v_cache_q.reshape(bn_rows, s, h)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows, 1)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+
+  def kernel(len_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
+    for row in range(bb):
+      _decode_attn_len_kernel(
+          compute, q_ref.at[row], k_ref.at[row], v_ref.at[row],
+          len_ref.at[row], scales_ref, o_ref.at[row])
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=0,
+      grid=(bn_rows // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+          pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+  )
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), out_dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * bn_rows * g * s * h,
+          bytes_accessed=2 * bn_rows * s * h,
+          transcendentals=bn_rows * g * s),
+      interpret=interpret,
+  )(lens, q2, k2, v2, scales)
+  return out.reshape(b, nk, g, h)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('k_zero_point', 'v_zero_point', 'chunk', 'row_block',

@@ -85,6 +85,10 @@ def main():
   # B=256 (8.42 vs 10.04 ms/step lite A/B) — the MXU, not HBM, binds at
   # this batch. Override with AEQT_INT4_DRQ=0.
   os.environ.setdefault('AEQT_INT4_DRQ', '1')
+  # The bench's decode mask is prefix-form by construction (built from
+  # `pos` right below), so the lengths-based attention kernel is an exact
+  # twin that skips the per-layer mask stream. AEQT_ATTN_LENGTHS=0 reverts.
+  os.environ.setdefault('AEQT_ATTN_LENGTHS', '1')
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer
@@ -345,6 +349,7 @@ def _supervise() -> int:
   deadline = int(os.environ.get('AEQT_BENCH_DEADLINE_S', '2100'))
   attempts = [
       ({}, deadline),
+      ({'AEQT_ATTN_LENGTHS': '0'}, deadline),         # lengths-kernel trouble
       ({'AEQT_BENCH_GREEDY_HEAD': '0'}, deadline),    # head-fusion trouble
       ({'AEQT_BENCH_PRESET': 'gemma2b_lite'}, 1500),  # full-vocab trouble
       ({'AEQT_BENCH_KV': 'float32'}, 1200),           # skip fused attention

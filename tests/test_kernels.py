@@ -332,3 +332,77 @@ class TestDynlenAttention:
     np.testing.assert_allclose(np.asarray(out1['logits']),
                                np.asarray(out2['logits']), rtol=1e-4,
                                atol=1e-4)
+
+
+class TestLengthsAttention:
+  """Prefix-lengths decode attention: the mask block never streams."""
+
+  def _case(self, seed=0, b=4, nk=1, g=8, h=128, s=256):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, nk, g, h)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    lengths = rng.integers(1, s + 1, b).astype(np.int32)
+    pos = np.arange(s)[None, None, None, :]
+    mask = np.where(pos < lengths[:, None, None, None],
+                    np.float32(0.0), np.float32(-1e9))
+    mask = np.broadcast_to(mask, (b, 1, g, s)).astype(np.float32)
+    return q, kq, vq, lengths, mask
+
+  @pytest.mark.parametrize('compute', ['f32', 'bf16', 'int8'])
+  def test_matches_masked_twin(self, compute):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, lengths, mask = self._case()
+    got = np.asarray(pa.decode_attention_int8_lengths(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(lengths), k_zero_point=1.5,
+        v_zero_point=-0.5, compute=compute, batch_block=4, interpret=True))
+    want = np.asarray(pa.decode_attention_int8_masked(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(mask), k_zero_point=1.5,
+        v_zero_point=-0.5, compute=compute, batch_block=4, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+  def test_bf16_out_dtype_matches_cast(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, lengths, _ = self._case(seed=3)
+    f32 = pa.decode_attention_int8_lengths(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(lengths), interpret=True)
+    bf16 = pa.decode_attention_int8_lengths(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(lengths),
+        out_dtype=jnp.bfloat16, interpret=True)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16).astype(jnp.float32)),
+        np.asarray(bf16.astype(jnp.float32)))
+
+  def test_grouped_kv_heads(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, lengths, mask = self._case(seed=5, b=2, nk=2, g=4)
+    got = np.asarray(pa.decode_attention_int8_lengths(
+        q, kq, vq, 0.04, 0.03, jnp.asarray(lengths), batch_block=2,
+        interpret=True))
+    want = np.asarray(pa.decode_attention_int8_masked(
+        q, kq, vq, 0.04, 0.03, jnp.asarray(mask), batch_block=2,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+  def test_executor_lengths_matches_default(self, monkeypatch):
+    """AEQT_ATTN_LENGTHS derives lengths from the prefix mask; outputs
+    must match the default path (CPU: XLA twin both ways — structural)."""
+    monkeypatch.setenv('AEQT_ATTN_LENGTHS', '1')
+    from ai_edge_quantizer_tpu.models import gemma
+    from ai_edge_quantizer_tpu import Quantizer
+    from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=2, prefill_len=8,
+                            signatures=('decode',))
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=5)
+    out1 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    monkeypatch.setenv('AEQT_ATTN_LENGTHS', '0')
+    out2 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    np.testing.assert_allclose(np.asarray(out1['logits']),
+                               np.asarray(out2['logits']), rtol=1e-4,
+                               atol=1e-4)
