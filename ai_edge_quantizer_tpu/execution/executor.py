@@ -96,6 +96,10 @@ class GraphExecutor:
     self._head_fusions: dict = {}
     self._head_skip: set = set()
     self._norm_skip: set = set()
+    # Attention-block serving fusions (AEQT_ATTN_BLOCK=1): norm+QKV+rope
+    # prologue and attention out-proj+residual epilogue.
+    self._qkv_fusions: dict = {}
+    self._qkv_skip: set = set()
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -283,6 +287,8 @@ class GraphExecutor:
     self._find_norm_fusions()
     self._find_mlp_fusions()
     self._find_head_fusions()
+    self._find_qkv_fusions()
+    self._find_attn_epilogues()
 
   def _find_norm_fusions(self) -> None:
     """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
@@ -634,6 +640,226 @@ class GraphExecutor:
         self._head_fusions[(sg_idx, fc_idx)] = info
         self._head_skip.add((sg_idx, am_idx))
 
+  def _find_qkv_fusions(self) -> None:
+    """Fuse the decode-layer prologue into one pallas_call.
+
+    Matches RMS_NORM -> FC(packed-int4 fused QKV) -> SLICE x3 ->
+    {q: RESHAPE->ROPE->TRANSPOSE->RESHAPE, k: RESHAPE->ROPE->TRANSPOSE,
+    v: RESHAPE->TRANSPOSE} (decode shape, T=1) and replaces the chain
+    with kernels/pallas_qkv.qkv_rope_pallas — the norm output, the
+    [B, QKV_N] projection, and the pre-rope head views never reach HBM.
+    Opt-in via AEQT_ATTN_BLOCK=1 (serving fast path).
+    """
+    self._qkv_fusions = {}
+    self._qkv_skip = set()
+    if os.environ.get('AEQT_ATTN_BLOCK', '0') != '1':
+      return
+    on_tpu = jax.default_backend() == 'tpu'
+    sig_out_tids = {
+        (s.subgraph_index, tid)
+        for s in self.graph.signatures for tid in s.outputs.values()
+    }
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      cons: dict = {}
+      for oi, o in enumerate(sg.ops):
+        for t in o.inputs:
+          cons.setdefault(t, []).append((oi, o))
+      protected = set(sg.outputs) | {
+          tid for (si, tid) in sig_out_tids if si == sg_idx}
+
+      def link(tid, opcode):
+        """Single unprotected float consumer of `tid` with `opcode`."""
+        users = cons.get(tid, [])
+        if (tid in protected or len(users) != 1
+            or users[0][1].opcode != opcode
+            or sg.tensors[tid].quantization is not None):
+          return None
+        return users[0]
+
+      for norm_idx, norm in enumerate(sg.ops):
+        if norm.opcode != 'RMS_NORM' or len(norm.inputs) < 2:
+          continue
+        got = link(norm.outputs[0], 'FULLY_CONNECTED')
+        if got is None:
+          continue
+        fc_idx, fc = got
+        if (fc.inputs[0] != norm.outputs[0] or len(fc.inputs) < 2
+            or fc.inputs[1] < 0
+            or (len(fc.inputs) > 2 and fc.inputs[2] >= 0)
+            or fc.attrs.get('fused_activation', 'NONE') != 'NONE'):
+          continue
+        key = (sg_idx, fc.inputs[1])
+        if (key not in self._packed_int4_keys
+            or key in self._packed_block_size
+            or key in self._packed_pad_n):
+          continue
+        qkv_tid = fc.outputs[0]
+        users = cons.get(qkv_tid, [])
+        if (qkv_tid in protected or len(users) != 3
+            or any(o.opcode != 'SLICE' for _, o in users)):
+          continue
+        by_begin = sorted(users, key=lambda u: u[1].attrs['begin'][-1])
+        (qs_idx, qs), (ks_idx, ks), (vs_idx, vs) = by_begin
+
+        got = link(qs.outputs[0], 'RESHAPE')
+        if got is None:
+          continue
+        qr_idx, qr = got
+        new_shape = qr.attrs.get('new_shape')
+        if not new_shape or len(new_shape) != 4 or new_shape[1] != 1:
+          continue
+        _, t_dim, nq, h = new_shape
+        got = link(qr.outputs[0], 'ROPE')
+        if got is None:
+          continue
+        qrope_idx, qrope = got
+        got = link(qrope.outputs[0], 'TRANSPOSE')
+        if got is None or got[1].attrs.get('perm') != [0, 2, 1, 3]:
+          continue
+        qt_idx, qt_op = got
+        got = link(qt_op.outputs[0], 'RESHAPE')
+        if got is None:
+          continue
+        qg_idx, qg = got
+
+        got = link(ks.outputs[0], 'RESHAPE')
+        if got is None:
+          continue
+        kr_idx, kr = got
+        got = link(kr.outputs[0], 'ROPE')
+        if got is None:
+          continue
+        krope_idx, krope = got
+        if (krope.inputs[1] != qrope.inputs[1]
+            or krope.attrs.get('rope_base') != qrope.attrs.get('rope_base')):
+          continue
+        got = link(krope.outputs[0], 'TRANSPOSE')
+        if got is None or got[1].attrs.get('perm') != [0, 2, 1, 3]:
+          continue
+        kt_idx, kt_op = got
+
+        got = link(vs.outputs[0], 'RESHAPE')
+        if got is None:
+          continue
+        vr_idx, vr = got
+        got = link(vr.outputs[0], 'TRANSPOSE')
+        if got is None or got[1].attrs.get('perm') != [0, 2, 1, 3]:
+          continue
+        vt_idx, vt_op = got
+
+        w_t = sg.tensors[fc.inputs[1]]
+        d = int(w_t.shape[-1])  # true K (packed stores bytes = K/2)
+        qkv_n = int(w_t.shape[0])
+        if qkv_n * h == 0 or qkv_n % h:
+          continue
+        nk = (qkv_n // h - nq) // 2
+        if nk < 1 or (nq + 2 * nk) * h != qkv_n:
+          continue
+        # Mosaic legality at serving shapes: lane-aligned head halves and
+        # packed byte columns (toy shapes run via interpret off-TPU).
+        if on_tpu and ((h // 2) % 128 or (d // 2) % 128 or h % 256):
+          continue
+        self._qkv_fusions[(sg_idx, norm_idx)] = {
+            'x': norm.inputs[0], 'gamma': norm.inputs[1],
+            'w_tid': fc.inputs[1], 'positions': qrope.inputs[1],
+            'rope_base': float(qrope.attrs.get('rope_base', 10000.0)),
+            'eps': float(norm.attrs.get('epsilon', 1e-6)),
+            'nq': nq, 'nk': nk, 'h': h,
+            'q_out': qg.outputs[0], 'k_out': kt_op.outputs[0],
+            'v_out': vt_op.outputs[0],
+        }
+        for oi in (fc_idx, qs_idx, ks_idx, vs_idx, qr_idx, qrope_idx,
+                   qt_idx, qg_idx, kr_idx, krope_idx, kt_idx, vr_idx,
+                   vt_idx):
+          self._qkv_skip.add((sg_idx, oi))
+
+  def _find_attn_epilogues(self) -> None:
+    """Extend matched attention fusions with an out-proj + residual tail.
+
+    ctx -> RESHAPE -> TRANSPOSE -> RESHAPE -> FC(packed int4) ->
+    ADD(residual) collapses into the attention kernel's epilogue
+    (kernels/pallas_attention.decode_attention_oproj_pallas): the
+    [B, G*H] ctx and the projection output never reach HBM. Requires
+    MQA (NK == 1) and prefix-form masks; opt-in via AEQT_ATTN_BLOCK=1.
+    """
+    if os.environ.get('AEQT_ATTN_BLOCK', '0') != '1':
+      return
+    on_tpu = jax.default_backend() == 'tpu'
+    sig_out_tids = {
+        (s.subgraph_index, tid)
+        for s in self.graph.signatures for tid in s.outputs.values()
+    }
+    for (sg_idx, bmm2_idx), fusion in list(self._attn_fusions.items()):
+      if 'epilogue' in fusion:
+        continue
+      sg = self.graph.subgraphs[sg_idx]
+      cons: dict = {}
+      for oi, o in enumerate(sg.ops):
+        for t in o.inputs:
+          cons.setdefault(t, []).append((oi, o))
+      protected = set(sg.outputs) | {
+          tid for (si, tid) in sig_out_tids if si == sg_idx}
+
+      def link(tid, opcode):
+        users = cons.get(tid, [])
+        if (tid in protected or len(users) != 1
+            or users[0][1].opcode != opcode
+            or sg.tensors[tid].quantization is not None):
+          return None
+        return users[0]
+
+      q_shape = sg.tensors[fusion['q']].shape
+      if len(q_shape) != 4 or q_shape[1] != 1:
+        continue  # MQA only (NK == 1)
+      g, h = int(q_shape[2]), int(q_shape[3])
+      if g % 2:
+        continue
+      got = link(fusion['out'], 'RESHAPE')
+      if got is None:
+        continue
+      r1_idx, r1 = got
+      got = link(r1.outputs[0], 'TRANSPOSE')
+      if got is None or got[1].attrs.get('perm') != [0, 2, 1, 3]:
+        continue
+      t_idx, t_op = got
+      got = link(t_op.outputs[0], 'RESHAPE')
+      if got is None:
+        continue
+      r2_idx, r2 = got
+      got = link(r2.outputs[0], 'FULLY_CONNECTED')
+      if got is None:
+        continue
+      fc_idx, fc = got
+      if (fc.inputs[0] != r2.outputs[0] or len(fc.inputs) < 2
+          or fc.inputs[1] < 0
+          or (len(fc.inputs) > 2 and fc.inputs[2] >= 0)
+          or fc.attrs.get('fused_activation', 'NONE') != 'NONE'):
+        continue
+      key = (sg_idx, fc.inputs[1])
+      if (key not in self._packed_int4_keys
+          or key in self._packed_block_size
+          or key in self._packed_pad_n):
+        continue
+      got = link(fc.outputs[0], 'ADD')
+      if got is None:
+        continue
+      add_idx, add = got
+      others = [t for t in add.inputs if t != fc.outputs[0]]
+      if len(others) != 1:
+        continue
+      x_res = others[0]
+      d = int(sg.tensors[fc.inputs[1]].shape[0])
+      s_len = int(sg.tensors[fusion['k']].shape[2])
+      if on_tpu and (h % 128 or (d % 128) or ((g * h) // 2) % 128
+                     or s_len % 128):
+        continue
+      fusion['epilogue'] = {
+          'wo_tid': fc.inputs[1], 'x_res': x_res, 'y': add.outputs[0],
+          'd': d,
+      }
+      for oi in (r1_idx, t_idx, r2_idx, fc_idx, add_idx):
+        self._attn_skip.add((sg_idx, oi))
+
   # -- public API -----------------------------------------------------------
 
   def signature_runner(self, signature_key: str = 'serving_default',
@@ -792,12 +1018,18 @@ class GraphExecutor:
         if head is not None:
           self._eval_fused_head(sg_idx, sg, head, env)
           continue
+        qkv = self._qkv_fusions.get((sg_idx, op_idx))
+        if qkv is not None:
+          self._eval_fused_qkv(sg_idx, sg, qkv, env)
+          continue
         if (sg_idx, op_idx) in self._attn_skip:
           continue
         if (sg_idx, op_idx) in self._mlp_skip:
           continue  # folded into the MLP megakernel
         if (sg_idx, op_idx) in self._head_skip:
           continue  # ARG_MAX folded into the head kernel
+        if (sg_idx, op_idx) in self._qkv_skip:
+          continue  # folded into the qkv-rope prologue kernel
         if (sg_idx, op_idx) in self._norm_skip:
           continue  # folded into the consuming packed-FC kernels
       self._eval_op(sg_idx, sg, op, env)
@@ -1056,6 +1288,32 @@ class GraphExecutor:
     v_scale = float(np.asarray(v_info.scale).reshape(()))
     zp_k = float(np.asarray(k_info.zero_point).reshape(()))
     zp_v = float(np.asarray(v_info.zero_point).reshape(()))
+    ep = fusion.get('epilogue')
+    if ep is not None:
+      # AEQT_ATTN_BLOCK serving mode: the out-projection + residual ops
+      # were skipped at match time, so this path is unconditional. The
+      # harness guarantees prefix-form masks (same contract as
+      # AEQT_ATTN_LENGTHS); lengths derive from the shared mask tensor
+      # (one tiny reduce, CSE'd across layers).
+      from ai_edge_quantizer_tpu.kernels import pallas_attention
+      lengths = jnp.sum(
+          (mask[:, 0, 0, :] > -1e8).astype(jnp.int32), axis=-1)
+      x_res = self._dequant_view(sg, ep['x_res'], env)
+      wo = env[ep['wo_tid']]
+      so = self._packed_scale[(sg_idx, ep['wo_tid'])]
+      # Same DRQ gate as the unfused packed-int4 FC fast path so fused
+      # and unfused projections agree bit-for-bit.
+      drq = (os.environ.get('AEQT_INT4_DRQ', '0') == '1'
+             and wo.shape[1] * 2 <= 8192)
+      y = pallas_attention.decode_attention_oproj_pallas(
+          q_val, k_q, v_q, k_scale, v_scale, lengths, x_res, wo, so,
+          k_zero_point=zp_k, v_zero_point=zp_v,
+          compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+          batch_block=int(os.environ.get('AEQT_ATTN_BB', '4')),
+          drq=drq, interpret=jax.default_backend() != 'tpu')
+      out_op = ir.Op(opcode='ADD', inputs=[], outputs=[ep['y']])
+      self._store_outputs(sg, out_op, (y,), env)
+      return
     # Mosaic tiling: the head dim must fill full 128-lane tiles and the
     # cache length full sublane tiles; toy-sized heads (e.g. H=32) crash
     # the remote compiler (memref_slice) — keep them on the XLA twin.
@@ -1071,7 +1329,6 @@ class GraphExecutor:
             q_val, k_q, v_q, k_scale, v_scale, mask,
             k_zero_point=zp_k, v_zero_point=zp_v)
       else:
-        import os
         if os.environ.get('AEQT_ATTN_LENGTHS', '0') == '1':
           # Prefix-visibility serving mode: the harness guarantees the
           # additive mask is prefix-form (0 up to the live position,
@@ -1167,6 +1424,30 @@ class GraphExecutor:
         interpret=jax.default_backend() != 'tpu')
     out_op = ir.Op(opcode='ARG_MAX', inputs=[], outputs=[fusion['out']])
     self._store_outputs(sg, out_op, (ids,), env)
+
+  def _eval_fused_qkv(self, sg_idx: int, sg: ir.Subgraph,
+                      fusion: dict, env: dict) -> None:
+    """Emit one norm+qkv+rope prologue call for a matched chain."""
+    from ai_edge_quantizer_tpu.kernels import pallas_qkv
+    x = self._dequant_view(sg, fusion['x'], env)
+    gamma = self._dequant_view(sg, fusion['gamma'], env)
+    w = env[fusion['w_tid']]
+    scale = self._packed_scale[(sg_idx, fusion['w_tid'])]
+    positions = env[fusion['positions']]
+    h = fusion['h']
+    cos, sin = pallas_qkv.rope_cos_sin(positions, h, fusion['rope_base'])
+    # Same DRQ gate as the unfused packed-int4 FC fast path.
+    drq = (os.environ.get('AEQT_INT4_DRQ', '0') == '1'
+           and w.shape[1] * 2 <= 8192)
+    q, k, v = pallas_qkv.qkv_rope_pallas(
+        x, gamma, w, scale, cos, sin,
+        nq=fusion['nq'], nk=fusion['nk'], h=h, eps=fusion['eps'],
+        drq=drq, interpret=jax.default_backend() != 'tpu')
+    for tid, val in ((fusion['q_out'], q), (fusion['k_out'], k),
+                     (fusion['v_out'], v)):
+      t = sg.tensors[tid]
+      out_op = ir.Op(opcode='RESHAPE', inputs=[], outputs=[tid])
+      self._store_outputs(sg, out_op, (val.reshape(t.shape),), env)
 
   # -- quantized FULLY_CONNECTED fast paths ---------------------------------
 

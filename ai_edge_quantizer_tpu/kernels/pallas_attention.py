@@ -365,25 +365,22 @@ _ATTN_KERNELS = {
 }
 
 
-def _decode_attn_len_kernel(compute, q_ref, k_ref, v_ref, len_ref,
-                            scales_ref, o_ref):
-  """Length-masked variant: visibility is the prefix [0, length).
+def _ctx_prefix_len(compute, q, k_ref, v_ref, length, scales_ref):
+  """Per-row context over the visible prefix [0, length) -> [G, H] f32.
 
-  Identical numerics to the mask kernels when the additive mask is
-  prefix-form (0 for pos < length, <= -1e30 after): exp underflows to
-  exactly 0.0 in f32 either way, so scores/probs/context match the
-  masked twin bit-for-bit. The [G, S] mask block never streams from
-  HBM — lengths ride in as one scalar per row.
+  Shared numerics core of the lengths-masked kernels: identical to the
+  mask kernels when the additive mask is prefix-form (0 for pos <
+  length, <= -1e30 after): exp underflows to exactly 0.0 in f32 either
+  way, so scores/probs/context match the masked twin bit-for-bit.
+  `q` is [G, H] f32 values.
   """
-  g, h = q_ref.shape
+  g, h = q.shape
   s = k_ref.shape[0]
   k_scale = scales_ref[0, 0]
   v_scale = scales_ref[0, 1]
   zp_k = scales_ref[0, 2]
   zp_v = scales_ref[0, 3]
-  length = len_ref[0]
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
-  q = q_ref[:]
   if compute == 'int8':
     q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
     q_scale = jnp.maximum(q_absmax, 1e-9) * (1.0 / 127.0)
@@ -433,7 +430,14 @@ def _decode_attn_len_kernel(compute, q_ref, k_ref, v_ref, len_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-  ctx = (ctx - zp_v) * v_scale
+  return (ctx - zp_v) * v_scale
+
+
+def _decode_attn_len_kernel(compute, q_ref, k_ref, v_ref, len_ref,
+                            scales_ref, o_ref):
+  """One row: prefix-length masked attention writing [G, H]."""
+  ctx = _ctx_prefix_len(compute, q_ref[:].astype(jnp.float32), k_ref,
+                        v_ref, len_ref[0], scales_ref)
   o_ref[:] = ctx.astype(o_ref.dtype)
 
 
@@ -763,3 +767,152 @@ def decode_attention_int8_masked(
       interpret=interpret,
   )(q2, k2, v2, m2, scales)
   return out.reshape(b, nk, g, h)
+
+
+def _attn_oproj_kernel(bb, g, h, d, compute, drq, cast_dt,
+                       len_ref, q_ref, k_ref, v_ref, x_ref, wo_ref,
+                       scales_ref, so_ref, y_ref, ctx_ref):
+  """One batch block: per-row prefix attention -> out-proj -> residual.
+
+  ctx rows are staged in VMEM scratch at the activation dtype (the
+  boundary where the unfused executor stored the ctx tensor), then the
+  packed-int4 out projection runs per nibble-pair head block and the
+  residual add happens in-register — the [B, G*H] ctx tensor and the
+  [B, D] projection output never reach HBM.
+  """
+  for j in range(bb):
+    ctx = _ctx_prefix_len(compute, q_ref[j].astype(jnp.float32),
+                          k_ref.at[j], v_ref.at[j], len_ref[j, 0],
+                          scales_ref)
+    ctx_ref[j] = ctx.astype(cast_dt)
+
+  pairs = g // 2
+  if drq:
+    # Per-row activation quantization over the full [G*H] ctx row —
+    # identical xs/xq to the unfused packed-FC DRQ kernel.
+    xs_rows = []
+    for j in range(bb):
+      cf = ctx_ref[j].astype(jnp.float32)
+      absmax = jnp.max(jnp.abs(cf))
+      xs_rows.append(jnp.full((1, 1), jnp.maximum(absmax, 1e-9)
+                              * (1.0 / 127.0), jnp.float32))
+    xs = jnp.concatenate(xs_rows, axis=0)  # [bb, 1]
+    acc = jnp.zeros((bb, d), jnp.int32)
+    for p in range(pairs):
+      w32 = wo_ref[:, p * h:(p + 1) * h].astype(jnp.int32)
+      lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+      hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
+      for head, wn in ((p, lo), (p + pairs, hi)):
+        cfh = ctx_ref[:, head, :].astype(jnp.float32)
+        xq = jnp.round(cfh * pl.reciprocal(xs, approx=False)).astype(
+            jnp.int8)
+        acc += jax.lax.dot_general(
+            xq, wn, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    o = acc.astype(jnp.float32) * xs * so_ref[:]
+  else:
+    acc = jnp.zeros((bb, d), jnp.float32)
+    for p in range(pairs):
+      w32 = wo_ref[:, p * h:(p + 1) * h].astype(jnp.int32)
+      lo = (((w32 & 0xF) ^ 8) - 8).astype(cast_dt)
+      hi = (((w32 >> 4) ^ 8) - 8).astype(cast_dt)
+      for head, wn in ((p, lo), (p + pairs, hi)):
+        acc += jax.lax.dot_general(
+            ctx_ref[:, head, :], wn,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o = acc * so_ref[:]
+  y_ref[:] = x_ref[:] + o.astype(cast_dt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('k_zero_point', 'v_zero_point', 'compute',
+                              'batch_block', 'drq', 'interpret'))
+def decode_attention_oproj_pallas(
+    q: jax.Array,
+    k_cache_q: jax.Array,
+    v_cache_q: jax.Array,
+    k_scale,
+    v_scale,
+    lengths: jax.Array,
+    x_res: jax.Array,
+    wo_packed: jax.Array,
+    so: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    compute: str = 'f32',
+    batch_block: int = 4,
+    drq: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+  """Prefix-length attention + packed-int4 out projection + residual.
+
+  q [B, 1, G, H] (MQA: NK == 1), caches [B, 1, S, H] int8 per-tensor;
+  lengths [B] int32; x_res [B, D] residual-stream input; wo_packed
+  [D, (G*H)//2] uint8 split-half packed int4; so [D] f32 per-channel.
+  Returns [B, D] in x_res.dtype: x_res + W_o @ attn(q, cache).
+  Requires even G and H a lane multiple. Numerics: the attention matches
+  decode_attention_int8_lengths; the projection matches the unfused
+  packed-int4 FC (DRQ or weight-only) with the ctx staged at the
+  activation dtype; the residual add happens at that dtype.
+  """
+  b, nk, g, h = q.shape
+  if nk != 1:
+    raise ValueError('out-proj epilogue supports MQA (NK == 1) only.')
+  if g % 2:
+    raise ValueError('even head count required (nibble pairing).')
+  s = k_cache_q.shape[2]
+  d = wo_packed.shape[0]
+  cast_dt = jnp.bfloat16 if x_res.dtype == jnp.bfloat16 else jnp.float32
+  bb = max(1, batch_block)
+  while b % bb:
+    bb //= 2
+  while bb > 1 and 2 * (2 * bb * s * h) + wo_packed.size > 13 * 2**20:
+    bb //= 2
+  q2 = q.reshape(b, g, h).astype(cast_dt)
+  k2 = k_cache_q.reshape(b, s, h)
+  v2 = v_cache_q.reshape(b, s, h)
+  lens = lengths.astype(jnp.int32).reshape(b, 1)
+  x2 = x_res.reshape(b, d).astype(cast_dt)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=0,
+      grid=(b // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+          pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((d, g * h // 2), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bb, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      scratch_shapes=[pltpu.VMEM((bb, g, h), cast_dt)],
+  )
+  out = pl.pallas_call(
+      functools.partial(_attn_oproj_kernel, bb, g, h, d, compute, drq,
+                        cast_dt),
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((b, d), cast_dt),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * b * g * s * h + 2 * b * g * h * d,
+          bytes_accessed=2 * b * s * h + b * d * 4 + d * g * h // 2,
+          transcendentals=b * g * s),
+      interpret=interpret,
+  )(lens, q2, k2, v2, x2, wo_packed, scales,
+    so.astype(jnp.float32).reshape(1, d))
+  return out.reshape(x_res.shape).astype(x_res.dtype)
