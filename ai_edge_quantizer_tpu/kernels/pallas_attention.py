@@ -27,7 +27,7 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
   """One (batch, kv_head) program.
 
   q [G, H] f32; k,v [S, H] int8; scales [1, 2] f32 (k_scale, v_scale);
-  len [1, 1] int32 in SMEM. Output [G, H] f32.
+  len: length-1 int32 ref (scalar-prefetch slice). Output [G, H] f32.
   """
   g, h = q_ref.shape
   s = k_ref.shape[0]
@@ -79,28 +79,30 @@ def decode_attention_int8(
   scales = jnp.stack(
       [jnp.asarray(k_scale, jnp.float32).reshape(()),
        jnp.asarray(v_scale, jnp.float32).reshape(())]).reshape(1, 2)
-  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(b * nk, 1)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(b * nk)
 
+  # Lengths ride as a scalar-prefetch operand: a full SMEM array indexed
+  # by program id (Mosaic rejects sub-(8, 128) SMEM *blocks*).
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=0,
+      num_scalar_prefetch=1,
       grid=(b * nk,),
       in_specs=[
-          pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, g, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 2), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, g, h), lambda i: (i, 0, 0),
+      out_specs=pl.BlockSpec((1, g, h), lambda i, lens_ref: (i, 0, 0),
                              memory_space=pltpu.VMEM),
   )
 
-  def kernel(len_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
+  def kernel(lens_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
     _decode_attn_kernel(
-        len_ref,
+        lens_ref.at[pl.ds(pl.program_id(0), 1)],
         q_ref.at[0], k_ref.at[0], v_ref.at[0], scales_ref, o_ref.at[0])
 
   out = pl.pallas_call(
@@ -433,14 +435,6 @@ def _ctx_prefix_len(compute, q, k_ref, v_ref, length, scales_ref):
   return (ctx - zp_v) * v_scale
 
 
-def _decode_attn_len_kernel(compute, q_ref, k_ref, v_ref, len_ref,
-                            scales_ref, o_ref):
-  """One row: prefix-length masked attention writing [G, H]."""
-  ctx = _ctx_prefix_len(compute, q_ref[:].astype(jnp.float32), k_ref,
-                        v_ref, len_ref[0], scales_ref)
-  o_ref[:] = ctx.astype(o_ref.dtype)
-
-
 @functools.partial(
     jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
                               'compute', 'batch_block', 'out_dtype'))
@@ -478,33 +472,37 @@ def decode_attention_int8_lengths(
   q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
   k2 = k_cache_q.reshape(bn_rows, s, h)
   v2 = v_cache_q.reshape(bn_rows, s, h)
-  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows, 1)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
   scales = jnp.stack(
       [jnp.asarray(k_scale, jnp.float32).reshape(()),
        jnp.asarray(v_scale, jnp.float32).reshape(()),
        jnp.asarray(k_zero_point, jnp.float32).reshape(()),
        jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
 
-  def kernel(len_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
+  def kernel(lens_ref, q_ref, k_ref, v_ref, scales_ref, o_ref):
+    row0 = pl.program_id(0) * bb
     for row in range(bb):
-      _decode_attn_len_kernel(
-          compute, q_ref.at[row], k_ref.at[row], v_ref.at[row],
-          len_ref.at[row], scales_ref, o_ref.at[row])
+      ctx = _ctx_prefix_len(
+          compute, q_ref[row], k_ref.at[row], v_ref.at[row],
+          lens_ref[row0 + row], scales_ref)
+      o_ref[row] = ctx.astype(o_ref.dtype)
 
+  # Lengths ride as a scalar-prefetch operand: a full SMEM array indexed
+  # by program id (Mosaic rejects sub-(8, 128) SMEM *blocks*).
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=0,
+      num_scalar_prefetch=1,
       grid=(bn_rows // bb,),
       in_specs=[
-          pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-          pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+      out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
                              memory_space=pltpu.VMEM),
   )
   out = pl.pallas_call(
@@ -780,9 +778,10 @@ def _attn_oproj_kernel(bb, g, h, d, compute, drq, cast_dt,
   residual add happens in-register — the [B, G*H] ctx tensor and the
   [B, D] projection output never reach HBM.
   """
+  row0 = pl.program_id(0) * bb
   for j in range(bb):
     ctx = _ctx_prefix_len(compute, q_ref[j].astype(jnp.float32),
-                          k_ref.at[j], v_ref.at[j], len_ref[j, 0],
+                          k_ref.at[j], v_ref.at[j], len_ref[row0 + j],
                           scales_ref)
     ctx_ref[j] = ctx.astype(cast_dt)
 
@@ -872,7 +871,7 @@ def decode_attention_oproj_pallas(
   q2 = q.reshape(b, g, h).astype(cast_dt)
   k2 = k_cache_q.reshape(b, s, h)
   v2 = v_cache_q.reshape(b, s, h)
-  lens = lengths.astype(jnp.int32).reshape(b, 1)
+  lens = lengths.astype(jnp.int32).reshape(b)
   x2 = x_res.reshape(b, d).astype(cast_dt)
   scales = jnp.stack(
       [jnp.asarray(k_scale, jnp.float32).reshape(()),
@@ -880,24 +879,28 @@ def decode_attention_oproj_pallas(
        jnp.asarray(k_zero_point, jnp.float32).reshape(()),
        jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
 
+  # Lengths ride as a scalar-prefetch operand: a full SMEM array indexed
+  # by program id (Mosaic rejects sub-(8, 128) SMEM *blocks*).
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=0,
+      num_scalar_prefetch=1,
       grid=(b // bb,),
       in_specs=[
-          pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-          pl.BlockSpec((bb, g, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, s, h), lambda i: (i, 0, 0),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((d, g * h // 2), lambda i: (0, 0),
+          pl.BlockSpec((bb, d), lambda i, lens_ref: (i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((d, g * h // 2), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, d), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((bb, d), lambda i: (i, 0),
+      out_specs=pl.BlockSpec((bb, d), lambda i, lens_ref: (i, 0),
                              memory_space=pltpu.VMEM),
       scratch_shapes=[pltpu.VMEM((bb, g, h), cast_dt)],
   )
