@@ -652,7 +652,8 @@ class GraphExecutor:
     """
     self._qkv_fusions = {}
     self._qkv_skip = set()
-    if os.environ.get('AEQT_ATTN_BLOCK', '0') != '1':
+    if (os.environ.get('AEQT_ATTN_BLOCK', '0') != '1'
+        or os.environ.get('AEQT_ATTN_QKV', '1') != '1'):
       return
     on_tpu = jax.default_backend() == 'tpu'
     sig_out_tids = {
@@ -782,7 +783,8 @@ class GraphExecutor:
     [B, G*H] ctx and the projection output never reach HBM. Requires
     MQA (NK == 1) and prefix-form masks; opt-in via AEQT_ATTN_BLOCK=1.
     """
-    if os.environ.get('AEQT_ATTN_BLOCK', '0') != '1':
+    if (os.environ.get('AEQT_ATTN_BLOCK', '0') != '1'
+        or os.environ.get('AEQT_ATTN_OPROJ', '1') != '1'):
       return
     on_tpu = jax.default_backend() == 'tpu'
     sig_out_tids = {

@@ -868,6 +868,10 @@ def decode_attention_oproj_pallas(
     bb //= 2
   while bb > 1 and 2 * (2 * bb * s * h) + wo_packed.size > 13 * 2**20:
     bb //= 2
+  if bb != b and bb % 8:
+    # The 2D (bb, D) residual/output blocks need sublane-aligned rows
+    # (Mosaic: second-to-last block dim % 8 == 0, or the full array dim).
+    bb = 8 if b % 8 == 0 else b
   q2 = q.reshape(b, g, h).astype(cast_dt)
   k2 = k_cache_q.reshape(b, s, h)
   v2 = v_cache_q.reshape(b, s, h)

@@ -50,7 +50,13 @@ def _rope_pair(x1, x2, cos, sin):
 def _qkv_rope_kernel(nq, nk, h, eps, drq, cast_dt,
                      x_ref, g_ref, w_ref, s_ref, cos_ref, sin_ref,
                      q_ref, k_ref, v_ref):
-  """One M-tile: norm -> qkv matmul -> split -> rope."""
+  """One M-tile: norm -> qkv matmul (per-head weight chunks) -> rope.
+
+  The weight unpack is chunked per output head: whole-tensor
+  `w_ref[:].astype(int32)` would materialize a [QKV_N, D//2] int32 VMEM
+  temp (10.5 MB at Gemma-2B shape) and blow the 16 MB Mosaic scoped
+  limit; per-head chunks peak at [H, D//2] (1 MB).
+  """
   x = x_ref[:]
   xf = x.astype(jnp.float32)
   var = jnp.mean(xf * xf, axis=1, keepdims=True)
@@ -60,32 +66,36 @@ def _qkv_rope_kernel(nq, nk, h, eps, drq, cast_dt,
         * g_ref[:]).astype(cast_dt)
 
   k2 = w_ref.shape[1]  # D // 2 byte columns
-  w32 = w_ref[:].astype(jnp.int32)
   if drq:
     xnf = xn.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xnf), axis=1, keepdims=True)
     xs = jnp.maximum(absmax, 1e-9) * (1.0 / 127.0)
     xq = jnp.round(xnf * pl.reciprocal(xs, approx=False)).astype(jnp.int8)
-    lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
-    hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    acc += jax.lax.dot_general(
-        xq[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    qkv = acc.astype(jnp.float32) * xs * s_ref[:]
-  else:
-    lo = (((w32 & 0xF) ^ 8) - 8).astype(cast_dt)
-    hi = (((w32 >> 4) ^ 8) - 8).astype(cast_dt)
-    acc = jax.lax.dot_general(
-        xn[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(
-        xn[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    qkv = acc * s_ref[:]
-  qkv = qkv.astype(cast_dt)  # the unfused FC stores its output here
+
+  def head_block(i):
+    """Head i's projection [m, h] in cast_dt (the unfused FC boundary)."""
+    w32 = w_ref[i * h:(i + 1) * h, :].astype(jnp.int32)
+    if drq:
+      lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+      hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
+      acc = jax.lax.dot_general(
+          xq[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.int32)
+      acc += jax.lax.dot_general(
+          xq[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.int32)
+      seg = acc.astype(jnp.float32) * xs * s_ref[0, i * h:(i + 1) * h]
+    else:
+      lo = (((w32 & 0xF) ^ 8) - 8).astype(cast_dt)
+      hi = (((w32 >> 4) ^ 8) - 8).astype(cast_dt)
+      acc = jax.lax.dot_general(
+          xn[:, :k2], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      acc += jax.lax.dot_general(
+          xn[:, k2:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      seg = acc * s_ref[0, i * h:(i + 1) * h]
+    return seg.astype(cast_dt)
 
   cos = cos_ref[:]  # [m, h//2] f32
   sin = sin_ref[:]
@@ -99,13 +109,11 @@ def _qkv_rope_kernel(nq, nk, h, eps, drq, cast_dt,
     return jnp.concatenate([r1, r2], axis=1).astype(cast_dt)
 
   for i in range(nq):
-    q_ref[:, i * h:(i + 1) * h] = rope_head(qkv[:, i * h:(i + 1) * h])
-  base = nq * h
+    q_ref[:, i * h:(i + 1) * h] = rope_head(head_block(i))
   for i in range(nk):
-    k_ref[:, i * h:(i + 1) * h] = rope_head(
-        qkv[:, base + i * h:base + (i + 1) * h])
-  base = (nq + nk) * h
-  v_ref[:] = qkv[:, base:base + nk * h]
+    k_ref[:, i * h:(i + 1) * h] = rope_head(head_block(nq + i))
+  for i in range(nk):
+    v_ref[:, i * h:(i + 1) * h] = head_block(nq + nk + i)
 
 
 @functools.partial(
