@@ -1215,6 +1215,11 @@ class GraphExecutor:
       # int8 cache update: splice integers directly — no dequant/requant
       # round trip over the whole cache.
       operand = env[op.inputs[0]]
+      if os.environ.get('AEQT_SKIP_CACHE_WRITE', '0') == '1':
+        # PERF DIAGNOSTIC ONLY (wrong numerics): bound the cost of the
+        # per-layer cache DUS dispatches by aliasing output to input.
+        env[op.outputs[0]] = operand
+        return
       update = env[op.inputs[1]].astype(operand.dtype)
       starts = env[op.inputs[2]]
       out = jax.lax.dynamic_update_slice(

@@ -20,31 +20,40 @@ def _sync(out):
   return float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
 
 
-def timeit(fn, *args, iters=50):
+def timeit(fn, *args, iters=50, min_device_s=0.05):
   """On-device scan loop: per-dispatch tunnel latency would otherwise
   swamp kernels in the 10-100us range. The carry ties iterations into a
-  dependency chain so XLA cannot elide or overlap them."""
+  dependency chain so XLA cannot elide or overlap them. The iteration
+  count adapts until total device work >= min_device_s — totals below the
+  tunnel's ~30 ms round-trip noise floor measure as garbage (an early run
+  printed 0.0 us for a ~35 us kernel at iters=50)."""
 
-  def body(carry, _):
-    out = fn(carry[0], *args[1:])
-    eps = (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(carry[0].dtype)
-    return (carry[0] + eps, carry[1] + 1), ()
+  def measure(n_iters):
+    def body(carry, _):
+      out = fn(carry[0], *args[1:])
+      eps = (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(carry[0].dtype)
+      return (carry[0] + eps, carry[1] + 1), ()
 
-  run = jax.jit(lambda x0: jax.lax.scan(
-      body, (x0, jnp.int32(0)), None, length=iters)[0][0])
-  _sync(run(args[0]))
-  small = jnp.ones((1, 1), jnp.float32)
-  _sync(small)
-  rts = []
-  for _ in range(5):
-    t0 = time.perf_counter()
+    run = jax.jit(lambda x0: jax.lax.scan(
+        body, (x0, jnp.int32(0)), None, length=n_iters)[0][0])
+    _sync(run(args[0]))
+    small = jnp.ones((1, 1), jnp.float32)
     _sync(small)
-    rts.append(time.perf_counter() - t0)
-  rt = min(rts)
-  t0 = time.perf_counter()
-  out = run(args[0])
-  _sync(out)
-  return max((time.perf_counter() - t0 - rt) / iters, 1e-9)
+    rts = []
+    for _ in range(5):
+      t0 = time.perf_counter()
+      _sync(small)
+      rts.append(time.perf_counter() - t0)
+    rt = min(rts)
+    t0 = time.perf_counter()
+    out = run(args[0])
+    _sync(out)
+    return max((time.perf_counter() - t0 - rt) / n_iters, 1e-9)
+
+  dt = measure(iters)
+  if dt * iters < min_device_s:
+    dt = measure(max(iters, int(np.ceil(min_device_s / max(dt, 1e-7)))))
+  return dt
 
 
 def main():
