@@ -21,6 +21,7 @@ Execution semantics for quantized graphs:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -813,6 +814,15 @@ class GraphExecutor:
       q_shape = sg.tensors[fusion['q']].shape
       if len(q_shape) != 4 or q_shape[1] != 1:
         continue  # MQA only (NK == 1)
+      # VMEM feasibility at the smallest sublane-legal batch block
+      # (bb = min(8, B)): the kernel raises at trace time when no legal
+      # block fits its budget, and this path is unconditional once
+      # matched — so refuse the match instead.
+      b_dim, _, g_dim, h_dim = q_shape
+      s_dim = sg.tensors[fusion['k']].shape[2]
+      bb_min = min(8, b_dim)
+      if 2 * (2 * bb_min * s_dim * h_dim) > 13 * 2**20:
+        continue
       g, h = int(q_shape[2]), int(q_shape[3])
       if g % 2:
         continue
@@ -1218,10 +1228,38 @@ class GraphExecutor:
       if os.environ.get('AEQT_SKIP_CACHE_WRITE', '0') == '1':
         # PERF DIAGNOSTIC ONLY (wrong numerics): bound the cost of the
         # per-layer cache DUS dispatches by aliasing output to input.
+        if not getattr(self, '_warned_skip_cache_write', False):
+          self._warned_skip_cache_write = True
+          logging.warning(
+              'AEQT_SKIP_CACHE_WRITE=1: KV-cache writes are DISABLED — '
+              'decode outputs are numerically WRONG (perf diagnostic).')
+        if os.environ.get('AEQT_SKIP_CACHE_BARRIER', '0') == '1':
+          # Variant: no write, but the cache still looks data-dependent,
+          # so it cannot leave a surrounding scan's loop carry. Isolates
+          # "cost of the write" from "cost of carry residency".
+          operand = jax.lax.optimization_barrier(operand)
         env[op.outputs[0]] = operand
         return
       update = env[op.inputs[1]].astype(operand.dtype)
       starts = env[op.inputs[2]]
+      from ai_edge_quantizer_tpu.kernels import pallas_cache
+      if (
+          os.environ.get('AEQT_CACHE_WRITE_PALLAS', '1') == '1'
+          and jax.default_backend() == 'tpu'
+          and getattr(update, 'ndim', 0) == operand.ndim
+          and pallas_cache.supports(
+              operand.shape, update.shape, operand.dtype)
+          and self._sole_consumer(sg, op.inputs[0], op)
+      ):
+        # Row-tile RMW DMA instead of XLA's DUS lowering, which cost
+        # ~42 us x 36 updates = 1.5 ms/step at the bench shape
+        # (AEQT_SKIP_CACHE_WRITE A/B, docs/ROUND2_NOTES.md).
+        # Sole-consumer guard: aliasing donates the operand, so no other
+        # op may read the pre-update value (XLA would insert a full-cache
+        # copy to satisfy the alias, erasing the win).
+        env[op.outputs[0]] = pallas_cache.dus_row_inplace_pallas(
+            operand, update, starts)
+        return
       out = jax.lax.dynamic_update_slice(
           operand, update,
           tuple(starts[i].astype(jnp.int32) for i in range(operand.ndim)))
@@ -1261,6 +1299,17 @@ class GraphExecutor:
       elif t.dtype == 'float32' and val.dtype != self._act_dtype:
         val = val.astype(self._act_dtype)
       env[tid] = val
+
+  def _sole_consumer(self, sg: ir.Subgraph, tid: int, op: ir.Op) -> bool:
+    """True if `op` is the only consumer of `tid` (and it's no output)."""
+    if tid in sg.outputs:
+      return False
+    count = 0
+    for o in sg.ops:
+      count += o.inputs.count(tid)
+      if count > 1:
+        return False
+    return count == 1
 
   def _same_int_params(self, sg: ir.Subgraph, *tids) -> bool:
     """All tensors int-typed with identical quantization params."""

@@ -863,15 +863,25 @@ def decode_attention_oproj_pallas(
   s = k_cache_q.shape[2]
   d = wo_packed.shape[0]
   cast_dt = jnp.bfloat16 if x_res.dtype == jnp.bfloat16 else jnp.float32
-  bb = max(1, batch_block)
-  while b % bb:
-    bb //= 2
-  while bb > 1 and 2 * (2 * bb * s * h) + wo_packed.size > 13 * 2**20:
-    bb //= 2
-  if bb != b and bb % 8:
-    # The 2D (bb, D) residual/output blocks need sublane-aligned rows
-    # (Mosaic: second-to-last block dim % 8 == 0, or the full array dim).
-    bb = 8 if b % 8 == 0 else b
+  # The 2D (bb, D) residual/output blocks need sublane-aligned rows
+  # (Mosaic: second-to-last block dim % 8 == 0, or the full array dim),
+  # so legal bb values are multiples of 8 dividing b, or b itself. Pick
+  # the largest legal value <= batch_block that fits the VMEM budget;
+  # raise (caller falls back to the unfused path) when none fits.
+  def _fits(bb):
+    return 2 * (2 * bb * s * h) + wo_packed.size <= 13 * 2**20
+
+  legal = [v for v in range(8, b + 1, 8) if b % v == 0] or [b]
+  if b not in legal:
+    legal.append(b)
+  candidates = [v for v in sorted(legal) if _fits(v)]
+  if not candidates:
+    raise ValueError(
+        f'decode_attention_oproj_pallas: no sublane-legal batch block '
+        f'fits VMEM at B={b}, S={s}, H={h} (cache blocks '
+        f'{2 * (2 * 8 * s * h) / 2**20:.1f} MiB at bb=8).')
+  bb = max([v for v in candidates if v <= max(8, batch_block)],
+           default=candidates[0])
   q2 = q.reshape(b, g, h).astype(cast_dt)
   k2 = k_cache_q.reshape(b, s, h)
   v2 = v_cache_q.reshape(b, s, h)
