@@ -209,7 +209,7 @@ class GraphExecutor:
       if any(sg.tensors[t].quantization is not None for t in chain_outs):
         continue  # SRQ'd intermediates: keep the faithful simulated path.
       h = sg.tensors[q_tid].shape[-1]
-      self._attn_fusions[(sg_idx, bmm2_idx)] = {
+      fusion = {
           'q': q_tid, 'k': k_tid, 'v': v_tid, 'mask': mask_tid,
           'out': bmm2.outputs[0],
           # The kernel divides by sqrt(h); fold the graph's score-scale
@@ -217,7 +217,59 @@ class GraphExecutor:
           'k_scale_factor': float(np.asarray(scale_data).reshape(())) *
           float(h) ** 0.5,
       }
-      for j in (bmm1_idx, mul_idx, add_idx, sm_idx):
+      self._attn_fusions[(sg_idx, bmm2_idx)] = fusion
+      skip = [bmm1_idx, mul_idx, add_idx, sm_idx]
+
+      def match_cache_dus(cache_tid, chain_idx=(bmm1_idx, bmm2_idx)):
+        """The per-step KV row write folds into the attention dispatch
+        when the cache tensor is produced by a one-row same-params DUS
+        whose pre-update value dies there (its buffer is donated to the
+        kernel's aliased cache output). Returns (dus_idx, extra_skips,
+        record) or None."""
+        p = producer_of.get(cache_tid)
+        if p is None or ops[p].opcode != 'DYNAMIC_UPDATE_SLICE':
+          return None
+        dus = ops[p]
+        if len(dus.inputs) < 3:
+          return None
+        operand_tid, update_tid, starts_tid = dus.inputs[:3]
+        if not self._same_int_params(sg, operand_tid, update_tid,
+                                     cache_tid):
+          return None
+        osh = sg.tensors[operand_tid].shape
+        ush = sg.tensors[update_tid].shape
+        if (len(osh) != 4 or len(ush) != 4 or ush[2] != 1
+            or [ush[0], ush[1], ush[3]] != [osh[0], osh[1], osh[3]]):
+          return None  # one-row cache update only
+        # (tile/lane alignment is checked at dispatch; misaligned shapes
+        # take the XLA-DUS fallback inside the fused eval)
+        if not self._sole_consumer(sg, operand_tid, dus):
+          return None
+        # Every consumer of the post-update cache must be inside the
+        # fused chain (the fusion produces its value only at bmm2).
+        extra = []
+        for ci in consumers_of(cache_tid):
+          if ci in chain_idx:
+            continue
+          if (ops[ci].opcode == 'DEQUANTIZE'
+              and ops[ci].outputs[0] not in sg.outputs
+              and all(cj in chain_idx
+                      for cj in consumers_of(ops[ci].outputs[0]))):
+            extra.append(ci)
+            continue
+          return None
+        return p, extra, {
+            'operand': operand_tid, 'update': update_tid,
+            'starts': starts_tid, 'out': cache_tid,
+        }
+
+      if os.environ.get('AEQT_ATTN_WRITEBACK', '0') == '1':
+        k_wb = match_cache_dus(k_tid)
+        v_wb = match_cache_dus(v_tid)
+        if k_wb is not None and v_wb is not None:
+          fusion['writeback'] = {'k': k_wb[2], 'v': v_wb[2]}
+          skip += [k_wb[0], v_wb[0]] + k_wb[1] + v_wb[1]
+      for j in skip:
         self._attn_skip.add((sg_idx, j))
 
   def prepare_serving_weights(self, min_weight_params: int = 2**21) -> None:
@@ -1334,9 +1386,62 @@ class GraphExecutor:
                             fusion: dict, env: dict) -> None:
     """Emit one fused int8-cache attention call for a matched chain."""
     q_val = self._dequant_view(sg, fusion['q'], env)
+    mask = self._dequant_view(sg, fusion['mask'], env)
+    wb = fusion.get('writeback')
+    if wb is not None:
+      h_wb = q_val.shape[-1]
+      s_wb = sg.tensors[wb['k']['operand']].shape[2]
+      use_wb_kernel = (
+          jax.default_backend() == 'tpu'
+          and os.environ.get('AEQT_ATTN_LENGTHS', '0') == '1'
+          and fusion.get('epilogue') is None
+          and q_val.shape[2] < 32  # decode-shaped only
+          and h_wb % 128 == 0
+          and s_wb % 32 == 0  # int8 row-tile alignment for the writeback
+      )
+      if use_wb_kernel:
+        from ai_edge_quantizer_tpu.kernels import pallas_attention
+        k_info = sg.tensors[fusion['k']].quantization
+        v_info = sg.tensors[fusion['v']].quantization
+        lengths = jnp.sum(
+            (mask[:, 0, 0, :] > -1e8).astype(jnp.int32), axis=-1)
+        starts = env[wb['k']['starts']]
+        ctx, k_new_cache, v_new_cache = (
+            pallas_attention.decode_attention_int8_lengths_writeback(
+                q_val, env[wb['k']['operand']], env[wb['v']['operand']],
+                float(np.asarray(k_info.scale).reshape(())) *
+                fusion['k_scale_factor'],
+                float(np.asarray(v_info.scale).reshape(())),
+                lengths,
+                env[wb['k']['update']].astype(jnp.int8),
+                env[wb['v']['update']].astype(jnp.int8),
+                starts[2].astype(jnp.int32),
+                k_zero_point=float(
+                    np.asarray(k_info.zero_point).reshape(())),
+                v_zero_point=float(
+                    np.asarray(v_info.zero_point).reshape(())),
+                compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+                batch_block=int(os.environ.get('AEQT_ATTN_BB', '4')),
+                out_dtype=self._act_dtype))
+        env[wb['k']['out']] = k_new_cache
+        env[wb['v']['out']] = v_new_cache
+        out_op = ir.Op(opcode='BATCH_MATMUL', inputs=[],
+                       outputs=[fusion['out']])
+        self._store_outputs(sg, out_op, (ctx,), env)
+        return
+      # Fallback (CPU / masked / dynlen / prefill / epilogue modes):
+      # materialize the skipped cache DUS in XLA, then proceed unfused.
+      for side in ('k', 'v'):
+        info = wb[side]
+        operand = env[info['operand']]
+        update = env[info['update']].astype(operand.dtype)
+        starts = env[info['starts']]
+        env[info['out']] = jax.lax.dynamic_update_slice(
+            operand, update,
+            tuple(starts[i].astype(jnp.int32)
+                  for i in range(operand.ndim)))
     k_q = env[fusion['k']]
     v_q = env[fusion['v']]
-    mask = self._dequant_view(sg, fusion['mask'], env)
     k_info = sg.tensors[fusion['k']].quantization
     v_info = sg.tensors[fusion['v']].quantization
     k_scale = float(np.asarray(k_info.scale).reshape(())) * \

@@ -521,6 +521,166 @@ def decode_attention_int8_lengths(
 
 
 @functools.partial(
+    jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
+                              'compute', 'batch_block', 'out_dtype'))
+def decode_attention_int8_lengths_writeback(
+    q: jax.Array,
+    k_cache_q: jax.Array,
+    v_cache_q: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    k_new_q: jax.Array,
+    v_new_q: jax.Array,
+    pos: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    compute: str = 'f32',
+    batch_block: int = 4,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+  """Lengths-masked decode attention that ALSO persists the new KV row.
+
+  Exactly `decode_attention_int8_lengths` over the cache with row `pos`
+  replaced by (k_new_q, v_new_q), plus the two cache DUS writes folded
+  into this one dispatch: the new row is spliced into the VMEM cache
+  blocks with an iota select (no dynamic slicing — Mosaic lacks it), and
+  the dirty 32-row tile is written back through blocked outputs whose
+  index map reads `pos` from a prefetch scalar; the cache outputs alias
+  the cache inputs, so untouched tiles keep their input bytes. Each
+  separate cache-update dispatch cost ~36 us of per-dispatch overhead at
+  the bench shape (1.5 ms/step for 36 of them — AEQT_SKIP_CACHE_WRITE
+  A/B, docs/ROUND2_NOTES.md); this removes all of them.
+
+  q [B, NK, G, H]; caches [B, NK, S, H] int8; k_new_q/v_new_q
+  [B, NK, 1, H] int8 (already quantized at the cache scale); pos scalar
+  int32 (same row for every batch row — the graph's shared cache_pos);
+  lengths [B] must already count the new row. Returns
+  (ctx [B, NK, G, H] out_dtype, k_cache_out, v_cache_out int8).
+  """
+  b, nk, g, h = q.shape
+  s = k_cache_q.shape[2]
+  tile = 32  # int8 sublane tile: HBM writes must cover full tiles
+  if s % tile:
+    raise ValueError(f'cache length {s} must be a multiple of {tile}.')
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  while bb > 1 and 2 * (2 * bb * s * h) + 8 * s * h > 14 * 2**20:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_cache_q.reshape(bn_rows, s, h)
+  v2 = v_cache_q.reshape(bn_rows, s, h)
+  kn = k_new_q.reshape(bn_rows, 1, h)
+  vn = v_new_q.reshape(bn_rows, 1, h)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
+  pos_arr = jnp.clip(
+      jnp.asarray(pos, jnp.int32).reshape(1), 0, s - 1)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+
+  def kernel(lens_ref, pos_ref, q_ref, k_ref, v_ref,
+             kn_ref, vn_ref, scales_ref, o_ref, ko_ref, vo_ref):
+    row0 = pl.program_id(0) * bb
+    p = pos_ref[0]
+    t0 = (p // tile) * tile
+    # Persist the dirty tile through the blocked (pos-indexed) aliased
+    # output. The original tile bytes are gathered from the full VMEM
+    # cache block with a one-hot dot (exact for int8 values; Mosaic has
+    # no dynamic slicing) — passing the cache a second time as a tile
+    # view would force XLA to copy the whole donated cache.
+    trow = jax.lax.broadcasted_iota(jnp.int32, (bb, tile, h), 1)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (tile, s), 0) + t0
+              == jax.lax.broadcasted_iota(jnp.int32, (tile, s), 1)
+              ).astype(jnp.float32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (s, h), 0)
+    ktiles = []
+    vtiles = []
+    for row in range(bb):
+      ktiles.append(jax.lax.dot_general(
+          onehot, k_ref[row].astype(jnp.float32),
+          dimension_numbers=(((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32).astype(k_ref.dtype))
+      vtiles.append(jax.lax.dot_general(
+          onehot, v_ref[row].astype(jnp.float32),
+          dimension_numbers=(((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32).astype(v_ref.dtype))
+    ktile = jnp.stack(ktiles, axis=0)
+    vtile = jnp.stack(vtiles, axis=0)
+    ko_ref[...] = jnp.where(trow == (p - t0),
+                            jnp.broadcast_to(kn_ref[...], (bb, tile, h)),
+                            ktile)
+    vo_ref[...] = jnp.where(trow == (p - t0),
+                            jnp.broadcast_to(vn_ref[...], (bb, tile, h)),
+                            vtile)
+    # Attention over the spliced cache (values, not refs: `[:]` on an
+    # array is the array, so _ctx_prefix_len consumes either).
+    for row in range(bb):
+      k_spl = jnp.where(srow == p, jnp.broadcast_to(kn_ref[row], (s, h)),
+                        k_ref[row])
+      v_spl = jnp.where(srow == p, jnp.broadcast_to(vn_ref[row], (s, h)),
+                        v_ref[row])
+      ctx = _ctx_prefix_len(
+          compute, q_ref[row], k_spl, v_spl, lens_ref[row0 + row],
+          scales_ref)
+      o_ref[row] = ctx.astype(o_ref.dtype)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(bn_rows // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, 1, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, 1, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, lens_ref, pos_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref, pos_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(
+              (bb, tile, h),
+              lambda i, lens_ref, pos_ref: (i, pos_ref[0] // tile, 0),
+              memory_space=pltpu.VMEM),
+          pl.BlockSpec(
+              (bb, tile, h),
+              lambda i, lens_ref, pos_ref: (i, pos_ref[0] // tile, 0),
+              memory_space=pltpu.VMEM),
+      ],
+  )
+  ctx, k_out, v_out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((bn_rows, g, h), out_dtype),
+          jax.ShapeDtypeStruct((bn_rows, s, h), k2.dtype),
+          jax.ShapeDtypeStruct((bn_rows, s, h), v2.dtype),
+      ],
+      # Inputs count the 2 scalar-prefetch operands: q2 is 2, k2 is 3,
+      # v2 is 4. The cache outputs alias the cache inputs so untouched
+      # tiles keep their input bytes.
+      input_output_aliases={3: 1, 4: 2},
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      interpret=interpret,
+  )(lens, pos_arr, q2, k2, v2, kn, vn, scales)
+  return (ctx.reshape(b, nk, g, h),
+          k_out.reshape(b, nk, s, h), v_out.reshape(b, nk, s, h))
+
+
+@functools.partial(
     jax.jit,
     static_argnames=('k_zero_point', 'v_zero_point', 'chunk', 'row_block',
                      'interpret'))

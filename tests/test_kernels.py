@@ -406,3 +406,119 @@ class TestLengthsAttention:
     np.testing.assert_allclose(np.asarray(out1['logits']),
                                np.asarray(out2['logits']), rtol=1e-4,
                                atol=1e-4)
+
+
+class TestWritebackAttention:
+  """Lengths attention with the KV row write folded into the dispatch."""
+
+  def _case(self, seed=0, b=4, nk=1, g=8, h=128, s=256, pos=100):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, nk, g, h)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, nk, s, h)).astype(np.int8)
+    kn = rng.integers(-127, 128, (b, nk, 1, h)).astype(np.int8)
+    vn = rng.integers(-127, 128, (b, nk, 1, h)).astype(np.int8)
+    lengths = np.full(b, pos + 1, np.int32)  # visible incl. the new row
+    return q, kq, vq, kn, vn, lengths
+
+  @pytest.mark.parametrize('pos', [0, 31, 32, 100, 255])
+  @pytest.mark.parametrize('compute', ['f32', 'int8'])
+  def test_matches_dus_plus_lengths(self, pos, compute):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, kn, vn, lengths = self._case(pos=pos)
+    ctx, k_out, v_out = pa.decode_attention_int8_lengths_writeback(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(lengths), kn, vn,
+        jnp.int32(pos), k_zero_point=1.5, v_zero_point=-0.5,
+        compute=compute, batch_block=4, interpret=True)
+    starts = (0, 0, pos, 0)
+    k_ref = jax.lax.dynamic_update_slice(jnp.asarray(kq), jnp.asarray(kn),
+                                         starts)
+    v_ref = jax.lax.dynamic_update_slice(jnp.asarray(vq), jnp.asarray(vn),
+                                         starts)
+    np.testing.assert_array_equal(np.asarray(k_out), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_out), np.asarray(v_ref))
+    want = np.asarray(pa.decode_attention_int8_lengths(
+        q, k_ref, v_ref, 0.05, 0.02, jnp.asarray(lengths),
+        k_zero_point=1.5, v_zero_point=-0.5, compute=compute,
+        batch_block=4, interpret=True))
+    np.testing.assert_array_equal(np.asarray(ctx), want)
+
+  def test_grouped_kv_heads(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, kn, vn, lengths = self._case(b=2, nk=2, g=4, pos=64)
+    ctx, k_out, v_out = pa.decode_attention_int8_lengths_writeback(
+        q, kq, vq, 0.04, 0.03, jnp.asarray(lengths), kn, vn,
+        jnp.int32(64), batch_block=2, interpret=True)
+    starts = (0, 0, 64, 0)
+    k_ref = jax.lax.dynamic_update_slice(jnp.asarray(kq), jnp.asarray(kn),
+                                         starts)
+    v_ref = jax.lax.dynamic_update_slice(jnp.asarray(vq), jnp.asarray(vn),
+                                         starts)
+    np.testing.assert_array_equal(np.asarray(k_out), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_out), np.asarray(v_ref))
+    want = np.asarray(pa.decode_attention_int8_lengths(
+        q, k_ref, v_ref, 0.04, 0.03, jnp.asarray(lengths),
+        batch_block=2, interpret=True))
+    np.testing.assert_array_equal(np.asarray(ctx), want)
+
+  def test_executor_writeback_matches_unfused(self, monkeypatch):
+    """AEQT_ATTN_WRITEBACK folds the cache DUS into the fused attention;
+    outputs (logits AND updated caches) must match the unfused path.
+    On CPU this exercises the matcher + skip wiring + XLA fallback."""
+    monkeypatch.setenv('AEQT_ATTN_LENGTHS', '1')
+    from ai_edge_quantizer_tpu.models import gemma
+    from ai_edge_quantizer_tpu import Quantizer
+    from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=2, prefill_len=8,
+                            signatures=('decode',))
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=5)
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK', '1')
+    ex1 = GraphExecutor(qg)
+    assert any('writeback' in f for f in ex1._attn_fusions.values()), \
+        'writeback not matched on the toy decode graph'
+    out1 = ex1.signature_runner('decode')(inputs)
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK', '0')
+    out2 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    assert out1.keys() == out2.keys()
+    for name in out2:
+      a, b = np.asarray(out1[name]), np.asarray(out2[name])
+      if a.dtype == np.int8:
+        np.testing.assert_array_equal(a, b, err_msg=name)
+      else:
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
+
+  def test_executor_writeback_capture_all_unrolls(self, monkeypatch):
+    """capture_all must evaluate the skipped DUS ops normally."""
+    monkeypatch.setenv('AEQT_ATTN_LENGTHS', '1')
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK', '1')
+    from ai_edge_quantizer_tpu.models import gemma
+    from ai_edge_quantizer_tpu import Quantizer
+    from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=2, prefill_len=8,
+                            signatures=('decode',))
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=5)
+    ex = GraphExecutor(qg)
+    cap = ex.signature_runner('decode', capture_all=True)(inputs)
+    run = ex.signature_runner('decode')(inputs)
+    sig = qg.signature_by_key('decode')
+    sgt = qg.subgraphs[sig.subgraph_index].tensors
+    name_of = {tid: sgt[tid].name for tid in sig.outputs.values()}
+    for out_name, tid in sig.outputs.items():
+      a = np.asarray(cap[name_of[tid]])
+      b = np.asarray(run[out_name])
+      if a.dtype == np.int8:
+        np.testing.assert_array_equal(a, b, err_msg=out_name)
+      else:
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                   err_msg=out_name)
