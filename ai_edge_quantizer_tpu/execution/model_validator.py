@@ -61,7 +61,27 @@ class ComparisonResult:
     sig = self._target_graph.signature_by_key(signature_key)
     sg = self._target_graph.subgraphs[sig.subgraph_index]
     input_names = {sg.tensors[t].name for t in sg.inputs}
-    output_names = {sg.tensors[t].name for t in sg.outputs}
+    # Graph outputs, resolved through rewrite-inserted QUANTIZE /
+    # DEQUANTIZE tails: the quantized model's output tensor is often
+    # `X_dequant` (absent from the float model), while `X` — the tensor
+    # actually compared — would otherwise land in the intermediate
+    # bucket and leave output_tensors empty (ref model_validator buckets
+    # by the signature-visible output, model_validator.py:97-158).
+    producer_of = {}
+    for o in sg.ops:
+      for tid in o.outputs:
+        producer_of[tid] = o
+    output_names = set()
+    for t in sg.outputs:
+      output_names.add(sg.tensors[t].name)
+      seen = 0
+      while seen < 8:  # bounded walk through inserted (de)quant tails
+        op = producer_of.get(t)
+        if op is None or op.opcode not in ('QUANTIZE', 'DEQUANTIZE'):
+          break
+        t = op.inputs[0]
+        output_names.add(sg.tensors[t].name)
+        seen += 1
     constants = {
         t.name for t in sg.tensors
         if t.buffer >= 0
