@@ -232,3 +232,139 @@ class TestNewElementwiseOps:
         got = fn(None, a, bv)
       np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                  err_msg=opcode)
+
+
+def _op_constraint():
+  from ai_edge_quantizer_tpu.algorithms.uniform import engine
+  return engine.OpQuantConstraint
+
+
+class TestOpTableSweep:
+  """Table-driven materialization sweep over EVERY op in the e2e builder
+  zoo: asserts the constraint structure the op_library declares (the
+  analog of the reference's ~45 op_architecture_tests files).
+
+  QSV mock gives every tensor a DISTINCT range, so scale-equality
+  assertions prove propagation rather than coincidence."""
+
+  @staticmethod
+  def _distinct_qsvs(graph):
+    qsvs = {}
+    i = 0
+    for sg in graph.subgraphs:
+      for t in sg.tensors:
+        i += 1
+        hi = 1.0 + 0.13 * (i % 17)
+        qsvs[t.name] = {'min': np.array([-hi], np.float32),
+                        'max': np.array([hi * 1.5], np.float32)}
+    return qsvs
+
+  @staticmethod
+  def _params_of(entry):
+    """First quantize-carrying params on a tensor's edges (or None)."""
+    if entry.producer is not None and entry.producer.parameters is not None:
+      return entry.producer.parameters
+    for c in entry.consumers or []:
+      if c.parameters is not None:
+        return c.parameters
+    return None
+
+  def _sweep_case(self, opcode):
+    import sys
+    sys.path.insert(0, 'tests')
+    import test_e2e_per_op as e2e
+    from ai_edge_quantizer_tpu.algorithms.uniform import op_library
+    from ai_edge_quantizer_tpu.algorithms.uniform import engine
+    from ai_edge_quantizer_tpu.pipeline import instruction_generator
+
+    graph = e2e._BUILDERS[opcode]()
+    spec = op_library.OP_SPECS.get(qtyping.OpName(opcode))
+    if spec is None:
+      pytest.skip(f'{opcode} not in OP_SPECS')
+    qsvs = self._distinct_qsvs(graph)
+    params = ParamsGenerator(graph).generate_quantization_parameters(
+        _srq_recipe(), qsvs)
+    # The whole materialization must lower to valid instructions.
+    instruction_generator.TransformationInstructionsGenerator(
+        graph).quant_params_to_transformation_insts(params)
+
+    sg = graph.subgraphs[0]
+    op = next(o for o in sg.ops if o.opcode == opcode)
+    t_in = [sg.tensors[t] for t in op.inputs if t >= 0]
+    t_out = [sg.tensors[t] for t in op.outputs]
+    return spec, params, op, t_in, t_out
+
+  @pytest.mark.parametrize('opcode', sorted(
+      set(__import__('sys').path and []) |
+      {'RESHAPE', 'TRANSPOSE', 'AVERAGE_POOL_2D', 'MAX_POOL_2D', 'SLICE',
+       'STRIDED_SLICE', 'PAD', 'MIRROR_PAD', 'SPACE_TO_DEPTH', 'GATHER',
+       'GATHER_ND', 'UNPACK', 'BROADCAST_TO', 'REDUCE_MIN', 'SPLIT',
+       'RESIZE_BILINEAR', 'RESIZE_NEAREST_NEIGHBOR'}))
+  def test_same_as_input_scale(self, opcode):
+    spec, params, op, t_in, t_out = self._sweep_case(opcode)
+    assert spec.constraint == _op_constraint().SAME_AS_INPUT_SCALE
+    src = t_in[0] if 0 not in spec.inputs_to_ignore else t_in[
+        [i for i in range(len(t_in)) if i not in spec.inputs_to_ignore][0]]
+    in_p = self._params_of(params[src.name])
+    assert in_p is not None, f'{opcode}: input has no quant params'
+    for t in t_out:
+      out_p = params[t.name].producer.parameters
+      np.testing.assert_array_equal(
+          in_p.scale, out_p.scale,
+          err_msg=f'{opcode}: output scale != input scale')
+      np.testing.assert_array_equal(in_p.zero_point, out_p.zero_point)
+
+  @pytest.mark.parametrize('opcode', sorted(
+      {'CONCATENATION', 'PACK', 'SELECT', 'SELECT_V2', 'MAXIMUM',
+       'DYNAMIC_UPDATE_SLICE', 'PADV2'}))
+  def test_same_as_output_scale(self, opcode):
+    spec, params, op, t_in, t_out = self._sweep_case(opcode)
+    assert spec.constraint == _op_constraint().SAME_AS_OUTPUT_SCALE
+    out_p = params[t_out[0].name].producer.parameters
+    for i, t in enumerate(t_in):
+      if i in spec.inputs_to_ignore or t.dtype != 'float32':
+        continue
+      edges = [c.parameters for c in params[t.name].consumers or []
+               if c.parameters is not None]
+      assert edges, f'{opcode}: input {t.name} has no quantized consumer'
+      found = any(np.array_equal(p.scale, out_p.scale) for p in edges)
+      assert found, f'{opcode}: no input edge carries the output scale'
+
+  @pytest.mark.parametrize('opcode,scale,zp', [
+      ('SOFTMAX', 1.0 / 256.0, -128),
+      ('LOGISTIC', 1.0 / 256.0, -128),
+      ('TANH', 1.0 / 128.0, 0),
+  ])
+  def test_fixed_output_scale(self, opcode, scale, zp):
+    spec, params, op, t_in, t_out = self._sweep_case(opcode)
+    assert spec.kind == 'fixed_output'
+    out_p = params[t_out[0].name].producer.parameters
+    np.testing.assert_allclose(np.asarray(out_p.scale).reshape(()), scale,
+                               rtol=1e-7)
+    assert int(np.asarray(out_p.zero_point).reshape(())) == zp
+
+  @pytest.mark.parametrize('opcode', sorted(
+      {'ADD', 'SUB', 'MUL', 'DIV', 'MEAN', 'GELU', 'RELU', 'HARD_SWISH',
+       'SQUARED_DIFFERENCE', 'RSQRT', 'SQRT', 'SUM', 'BATCH_MATMUL',
+       'EMBEDDING_LOOKUP', 'CONV_2D', 'DEPTHWISE_CONV_2D'}))
+  def test_materializes_and_lowers(self, opcode):
+    """No-constraint / weighted ops: params generate, instructions valid,
+    every output carries quant params under SRQ."""
+    spec, params, op, t_in, t_out = self._sweep_case(opcode)
+    for t in t_out:
+      if t.dtype != 'float32':
+        continue
+      assert params[t.name].producer is not None, \
+          f'{opcode}: output {t.name} has no producer params'
+
+  @pytest.mark.parametrize('opcode', ['CONV_2D', 'DEPTHWISE_CONV_2D'])
+  def test_weighted_ops_quantize_weights_and_bias(self, opcode):
+    spec, params, op, t_in, t_out = self._sweep_case(opcode)
+    assert spec.kind == 'fc_conv'
+    w = t_in[spec.weight_index]
+    w_edges = _consumer_trans(params, w.name)
+    assert [_QT.QUANTIZE_TENSOR] in w_edges, f'{opcode}: weight not packed'
+    if len(t_in) > spec.bias_index:
+      b = t_in[spec.bias_index]
+      bp = params[b.name].consumers[0].parameters
+      assert bp.num_bits == 32, f'{opcode}: bias not int32'
