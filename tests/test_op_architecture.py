@@ -368,3 +368,60 @@ class TestOpTableSweep:
       b = t_in[spec.bias_index]
       bp = params[b.name].consumers[0].parameters
       assert bp.num_bits == 32, f'{opcode}: bias not int32'
+
+
+class TestModeSweep:
+  """DRQ / weight-only mode structure across the op zoo."""
+
+  @pytest.mark.parametrize('opcode', ['CONV_2D', 'DEPTHWISE_CONV_2D',
+                                      'EMBEDDING_LOOKUP'])
+  def test_weight_only_add_dequantize(self, opcode):
+    import sys
+    sys.path.insert(0, 'tests')
+    import test_e2e_per_op as e2e
+    from ai_edge_quantizer_tpu.algorithms.uniform import op_library
+    graph = e2e._BUILDERS[opcode]()
+    mgr = rm.RecipeManager()
+    mgr.add_weight_only_config('.*', qtyping.OpName(opcode), 8)
+    params = ParamsGenerator(graph).generate_quantization_parameters(mgr)
+    sg = graph.subgraphs[0]
+    op = next(o for o in sg.ops if o.opcode == opcode)
+    spec = op_library.OP_SPECS[qtyping.OpName(opcode)]
+    w_name = sg.tensors[op.inputs[spec.weight_index]].name
+    assert [_QT.ADD_DEQUANTIZE] in _consumer_trans(params, w_name), (
+        opcode, _consumer_trans(params, w_name))
+
+  @pytest.mark.parametrize('opcode', sorted(
+      {'ADD', 'MUL', 'RESHAPE', 'CONCATENATION', 'SOFTMAX', 'MAX_POOL_2D',
+       'GELU', 'TRANSPOSE', 'SLICE'}))
+  def test_dynamic_config_silently_skips_non_weight_ops(self, opcode):
+    """Reference gotcha: unsupported (op, config) pairs are silently
+    skipped at lookup — a DRQ-only recipe leaves non-weight ops float
+    (ref recipe_manager.py:191-198)."""
+    import sys
+    sys.path.insert(0, 'tests')
+    import test_e2e_per_op as e2e
+    graph = e2e._BUILDERS[opcode]()
+    mgr = rm.RecipeManager()
+    mgr.add_dynamic_config('.*', qtyping.OpName.ALL_SUPPORTED, 8)
+    params = ParamsGenerator(graph).generate_quantization_parameters(mgr)
+    sg = graph.subgraphs[0]
+    op = next(o for o in sg.ops if o.opcode == opcode)
+    for tid in list(op.inputs) + list(op.outputs):
+      if tid < 0 or sg.tensors[tid].dtype != 'float32':
+        continue
+      name = sg.tensors[tid].name
+      entry = params.get(name)
+      if entry is None:
+        continue
+      for c in entry.consumers or []:
+        if c.transformations not in ([_QT.NO_QUANTIZE],):
+          # quantization may legitimately come from a NEIGHBORING weight
+          # op in the fixture graph; only the op's own weight-free edges
+          # must stay float. Accept QUANTIZE_TENSOR only on const data.
+          t = sg.tensors[tid]
+          is_const = t.buffer >= 0 and \
+              graph.buffers[t.buffer].data is not None
+          assert is_const, (
+              f'{opcode}: non-const edge {name} got {c.transformations} '
+              'from a DRQ-only recipe')
