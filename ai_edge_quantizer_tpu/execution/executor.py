@@ -1296,7 +1296,7 @@ class GraphExecutor:
       starts = env[op.inputs[2]]
       from ai_edge_quantizer_tpu.kernels import pallas_cache
       if (
-          os.environ.get('AEQT_CACHE_WRITE_PALLAS', '1') == '1'
+          os.environ.get('AEQT_CACHE_WRITE_PALLAS', '0') == '1'
           and jax.default_backend() == 'tpu'
           and getattr(update, 'ndim', 0) == operand.ndim
           and pallas_cache.supports(
