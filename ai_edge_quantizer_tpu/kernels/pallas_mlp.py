@@ -93,7 +93,7 @@ def _act_fn(kind: str):
 def _mlp_drq_kernel(ngroups, bf, act, x_ref, wg_ref, wu_ref, sg_ref,
                     su_ref, wd_ref, sd_ref, o_ref, acc_ref, xq_ref,
                     xs_ref):
-  t = pl.program_id(0)
+  t = pl.program_id(1)
   act_f = _act_fn(act)
 
   @pl.when(t == 0)
@@ -149,7 +149,7 @@ def _mlp_drq_kernel(ngroups, bf, act, x_ref, wg_ref, wu_ref, sg_ref,
 def _mlp_bf16_kernel(ngroups, bf, act, x_ref, wg_ref, wu_ref, sg_ref,
                      su_ref, wd_ref, sd_ref, o_ref, acc_ref):
   """Float-compute twin (weight-only numerics; no activation quant)."""
-  t = pl.program_id(0)
+  t = pl.program_id(1)
   act_f = _act_fn(act)
   compute = x_ref.dtype
 
@@ -228,46 +228,56 @@ def mlp_pallas_int4_packed(
   x2 = x.reshape(m, d).astype(compute)
   sublane = 32 if drq else (16 if compute == jnp.bfloat16 else 8)
   m_pad = _round_up(max(m, sublane), sublane)
+  # M-blocked: keep the VMEM-resident x/acc/hidden tiles bounded (an
+  # unblocked M=1024 prefill pass exceeded the 16 MB scoped limit by
+  # 5 MB). bm=256 is the measured decode sweet spot and fits.
+  bm = min(m_pad, 256)
+  m_pad = _round_up(m_pad, bm)
+  m_tiles = m_pad // bm
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
   sgu2 = s_gu.astype(jnp.float32).reshape(1, two_f)
   sd2 = s_d.astype(jnp.float32).reshape(1, d)
   operands = [x2, wgu_packed, wgu_packed, sgu2, sgu2, wd_grouped, sd2]
+  # Grid (m_tiles, ngroups): F-groups iterate innermost, so the per-tile
+  # accumulator/xq scratch persists across a row-tile's F sweep.
   in_specs = [
-      pl.BlockSpec((m_pad, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
       # gate rows [t*bf, (t+1)*bf)
-      pl.BlockSpec((bf, d2), lambda t: (t, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bf, d2), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
       # up rows [F + t*bf, ...): block index ngroups + t
-      pl.BlockSpec((bf, d2), lambda t: (ngroups + t, 0),
+      pl.BlockSpec((bf, d2), lambda i, t: (ngroups + t, 0),
                    memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, bf), lambda t: (0, t), memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, bf), lambda t: (0, ngroups + t),
+      pl.BlockSpec((1, bf), lambda i, t: (0, t), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bf), lambda i, t: (0, ngroups + t),
                    memory_space=pltpu.VMEM),
       # down column group t (grouped packing: contiguous bytes)
-      pl.BlockSpec((d, bf // 2), lambda t: (0, t),
+      pl.BlockSpec((d, bf // 2), lambda i, t: (0, t),
                    memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, d), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
   ]
-  scratch = [pltpu.VMEM((m_pad, d), jnp.float32)]
+  scratch = [pltpu.VMEM((bm, d), jnp.float32)]
   if drq:
     kernel = functools.partial(_mlp_drq_kernel, ngroups, bf, act)
-    scratch += [pltpu.VMEM((m_pad, d), jnp.int8),
-                pltpu.VMEM((m_pad, 1), jnp.float32)]
+    scratch += [pltpu.VMEM((bm, d), jnp.int8),
+                pltpu.VMEM((bm, 1), jnp.float32)]
   else:
     kernel = functools.partial(_mlp_bf16_kernel, ngroups, bf, act)
   flops = 2 * m_pad * f * d * 3
   out = pl.pallas_call(
       kernel,
-      grid=(ngroups,),
+      grid=(m_tiles, ngroups),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, d), lambda t: (0, 0),
+      out_specs=pl.BlockSpec((bm, d), lambda i, t: (i, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, d), compute),
       scratch_shapes=scratch,
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel', 'arbitrary')),
       cost_estimate=pl.CostEstimate(
           flops=flops,
-          bytes_accessed=m_pad * d * 4 + two_f * d2 + d * f // 2,
+          bytes_accessed=m_pad * d * 4 + m_tiles * (two_f * d2 + d * f // 2),
           transcendentals=m_pad * f),
       interpret=interpret,
   )(*operands)

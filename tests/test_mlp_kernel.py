@@ -99,3 +99,23 @@ class TestMlpMegakernel:
         jnp.asarray(x), wg, wu, wd, jnp.asarray(sg), jnp.asarray(su),
         jnp.asarray(sd), act='silu'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  def test_m_blocked_large_batch_matches_reference(self):
+    """M > 256 takes the multi-row-tile grid (prefill shapes: an
+    unblocked M=1024 pass exceeded the 16 MB Mosaic VMEM limit)."""
+    rng = np.random.default_rng(11)
+    m, d, f = 600, 256, 512  # m deliberately not a multiple of bm
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    wg = jnp.asarray(rng.integers(-7, 8, (f, d)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-7, 8, (f, d)), jnp.int8)
+    wd = jnp.asarray(rng.integers(-7, 8, (d, f)), jnp.int8)
+    sg = jnp.asarray(rng.random(f) * 0.01 + 0.001, jnp.float32)
+    su = jnp.asarray(rng.random(f) * 0.01 + 0.001, jnp.float32)
+    sd = jnp.asarray(rng.random(d) * 0.01 + 0.001, jnp.float32)
+    packed_gu = pallas_qmatmul.pack_int4_split(jnp.concatenate([wg, wu]))
+    grouped_d = pallas_mlp.pack_int4_split_grouped(wd, 256)
+    got = np.asarray(pallas_mlp.mlp_pallas_int4_packed(
+        x, packed_gu, jnp.concatenate([sg, su]), grouped_d, sd,
+        drq=False, bf=256, interpret=True))
+    want = np.asarray(pallas_mlp.mlp_reference(x, wg, wu, wd, sg, su, sd))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
