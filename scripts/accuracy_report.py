@@ -35,25 +35,24 @@ def _row(name, measured, threshold, kind):
         f'{"OK" if ok else "FAIL"}', flush=True)
 
 
-def _summarize(qt):
-  comparison = qt.validate(num_samples=4, error_metrics='mse')
+def _metrics(comparison):
+  """(size_reduction_fraction, max weight MSE, max output MSE)."""
   sig = comparison.available_signature_keys()[0]
   res = comparison.get_signature_comparison_result(sig)
   _, size_frac = comparison.get_model_size_reduction()
   w_err = max(res.constant_tensors.values()) if res.constant_tensors else 0.0
   o_err = max(res.output_tensors.values()) if res.output_tensors else 0.0
   return size_frac, w_err, o_err
+
+
+def _summarize(qt):
+  return _metrics(qt.validate(num_samples=4, error_metrics='mse'))
 
 
 def _run(model, recipe):
   _, comparison = test_utils.BaseOpTestCase.quantize_and_validate(
       model, recipe)
-  sig = comparison.available_signature_keys()[0]
-  res = comparison.get_signature_comparison_result(sig)
-  _, size_frac = comparison.get_model_size_reduction()
-  w_err = max(res.constant_tensors.values()) if res.constant_tensors else 0.0
-  o_err = max(res.output_tensors.values()) if res.output_tensors else 0.0
-  return size_frac, w_err, o_err
+  return _metrics(comparison)
 
 
 def _run_algorithm(model, algorithm_key, num_bits, weight_only=False):
@@ -129,9 +128,7 @@ def main():
   qt.quantize(qt.calibrate({'serving_default': data}))
   comparison = qt.validate(test_data={'serving_default': data[:4]},
                            error_metrics='mse')
-  res = comparison.get_signature_comparison_result(
-      comparison.available_signature_keys()[0])
-  oerr = max(res.output_tensors.values())
+  _, _, oerr = _metrics(comparison)
   _row('static a8w8 elementwise ADD: output MSE', oerr, 1e-4, '<')
 
   # Reference row is a single conv op, channelwise weights

@@ -33,13 +33,13 @@ def main():
   log(f'prefill bench: B={batch} T={t_len} layers={cfg.num_layers} '
       f'dim={cfg.embed_dim} backend={jax.default_backend()}')
 
+  fused = os.environ.get('AEQT_BENCH_FUSED_PROJ', '1') == '1'
   graph = gemma.build_decoder(
       cfg, batch=batch, prefill_len=t_len, signatures=('prefill',),
-      materialize_weights=False,
-      fused_projections=os.environ.get('AEQT_BENCH_FUSED_PROJ', '1') == '1')
+      materialize_weights=False, fused_projections=fused)
   gemma.stamp_int8_kv_cache(graph)
   t0 = time.time()
-  cache_path = f'/tmp/aeqt_prefill_weights_lite_f1.npz'
+  cache_path = f'/tmp/aeqt_prefill_weights_lite_f{int(fused)}.npz'
   weights = None
   if os.path.exists(cache_path):
     try:

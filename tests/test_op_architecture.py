@@ -295,7 +295,6 @@ class TestOpTableSweep:
     return spec, params, op, t_in, t_out
 
   @pytest.mark.parametrize('opcode', sorted(
-      set(__import__('sys').path and []) |
       {'RESHAPE', 'TRANSPOSE', 'AVERAGE_POOL_2D', 'MAX_POOL_2D', 'SLICE',
        'STRIDED_SLICE', 'PAD', 'MIRROR_PAD', 'SPACE_TO_DEPTH', 'GATHER',
        'GATHER_ND', 'UNPACK', 'BROADCAST_TO', 'REDUCE_MIN', 'SPLIT',
