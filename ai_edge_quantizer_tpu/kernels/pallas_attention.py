@@ -520,6 +520,159 @@ def decode_attention_int8_lengths(
   return out.reshape(b, nk, g, h)
 
 
+def _ctx_prefix_len_cur(compute, q, k, v, k_cur, v_cur, length_stale,
+                        scales_ref):
+  """Prefix-length context PLUS one current-token column -> [G, H] f32.
+
+  Exactly softmax over [cache rows < length_stale, current token]: the
+  math of attention over a cache whose row `pos` was just written with
+  (k_cur, v_cur) and lengths = length_stale + 1, but WITHOUT reading the
+  written row — the caller feeds the stale (pre-write) cache, so the
+  cache write leaves the attention critical path. f32/bf16 compute.
+  """
+  g, h = q.shape
+  s = k.shape[0]
+  k_scale = scales_ref[0, 0]
+  v_scale = scales_ref[0, 1]
+  zp_k = scales_ref[0, 2]
+  zp_v = scales_ref[0, 3]
+  pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+  if compute == 'bf16':
+    kd = k.astype(jnp.bfloat16)
+    kcd = k_cur.astype(jnp.bfloat16)
+    qd = q.astype(jnp.bfloat16)
+  else:
+    kd = k.astype(jnp.float32)
+    kcd = k_cur.astype(jnp.float32)
+    qd = q
+  q_sum = jnp.sum(q, axis=1, keepdims=True)
+  scores = jax.lax.dot_general(
+      qd, kd, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  scores = (scores - zp_k * q_sum) * (k_scale / (h ** 0.5))
+  scores = jnp.where(pos < length_stale, scores, -1e30)
+  s_cur = jax.lax.dot_general(
+      qd, kcd, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)  # [G, 1]
+  s_cur = (s_cur - zp_k * q_sum) * (k_scale / (h ** 0.5))
+  m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_cur)
+  p = jnp.exp(scores - m)
+  p_cur = jnp.exp(s_cur - m)
+  denom = jnp.sum(p, axis=1, keepdims=True) + p_cur
+  probs = p / denom
+  probs_cur = p_cur / denom
+  if compute == 'bf16':
+    # Match the lengths twin's order: normalize in f32, THEN cast the
+    # probabilities to bf16 for the value contraction.
+    pv = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pv_cur = (probs_cur.astype(jnp.bfloat16).astype(jnp.float32)
+              * v_cur.astype(jnp.float32).reshape(1, h))
+  else:
+    pv = jax.lax.dot_general(
+        probs, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pv_cur = probs_cur * v_cur.astype(jnp.float32).reshape(1, h)
+  ctx = pv + pv_cur
+  return (ctx - zp_v) * v_scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
+                              'compute', 'batch_block', 'out_dtype'))
+def decode_attention_int8_lengths_stale(
+    q: jax.Array,
+    k_cache_stale: jax.Array,
+    v_cache_stale: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    k_new_q: jax.Array,
+    v_new_q: jax.Array,
+    k_zero_point: float = 0.0,
+    v_zero_point: float = 0.0,
+    compute: str = 'f32',
+    batch_block: int = 4,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+  """Decode attention over the PRE-WRITE cache + inline current token.
+
+  Numerically the attention of `decode_attention_int8_lengths` over the
+  cache with row (lengths-1) updated to (k_new_q, v_new_q) — but the
+  kernel never reads the written row, so the per-layer cache DUS no
+  longer gates the attention's cache DMA (the write ran ~64 us/layer of
+  pipeline stall when the attention consumed its output: skipping half
+  the writes saved 1.15 ms/step at the bench shape). `lengths` counts
+  the current token, exactly like the mask-derived lengths.
+  """
+  b, nk, g, h = q.shape
+  s = k_cache_stale.shape[2]
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  while bb > 1 and 2 * (2 * bb * s * h) + 8 * s * h > 14 * 2**20:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_cache_stale.reshape(bn_rows, s, h)
+  v2 = v_cache_stale.reshape(bn_rows, s, h)
+  kn = k_new_q.reshape(bn_rows, 1, h)
+  vn = v_new_q.reshape(bn_rows, 1, h)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
+  scales = jnp.stack(
+      [jnp.asarray(k_scale, jnp.float32).reshape(()),
+       jnp.asarray(v_scale, jnp.float32).reshape(()),
+       jnp.asarray(k_zero_point, jnp.float32).reshape(()),
+       jnp.asarray(v_zero_point, jnp.float32).reshape(())]).reshape(1, 4)
+
+  def kernel(lens_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, scales_ref,
+             o_ref):
+    row0 = pl.program_id(0) * bb
+    for row in range(bb):
+      ctx = _ctx_prefix_len_cur(
+          compute, q_ref[row], k_ref[row], v_ref[row], kn_ref[row],
+          vn_ref[row], lens_ref[row0 + row] - 1, scales_ref)
+      o_ref[row] = ctx.astype(o_ref.dtype)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(bn_rows // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, 1, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, 1, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4), lambda i, lens_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+  )
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), out_dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * bn_rows * g * s * h,
+          bytes_accessed=2 * bn_rows * s * h,
+          transcendentals=bn_rows * g * s),
+      interpret=interpret,
+  )(lens, q2, k2, v2, kn, vn, scales)
+  return out.reshape(b, nk, g, h)
+
+
 @functools.partial(
     jax.jit, static_argnames=('interpret', 'k_zero_point', 'v_zero_point',
                               'compute', 'batch_block', 'out_dtype'))

@@ -522,3 +522,53 @@ class TestWritebackAttention:
       else:
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
                                    err_msg=out_name)
+
+  @pytest.mark.parametrize('pos', [0, 31, 100, 255])
+  @pytest.mark.parametrize('compute', ['f32', 'bf16'])
+  def test_stale_mode_matches_dus_plus_lengths(self, pos, compute):
+    """Stale-cache + inline current column == DUS + lengths attention
+    (same softmax membership; fp reassociation only)."""
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kq, vq, kn, vn, lengths = self._case(pos=pos)
+    got = np.asarray(pa.decode_attention_int8_lengths_stale(
+        q, kq, vq, 0.05, 0.02, jnp.asarray(lengths), kn, vn,
+        k_zero_point=1.5, v_zero_point=-0.5, compute=compute,
+        batch_block=4, interpret=True))
+    starts = (0, 0, pos, 0)
+    k_ref = jax.lax.dynamic_update_slice(jnp.asarray(kq), jnp.asarray(kn),
+                                         starts)
+    v_ref = jax.lax.dynamic_update_slice(jnp.asarray(vq), jnp.asarray(vn),
+                                         starts)
+    want = np.asarray(pa.decode_attention_int8_lengths(
+        q, k_ref, v_ref, 0.05, 0.02, jnp.asarray(lengths),
+        k_zero_point=1.5, v_zero_point=-0.5, compute=compute,
+        batch_block=4, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+  def test_executor_stale_mode_matches_unfused(self, monkeypatch):
+    """Executor stale-mode wiring (CPU: falls back to XLA DUS path, but
+    the matcher + skip + carry-write structure is exercised)."""
+    monkeypatch.setenv('AEQT_ATTN_LENGTHS', '1')
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK', '1')
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK_MODE', 'stale')
+    from ai_edge_quantizer_tpu.models import gemma
+    from ai_edge_quantizer_tpu import Quantizer
+    from ai_edge_quantizer_tpu.execution.executor import GraphExecutor
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_decoder(cfg, batch=2, prefill_len=8,
+                            signatures=('decode',))
+    gemma.stamp_int8_kv_cache(g)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    qg = qt.quantize().quantized_model
+    inputs = gemma.make_inputs(cfg, 'decode', 2, 1, start_pos=5)
+    out1 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    monkeypatch.setenv('AEQT_ATTN_WRITEBACK', '0')
+    out2 = GraphExecutor(qg).signature_runner('decode')(inputs)
+    for name in out2:
+      a, b = np.asarray(out1[name]), np.asarray(out2[name])
+      if a.dtype == np.int8:
+        np.testing.assert_array_equal(a, b, err_msg=name)
+      else:
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
