@@ -1405,9 +1405,7 @@ class GraphExecutor:
           and q_val.shape[2] < 32  # decode-shaped only
           and h_wb % 128 == 0
       )
-      if (wb_common and wb_mode == 'stale'
-          and os.environ.get('AEQT_ATTN_COMPUTE', 'f32') != 'int8'
-          and s_wb % 128 == 0):
+      if wb_common and wb_mode == 'stale' and s_wb % 128 == 0:
         # Stale-cache mode: attention reads the PRE-WRITE cache plus the
         # new row as an inline softmax column (exact numerics), and the
         # cache DUS runs OFF the attention critical path — writes gating

@@ -537,6 +537,40 @@ def _ctx_prefix_len_cur(compute, q, k, v, k_cur, v_cur, length_stale,
   zp_k = scales_ref[0, 2]
   zp_v = scales_ref[0, 3]
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+  if compute == 'int8':
+    # Integer path: per-row q quantization; both dots int8 x int8 on the
+    # MXU. Integer adds are associative, so the inline current column is
+    # EXACTLY the splice twin's result.
+    q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+    q_scale = jnp.maximum(q_absmax, 1e-9) * (1.0 / 127.0)
+    q_q = jnp.round(q / q_scale).astype(jnp.int8)
+    qf_sum = jnp.sum(q_q.astype(jnp.float32) * q_scale, axis=1,
+                     keepdims=True)
+    scores = jax.lax.dot_general(
+        q_q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * q_scale
+    scores = (scores - zp_k * qf_sum) * (k_scale / (h ** 0.5))
+    scores = jnp.where(pos < length_stale, scores, -1e30)
+    s_cur = jax.lax.dot_general(
+        q_q, k_cur, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * q_scale
+    s_cur = (s_cur - zp_k * qf_sum) * (k_scale / (h ** 0.5))
+    m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_cur)
+    p = jnp.exp(scores - m)
+    p_cur = jnp.exp(s_cur - m)
+    denom = jnp.sum(p, axis=1, keepdims=True) + p_cur
+    p_q = jnp.round(p / denom * 127.0).astype(jnp.int8)
+    p_cur_q = jnp.round(p_cur / denom * 127.0).astype(jnp.int8)
+    ctx_acc = jax.lax.dot_general(
+        p_q, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    ctx_acc += (p_cur_q.astype(jnp.int32)
+                * v_cur.astype(jnp.int32).reshape(1, h))
+    p_sum = jnp.maximum(
+        jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
+        + p_cur_q.astype(jnp.float32), 1.0)
+    ctx = ctx_acc.astype(jnp.float32) / p_sum
+    return (ctx - zp_v) * v_scale
   if compute == 'bf16':
     kd = k.astype(jnp.bfloat16)
     kcd = k_cur.astype(jnp.bfloat16)

@@ -524,7 +524,7 @@ class TestWritebackAttention:
                                    err_msg=out_name)
 
   @pytest.mark.parametrize('pos', [0, 31, 100, 255])
-  @pytest.mark.parametrize('compute', ['f32', 'bf16'])
+  @pytest.mark.parametrize('compute', ['f32', 'bf16', 'int8'])
   def test_stale_mode_matches_dus_plus_lengths(self, pos, compute):
     """Stale-cache + inline current column == DUS + lengths attention
     (same softmax membership; fp reassociation only)."""
