@@ -424,3 +424,45 @@ class TestModeSweep:
           assert is_const, (
               f'{opcode}: non-const edge {name} got {c.transformations} '
               'from a DRQ-only recipe')
+
+
+class TestSumWideBitConstraint:
+  """SUM: the 8-bit kernel has no input/output scale tie; 16-bit acts
+  get SAME_AS_INPUT (ref common_quantize.py:500-525)."""
+
+  def _params(self, act_bits, act_sym):
+    import sys
+    sys.path.insert(0, 'tests')
+    import test_e2e_per_op as e2e
+    graph = e2e._BUILDERS['SUM']()
+    mgr = rm.RecipeManager()
+    mgr.add_quantization_config(
+        '.*', qtyping.OpName.ALL_SUPPORTED,
+        qtyping.OpQuantizationConfig(
+            activation_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=act_bits, symmetric=act_sym,
+                granularity=_G.TENSORWISE),
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=8, symmetric=True, granularity=_G.CHANNELWISE),
+            compute_precision=qtyping.ComputePrecision.INTEGER))
+    qsvs = TestOpTableSweep._distinct_qsvs(graph)
+    params = ParamsGenerator(graph).generate_quantization_parameters(
+        mgr, qsvs)
+    sg = graph.subgraphs[0]
+    op = next(o for o in sg.ops if o.opcode == 'SUM')
+    return params, sg, op
+
+  def test_8bit_no_scale_tie(self):
+    params, sg, op = self._params(8, False)
+    in_p = params[sg.tensors[op.inputs[0]].name].consumers[0].parameters
+    out_p = params[sg.tensors[op.outputs[0]].name].producer.parameters
+    assert not np.array_equal(np.asarray(in_p.scale),
+                              np.asarray(out_p.scale)), (
+        'distinct QSV ranges must give distinct scales at 8 bit')
+
+  def test_16bit_same_as_input(self):
+    params, sg, op = self._params(16, True)
+    in_p = params[sg.tensors[op.inputs[0]].name].consumers[0].parameters
+    out_p = params[sg.tensors[op.outputs[0]].name].producer.parameters
+    np.testing.assert_array_equal(np.asarray(in_p.scale),
+                                  np.asarray(out_p.scale))
