@@ -356,6 +356,7 @@ def _supervise() -> int:
       ({'AEQT_BENCH_PACKED': '0'}, 1200),             # skip pallas kernels
       ({'AEQT_BENCH_PRESET': 'toy', 'AEQT_BENCH_BATCH': '4'}, 600),
   ]
+  dead_tunnel_strikes = 0
   for overrides, timeout_s in attempts:
     env = dict(os.environ)
     env['AEQT_BENCH_CHILD'] = '1'
@@ -364,9 +365,10 @@ def _supervise() -> int:
     log(f'supervisor: attempt {label} (deadline {timeout_s}s)')
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)], env=env,
-        stdout=subprocess.PIPE, start_new_session=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        start_new_session=True)
     try:
-      stdout, _ = proc.communicate(timeout=timeout_s)
+      stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
       log('supervisor: attempt timed out; killing child process group')
       import signal as _signal
@@ -374,10 +376,22 @@ def _supervise() -> int:
         os.killpg(proc.pid, _signal.SIGKILL)
       except ProcessLookupError:
         pass
-      proc.wait()
+      stdout, stderr = proc.communicate()
+      # A child that never printed its banner hung at TPU backend init —
+      # the tunnel is in a dead phase (observed >3 h). Two consecutive
+      # such attempts end the run instead of burning every deadline.
+      if b'bench:' not in (stderr or b''):
+        dead_tunnel_strikes += 1
+        log(f'supervisor: no banner before deadline (backend-init hang '
+            f'{dead_tunnel_strikes}/2)')
+        if dead_tunnel_strikes >= 2:
+          log('supervisor: tunnel looks dead; giving up early')
+          break
       continue
-    proc.stdout_bytes = stdout
-    out = proc.stdout_bytes.decode(errors='replace')
+    dead_tunnel_strikes = 0
+    sys.stderr.buffer.write(stderr or b'')
+    sys.stderr.flush()
+    out = (stdout or b'').decode(errors='replace')
     json_lines = [ln for ln in out.splitlines() if ln.startswith('{')]
     if json_lines:
       print(json_lines[-1])
