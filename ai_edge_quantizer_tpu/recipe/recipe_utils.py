@@ -56,10 +56,13 @@ def resolve_recipe(name_or_path_or_list: Union[str, list]) -> list:
         # A mapping file: its 'default' recipe acts as the plain recipe.
         return resolve_recipe(loaded.get('default', []))
       return loaded
-  # 3. filesystem path.
+  # 3. filesystem path (same mapping-file handling as the stem branch).
   if os.path.exists(spec):
     with open(spec) as f:
-      return json.load(f)
+      loaded = json.load(f)
+    if isinstance(loaded, dict):
+      return resolve_recipe(loaded.get('default', []))
+    return loaded
   raise ValueError(
       f'Unknown recipe {spec!r}: not a preset '
       f'({sorted(recipe_presets.NAMED_RECIPES)[:12]}...), stock recipe '

@@ -201,3 +201,47 @@ class TestPolicyExamples:
     for op, cfgs in default_policy.DEFAULT_CONFIG_CHECK_POLICY.items():
       for cfg in cfgs:
         assert cfg in merged[op]
+
+
+class TestEveryPresetRoundTrips:
+  """Every named preset and stock recipe JSON must load into the
+  manager, round-trip through to_dict/from_dict, and re-resolve to the
+  same recipe — the compatibility surface with reference recipes."""
+
+  def test_named_presets(self):
+    from ai_edge_quantizer_tpu.recipe import recipe as presets
+    from ai_edge_quantizer_tpu.recipe import recipe_utils
+    from ai_edge_quantizer_tpu.recipe.recipe_manager import RecipeManager
+    assert len(presets.NAMED_RECIPES) >= 15
+    for name in sorted(presets.NAMED_RECIPES):
+      recipe = recipe_utils.resolve_recipe(name)
+      mgr = RecipeManager()
+      mgr.load_quantization_recipe(recipe)
+      dumped = mgr.get_quantization_recipe()
+      mgr2 = RecipeManager()
+      mgr2.load_quantization_recipe(dumped)
+      assert mgr2.get_quantization_recipe() == dumped, name
+
+  def test_stock_recipe_files(self):
+    import glob
+    import json
+    import os
+    from ai_edge_quantizer_tpu.recipe import recipe_utils
+    from ai_edge_quantizer_tpu.recipe.recipe_manager import RecipeManager
+    base = os.path.join(
+        os.path.dirname(recipe_utils.__file__), 'recipes')
+    files = sorted(glob.glob(os.path.join(base, '*.json')))
+    assert len(files) >= 10
+    for path in files:
+      recipe = recipe_utils.resolve_recipe(path)
+      mgr = RecipeManager()
+      mgr.load_quantization_recipe(recipe)
+      dumped = mgr.get_quantization_recipe()
+      assert json.dumps(dumped), path
+
+  def test_litertlm_mappings(self):
+    from ai_edge_quantizer_tpu.recipe import recipe as presets
+    from ai_edge_quantizer_tpu.recipe import recipe_utils
+    for name in sorted(presets.LITERTLM_RECIPE_MAPPINGS):
+      mapping = recipe_utils.resolve_recipe_mapping(name)
+      assert 'default' in mapping, name
