@@ -75,6 +75,63 @@ def bench_mobilenet():
   }))
 
 
+def bench_encoder():
+  """Secondary metric: BERT-base-class encoder int8 static (a8w8) seqs/s."""
+  import functools
+  import jax
+  if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+  import jax.numpy as jnp
+  import numpy as np
+
+  from ai_edge_quantizer_tpu import Quantizer
+  from ai_edge_quantizer_tpu.execution import executor as executor_lib
+  from ai_edge_quantizer_tpu.models import encoder
+  from ai_edge_quantizer_tpu.utils import test_data as tdl
+
+  batch = int(os.environ.get('AEQT_BENCH_BATCH', '32'))
+  steps = int(os.environ.get('AEQT_BENCH_STEPS', '16'))
+  cfg = encoder.BERT_BASE_LITE
+  g = encoder.build_encoder(cfg, batch=batch)
+  qt = Quantizer(g, 'default_a8w8')
+  cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=4),
+                    calibration_mode=os.environ.get(
+                        'AEQT_BENCH_CALIB_MODE', 'device_stats'))
+  quantized = qt.quantize(cr).quantized_model
+  ex = executor_lib.GraphExecutor(quantized)
+  sig = quantized.signatures[0]
+  fn = jax.jit(functools.partial(
+      ex._run_signature, sig.subgraph_index, sig.signature_key, False))
+  inputs = {k: jax.device_put(v)
+            for k, v in encoder.make_inputs(cfg, batch).items()}
+
+  def sync(o):
+    # SRQ outputs come back as raw int8 (zp -128 for the softmax head), so
+    # checksum the pooled tanh output, whose quantized values are nonzero.
+    return float(jnp.sum(jnp.abs(o['pooled'].astype(jnp.float32))))
+
+  sync(fn(ex._weights, inputs))
+  t0 = time.time()
+  sync(fn(ex._weights, inputs))
+  fetch_cost = time.time() - t0
+  t0 = time.time()
+  for _ in range(steps):
+    out = fn(ex._weights, inputs)
+  checksum = sync(out)
+  elapsed = max(time.time() - t0 - fetch_cost, 1e-9)
+  if not np.isfinite(checksum) or checksum == 0.0:
+    raise RuntimeError('encoder produced degenerate outputs')
+  seqs_s = batch * steps / elapsed
+  log(f'encoder int8 (T={cfg.seq_len}): {seqs_s:.1f} seqs/s '
+      f'({seqs_s * cfg.seq_len:.0f} tokens/s)')
+  print(json.dumps({
+      'metric': 'bert_base_lite_int8_a8w8_seqs_per_s',
+      'value': round(seqs_s, 2),
+      'unit': 'seqs/s',
+      'vs_baseline': 1.0,  # reference publishes no TPU numbers (BASELINE.md)
+  }))
+
+
 def main():
   import jax
   # The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly.
@@ -107,6 +164,9 @@ def main():
 
   if preset == 'mobilenet':
     bench_mobilenet()
+    return
+  if preset == 'encoder':
+    bench_encoder()
     return
   if preset == 'toy':
     cfg = gemma.TOY_DECODER
