@@ -666,8 +666,13 @@ def qmatmul_pallas(
   for d in lead_shape:
     m *= d
   x2 = x.reshape(m, k).astype(jnp.float32)
-  # Pad rows to the f32 sublane multiple.
+  # Pad rows to the f32 sublane multiple, then M-block: decode shapes
+  # (m <= bm) keep the whole batch resident, while prefill/encoder shapes
+  # (batch*seq in the thousands) stream row tiles so the f32 x block stays
+  # inside Mosaic's 16 MB scoped VMEM.
   m_pad = _round_up(max(m, 8), 8)
+  bm = min(m_pad, 256)
+  m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = _pick_tile(n, bn)
@@ -677,23 +682,24 @@ def qmatmul_pallas(
   if block_size > 0:
     nblocks = k // block_size
     kernel = functools.partial(_blockwise_kernel, nblocks)
-    s_spec = pl.BlockSpec((bn, nblocks), lambda i: (i, 0),
+    s_spec = pl.BlockSpec((bn, nblocks), lambda i, j: (j, 0),
                           memory_space=pltpu.VMEM)
     scale = scale.reshape(n, nblocks)
   else:
     kernel = _channelwise_kernel
-    s_spec = pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
     scale = scale.reshape(1, n)
 
   in_specs = [
-      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
       s_spec,
   ]
   operands = [x2, w_q, scale]
   if has_bias:
     in_specs.append(
-        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM))
     operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = kernel
   else:
@@ -705,9 +711,9 @@ def qmatmul_pallas(
       m_pad * k * 4 + n * k * w_q.dtype.itemsize + m_pad * n * 4)
   out = pl.pallas_call(
       body,
-      grid=(n // bn,),
+      grid=(m_pad // bm, n // bn),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
       cost_estimate=pl.CostEstimate(

@@ -71,6 +71,34 @@ class TestPallasKernel:
         jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale)))
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
 
+  def test_large_m_row_tiled(self):
+    """M >> bm (encoder/prefill shapes): the row-tiled grid must agree
+    with the XLA twin; the pre-fix whole-M x block OOM'd Mosaic's 16 MB
+    scoped VMEM on TPU at M=16384."""
+    rng = np.random.default_rng(11)
+    m, n, k = 1024, 256, 128  # m spans 4 row tiles at bm=256
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, n, k)
+    y = pallas_qmatmul.qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        interpret=True)
+    expected = np.asarray(qmatmul.qmatmul_ref(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale)))
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+
+  def test_large_m_non_multiple_of_tile(self):
+    rng = np.random.default_rng(12)
+    m, n, k = 300, 256, 128  # pads to 2 row tiles, slices back to 300
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w_q, scale = _quantized_weight(rng, n, k)
+    y = pallas_qmatmul.qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+        interpret=True)
+    expected = np.asarray(qmatmul.qmatmul_ref(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale)))
+    assert y.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+
   def test_with_bias_and_3d_input(self):
     rng = np.random.default_rng(4)
     x = rng.normal(size=(2, 3, 256)).astype(np.float32)
