@@ -154,19 +154,24 @@ def qmatmul_pallas_int4_packed(
   compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
   x2 = x.reshape(m, k).astype(compute)
   sublane = 16 if compute == jnp.bfloat16 else 8
+  # M-block like qmatmul_pallas: decode (m <= bm) keeps one resident row
+  # tile; prefill/encoder shapes stream row tiles within the VMEM limit.
   m_pad = _round_up(max(m, sublane), sublane)
+  bm = min(m_pad, 256)
+  m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = _pick_tile(n, bn)
   operands = [x2, w_packed, scale.astype(jnp.float32).reshape(1, n)]
   in_specs = [
-      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
   ]
   if bias is not None:
     in_specs.append(
-        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM))
     operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = _int4_channelwise_kernel
   else:
@@ -174,9 +179,9 @@ def qmatmul_pallas_int4_packed(
         x_ref, w_ref, s_ref, None, o_ref)
   out = pl.pallas_call(
       body,
-      grid=(n // bn,),
+      grid=(m_pad // bm, n // bn),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
       cost_estimate=pl.CostEstimate(
@@ -452,11 +457,12 @@ def _int8_drq_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xq_ref, xs_ref):
   """o[M, BN] = int8(x) . w[BN, K]^T as an int8 x int8 MXU matmul.
 
   Activations quantize per ROW inside the kernel (dynamic range), once on
-  the first N-tile; the int8 product accumulates in int32 — 2x the MXU
-  rate of the f32 path and half its VMEM traffic. Rescale by
-  act_scale[M] * weight_scale[BN].
+  the first N-tile of each M-tile (the N axis is the minor grid dim, so
+  the scratch persists across the row tile's N sweep); the int8 product
+  accumulates in int32 — 2x the MXU rate of the f32 path and half its
+  VMEM traffic. Rescale by act_scale[M] * weight_scale[BN].
   """
-  @pl.when(pl.program_id(0) == 0)
+  @pl.when(pl.program_id(1) == 0)
   def _():
     x = x_ref[:].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
@@ -497,6 +503,8 @@ def qmatmul_pallas_int8_drq(
     m *= d
   x2 = x.reshape(m, k).astype(jnp.float32)
   m_pad = _round_up(max(m, 8), 8)
+  bm = min(m_pad, 256)
+  m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
   bn = _pick_tile(n, bn)
@@ -504,14 +512,15 @@ def qmatmul_pallas_int8_drq(
   scale2 = scale.astype(jnp.float32).reshape(1, n)
 
   in_specs = [
-      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
   ]
   operands = [x2, w_q, scale2]
   if bias is not None:
     in_specs.append(
-        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM))
     operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = _int8_drq_kernel
   else:
@@ -520,14 +529,14 @@ def qmatmul_pallas_int8_drq(
 
   out = pl.pallas_call(
       body,
-      grid=(n // bn,),
+      grid=(m_pad // bm, n // bn),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dt),
       scratch_shapes=[
-          pltpu.VMEM((m_pad, k), jnp.int8),
-          pltpu.VMEM((m_pad, 1), jnp.float32),
+          pltpu.VMEM((bm, k), jnp.int8),
+          pltpu.VMEM((bm, 1), jnp.float32),
       ],
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
@@ -542,14 +551,16 @@ def _int4_drq_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xq_ref, xs_ref):
   """o[M, BN] = int8(x) . unpack(w[BN, K//2])^T * xs[M] * s[BN].
 
   True dynamic-range quantization: activations quantize per ROW to int8
-  inside the kernel (once, on the first N-tile), and the contraction runs
+  inside the kernel (once, on the first N-tile of each M-tile — N is the
+  minor grid dim so the scratch persists across that row tile's N
+  sweep), and the contraction runs
   as int8 x int8 on the MXU with int32 accumulation — 2x the MXU rate of
   the bf16 path. This is the reference's DRQ execution semantics
   (XNNPACK QD8 path: dynamic per-row activation quantization feeding an
   integer kernel) mapped to the TPU MXU. |acc| <= K * 7 * 127 < 2^31 for
   any transformer K, so int32 never saturates.
   """
-  @pl.when(pl.program_id(0) == 0)
+  @pl.when(pl.program_id(1) == 0)
   def _():
     x = x_ref[:].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
@@ -598,28 +609,31 @@ def qmatmul_pallas_int4_packed_drq(
     m *= d
   compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
   x2 = x.reshape(m, k).astype(compute)
-  # int8 scratch rows tile at 32 sublanes.
+  # int8 scratch rows tile at 32 sublanes; M-block above 256 rows.
   m_pad = _round_up(max(m, 32), 32)
+  bm = min(m_pad, 256)
+  m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-  # Fit x block + int8 scratch + the quantize branch's whole-block f32
-  # temp + double-buffered weight tiles in VMEM (16 MiB Mosaic scoped
-  # limit). K=16384-class layers (FFN down projections) do NOT fit at
-  # any tile — callers route those to the bf16 kernel.
-  x_bytes = m_pad * k * (x2.dtype.itemsize + 1 + 4)
+  # Fit x row tile + int8 scratch + the quantize branch's f32 temp +
+  # double-buffered weight tiles in VMEM (16 MiB Mosaic scoped limit).
+  # K=16384-class layers (FFN down projections) do NOT fit at any tile —
+  # callers route those to the bf16 kernel.
+  x_bytes = bm * k * (x2.dtype.itemsize + 1 + 4)
   bn_fit = bn
   while bn_fit > 128 and x_bytes + 3 * bn_fit * k2 > 14 * 2**20:
     bn_fit //= 2
   bn = _pick_tile(n, bn_fit)
   operands = [x2, w_packed, scale.astype(jnp.float32).reshape(1, n)]
   in_specs = [
-      pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((bn, k2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, k2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
   ]
   if bias is not None:
     in_specs.append(
-        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM))
     operands.append(bias.astype(jnp.float32).reshape(1, n))
     body = _int4_drq_kernel
   else:
@@ -627,14 +641,14 @@ def qmatmul_pallas_int4_packed_drq(
         _int4_drq_kernel(x_ref, w_ref, s_ref, None, o_ref, xq_ref, xs_ref)
   out = pl.pallas_call(
       body,
-      grid=(n // bn,),
+      grid=(m_pad // bm, n // bn),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((m_pad, bn), lambda i: (0, i),
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
       scratch_shapes=[
-          pltpu.VMEM((m_pad, k), jnp.int8),
-          pltpu.VMEM((m_pad, 1), jnp.float32),
+          pltpu.VMEM((bm, k), jnp.int8),
+          pltpu.VMEM((bm, 1), jnp.float32),
       ],
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,

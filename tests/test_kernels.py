@@ -232,7 +232,8 @@ class TestFlashAttentionInt8:
 class TestInt8DrqKernel:
   """In-kernel activation quantization int8 x int8 DRQ matmul."""
 
-  @pytest.mark.parametrize('m,n,k', [(8, 256, 256), (5, 384, 512)])
+  @pytest.mark.parametrize('m,n,k',
+                           [(8, 256, 256), (5, 384, 512), (600, 256, 128)])
   def test_matches_xla_drq(self, m, n, k):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -260,7 +261,8 @@ class TestInt8DrqKernel:
 class TestInt4PackedDrqKernel:
   """Packed int4 weights x in-kernel int8-quantized activations (MXU int8)."""
 
-  @pytest.mark.parametrize('m,n,k', [(8, 256, 256), (5, 384, 512)])
+  @pytest.mark.parametrize('m,n,k',
+                           [(8, 256, 256), (5, 384, 512), (600, 256, 128)])
   def test_matches_integer_twin(self, m, n, k):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((m, k)).astype(np.float32)
