@@ -38,6 +38,18 @@ def _pick_tile(n: int, preferred: int) -> int:
   raise ValueError(f'N={n} has no 128-aligned tile.')
 
 
+def _pick_bm(m_pad: int, row_bytes: int, budget: int = 6 * 2**20) -> int:
+  """Row-tile size: whole M when its VMEM footprint fits `budget`
+  (weights then stream exactly once — the MXU-bound prefill case),
+  otherwise the largest 256-multiple that fits (large-M encoder shapes;
+  weights re-stream once per row tile, acceptable when x is the larger
+  operand). Mosaic's scoped VMEM limit is 16 MB; the budget leaves room
+  for the double-buffered weight tiles and the output tile."""
+  if m_pad * row_bytes <= budget:
+    return m_pad
+  return max((budget // row_bytes) // 256 * 256, 256)
+
+
 def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
   """o[M, BN] = x[M, K] . w[BN, K]^T * s[BN] (+ b[BN])."""
   w = w_ref[:].astype(jnp.float32)
@@ -157,7 +169,7 @@ def qmatmul_pallas_int4_packed(
   # M-block like qmatmul_pallas: decode (m <= bm) keeps one resident row
   # tile; prefill/encoder shapes stream row tiles within the VMEM limit.
   m_pad = _round_up(max(m, sublane), sublane)
-  bm = min(m_pad, 256)
+  bm = _pick_bm(m_pad, k * x2.dtype.itemsize)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -503,7 +515,8 @@ def qmatmul_pallas_int8_drq(
     m *= d
   x2 = x.reshape(m, k).astype(jnp.float32)
   m_pad = _round_up(max(m, 8), 8)
-  bm = min(m_pad, 256)
+  # f32 x tile + int8 scratch + the quantize branch's f32 temp per row.
+  bm = _pick_bm(m_pad, k * 9)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -609,9 +622,10 @@ def qmatmul_pallas_int4_packed_drq(
     m *= d
   compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
   x2 = x.reshape(m, k).astype(compute)
-  # int8 scratch rows tile at 32 sublanes; M-block above 256 rows.
+  # int8 scratch rows tile at 32 sublanes; M-block when whole M exceeds
+  # the VMEM budget (x tile + int8 scratch + f32 quantize temp per row).
   m_pad = _round_up(max(m, 32), 32)
-  bm = min(m_pad, 256)
+  bm = _pick_bm(m_pad, k * (x2.dtype.itemsize + 1 + 4))
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -685,7 +699,7 @@ def qmatmul_pallas(
   # (batch*seq in the thousands) stream row tiles so the f32 x block stays
   # inside Mosaic's 16 MB scoped VMEM.
   m_pad = _round_up(max(m, 8), 8)
-  bm = min(m_pad, 256)
+  bm = _pick_bm(m_pad, k * 4)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
