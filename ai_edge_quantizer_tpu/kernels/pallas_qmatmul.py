@@ -38,16 +38,23 @@ def _pick_tile(n: int, preferred: int) -> int:
   raise ValueError(f'N={n} has no 128-aligned tile.')
 
 
-def _pick_bm(m_pad: int, row_bytes: int, budget: int = 6 * 2**20) -> int:
+def _pick_bm(m_pad: int, row_bytes: int, sublane: int = 8,
+             budget: int = 6 * 2**20) -> int:
   """Row-tile size: whole M when its VMEM footprint fits `budget`
   (weights then stream exactly once — the MXU-bound prefill case),
   otherwise the largest 256-multiple that fits (large-M encoder shapes;
   weights re-stream once per row tile, acceptable when x is the larger
-  operand). Mosaic's scoped VMEM limit is 16 MB; the budget leaves room
-  for the double-buffered weight tiles and the output tile."""
+  operand). When even 256 rows exceed the budget (very large K), fall
+  back to the largest sublane multiple that fits so big-K row groups
+  still compile instead of blowing Mosaic's 16 MB scoped VMEM. The
+  budget leaves room for the double-buffered weight tiles and the
+  output tile."""
   if m_pad * row_bytes <= budget:
     return m_pad
-  return max((budget // row_bytes) // 256 * 256, 256)
+  fit = (budget // row_bytes) // 256 * 256
+  if fit:
+    return fit
+  return max((budget // row_bytes) // sublane * sublane, sublane)
 
 
 def _channelwise_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
@@ -169,7 +176,7 @@ def qmatmul_pallas_int4_packed(
   # M-block like qmatmul_pallas: decode (m <= bm) keeps one resident row
   # tile; prefill/encoder shapes stream row tiles within the VMEM limit.
   m_pad = _round_up(max(m, sublane), sublane)
-  bm = _pick_bm(m_pad, k * x2.dtype.itemsize)
+  bm = _pick_bm(m_pad, k * x2.dtype.itemsize, sublane)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -198,7 +205,9 @@ def qmatmul_pallas_int4_packed(
       out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
-          bytes_accessed=m_pad * k * 4 + n * k2 + m_pad * n * 4,
+          # Weights re-stream once per row tile when M-blocked.
+          bytes_accessed=(m_pad * k * 4 + (m_pad // bm) * n * k2
+                          + m_pad * n * 4),
           transcendentals=0),
       interpret=interpret,
   )(*operands)
@@ -514,9 +523,10 @@ def qmatmul_pallas_int8_drq(
   for d in lead_shape:
     m *= d
   x2 = x.reshape(m, k).astype(jnp.float32)
-  m_pad = _round_up(max(m, 8), 8)
-  # f32 x tile + int8 scratch + the quantize branch's f32 temp per row.
-  bm = _pick_bm(m_pad, k * 9)
+  m_pad = _round_up(max(m, 32), 32)
+  # f32 x tile + int8 scratch + the quantize branch's f32 temp per row;
+  # sublane 32 keeps the int8 scratch tile-aligned at any fallback bm.
+  bm = _pick_bm(m_pad, k * 9, 32)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -553,7 +563,8 @@ def qmatmul_pallas_int8_drq(
       ],
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
-          bytes_accessed=m_pad * k * 4 + n * k + m_pad * n * 4,
+          bytes_accessed=(m_pad * k * 4 + (m_pad // bm) * n * k
+                          + m_pad * n * 4),
           transcendentals=0),
       interpret=interpret,
   )(*operands)
@@ -625,7 +636,7 @@ def qmatmul_pallas_int4_packed_drq(
   # int8 scratch rows tile at 32 sublanes; M-block when whole M exceeds
   # the VMEM budget (x tile + int8 scratch + f32 quantize temp per row).
   m_pad = _round_up(max(m, 32), 32)
-  bm = _pick_bm(m_pad, k * (x2.dtype.itemsize + 1 + 4))
+  bm = _pick_bm(m_pad, k * (x2.dtype.itemsize + 1 + 4), 32)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -666,7 +677,8 @@ def qmatmul_pallas_int4_packed_drq(
       ],
       cost_estimate=pl.CostEstimate(
           flops=2 * m_pad * n * k,
-          bytes_accessed=m_pad * k * 2 + n * k2 + m_pad * n * 2,
+          bytes_accessed=(m_pad * k * 2 + (m_pad // bm) * n * k2
+                          + m_pad * n * 2),
           transcendentals=0),
       interpret=interpret,
   )(*operands)
@@ -699,7 +711,7 @@ def qmatmul_pallas(
   # (batch*seq in the thousands) stream row tiles so the f32 x block stays
   # inside Mosaic's 16 MB scoped VMEM.
   m_pad = _round_up(max(m, 8), 8)
-  bm = _pick_bm(m_pad, k * 4)
+  bm = _pick_bm(m_pad, k * 4, 8)
   m_pad = _round_up(m_pad, bm)
   if m_pad != m:
     x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -736,7 +748,8 @@ def qmatmul_pallas(
 
   flops = 2 * m_pad * n * k
   bytes_accessed = (
-      m_pad * k * 4 + n * k * w_q.dtype.itemsize + m_pad * n * 4)
+      m_pad * k * 4 + (m_pad // bm) * n * k * w_q.dtype.itemsize
+      + m_pad * n * 4)
   out = pl.pallas_call(
       body,
       grid=(m_pad // bm, n // bn),

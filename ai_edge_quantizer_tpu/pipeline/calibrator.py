@@ -37,8 +37,13 @@ class Calibrator:
     self._graph = float_graph
     self._mode = mode
     if not ir.is_float_model(float_graph):
-      raise ValueError(
-          'The input model for calibration is not fully float.')
+      # Match the reference: partially-quantized models calibrate fine (the
+      # executor runs them and captures dequantized tensor views); only the
+      # still-float tensors' QSVs will feed re-quantization.
+      import warnings
+      warnings.warn(
+          'Calibrating a partially quantized model; existing quantized '
+          'tensors will remain unchanged.')
     self._executor = executor_lib.GraphExecutor(float_graph)
     self._model_qsvs: dict = {}
     self._initialized_ops: set = set()

@@ -13,6 +13,7 @@ Parity: reference `params_generator.py`.
 from __future__ import annotations
 
 import copy
+import warnings
 from typing import Optional
 
 from ai_edge_quantizer_tpu import qtyping
@@ -44,6 +45,16 @@ class ParamsGenerator:
 
   def __init__(self, graph: ir.Graph):
     self.graph = graph
+    if not ir.is_float_model(graph):
+      # Reference behavior (params_generator.py:42-47): a partially
+      # quantized input model is re-quantized with a warning; tensors that
+      # already carry quantization stay untouched (the engine ignores
+      # pre-quantized weights regardless of the selected recipe).
+      warnings.warn(
+          'Input model is already partially quantized. Proceeding with '
+          're-quantization; existing quantized tensors will remain '
+          'unchanged regardless of the selected recipe.'
+      )
     ir.graph_unique_tensor_names_check(graph)
     self.buffer_to_tensors = ir.buffer_to_tensors(graph)
     self.model_quant_results: dict = {}

@@ -21,6 +21,37 @@ def log(*args):
   print(*args, file=sys.stderr, flush=True)
 
 
+def _mxu_peak_flops() -> float:
+  """Chip peak for int8 MXU work (a8w8 SRQ models), ops/s.
+
+  v5e spec: 394 int8 TOPS/chip (bf16 is half that). Overridable for other
+  chips via AEQT_BENCH_MXU_INT8_TOPS.
+  """
+  return float(os.environ.get('AEQT_BENCH_MXU_INT8_TOPS', '394')) * 1e12
+
+
+def _mfu_fields(graph, per_pass_s: float, label: str) -> dict:
+  """FLOPs-based ceiling accounting for compute-bound presets.
+
+  These models are MXU-bound (unlike decode, which is HBM-bound), so the
+  honest vs_baseline is model FLOPs / (elapsed * chip peak) — a real MFU
+  fraction instead of the round-2 hardcoded 1.0 (VERDICT item 5).
+  """
+  from ai_edge_quantizer_tpu.utils import flops as flops_lib
+
+  fl = flops_lib.graph_flops(graph)
+  peak = _mxu_peak_flops()
+  mfu = fl / (per_pass_s * peak)
+  log(f'{label}: {fl/1e9:.2f} GFLOPs/pass, {fl/per_pass_s/1e12:.1f} '
+      f'effective TFLOPs = {mfu*100:.1f}% MFU of int8 peak '
+      f'{peak/1e12:.0f} TOPS')
+  return {
+      'vs_baseline': round(min(mfu, 1.0), 4),
+      'model_gflops': round(fl / 1e9, 2),
+      'mfu_int8_peak': round(mfu, 4),
+  }
+
+
 def bench_mobilenet():
   """Secondary metric: MobileNetV2 int8 static (a8w8, calibrated) imgs/s."""
   import functools
@@ -67,12 +98,13 @@ def bench_mobilenet():
     raise RuntimeError('mobilenet produced degenerate outputs')
   imgs_s = batch * steps / elapsed
   log(f'mobilenet int8: {imgs_s:.1f} imgs/s')
-  print(json.dumps({
+  result = {
       'metric': 'mobilenetv2_int8_a8w8_imgs_per_s',
       'value': round(imgs_s, 2),
       'unit': 'imgs/s',
-      'vs_baseline': 1.0,  # reference publishes no TPU imgs/s (BASELINE.md)
-  }))
+  }
+  result.update(_mfu_fields(g, elapsed / steps, 'mobilenet'))
+  print(json.dumps(result))
 
 
 def bench_encoder():
@@ -124,12 +156,13 @@ def bench_encoder():
   seqs_s = batch * steps / elapsed
   log(f'encoder int8 (T={cfg.seq_len}): {seqs_s:.1f} seqs/s '
       f'({seqs_s * cfg.seq_len:.0f} tokens/s)')
-  print(json.dumps({
+  result = {
       'metric': 'bert_base_lite_int8_a8w8_seqs_per_s',
       'value': round(seqs_s, 2),
       'unit': 'seqs/s',
-      'vs_baseline': 1.0,  # reference publishes no TPU numbers (BASELINE.md)
-  }))
+  }
+  result.update(_mfu_fields(g, elapsed / steps, 'encoder'))
+  print(json.dumps(result))
 
 
 def main():
@@ -354,19 +387,25 @@ def main():
 
   # Speed of light: every weight byte AND every live KV-cache byte streams
   # HBM->VMEM once per step (attention reads the whole allocated cache).
-  # SOL is MEASURED with an identical harness — a chained lax.scan whose
-  # every iteration must re-read a buffer pool of the SAME byte volume
-  # (carry-dependent slice start defeats loop-invariant hoisting; a
-  # hoistable probe reads 1.9 TB/s "bandwidth" on this tunnel, a chained
-  # one ~550 GB/s — only the chained number is the real per-step floor).
+  # The DENOMINATOR of vs_baseline is the chip's PHYSICAL HBM spec —
+  # deterministic, so the driver-recorded ratio is comparable round over
+  # round (a measured-probe denominator swung 0.45..1.21 on an unchanged
+  # binary through this tunnel's ~40% variance; VERDICT round-2 item 1).
+  # A measured chained-scan probe still runs as a DIAGNOSTIC (probe_gbs):
+  # it shows what the tunnel sustained that day, but never sets the ratio.
   cache_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                     for v in caches.values())
   step_bytes = weight_bytes + cache_bytes
-  if jax.default_backend() == 'tpu':
+  hbm_spec_gbs = float(os.environ.get('AEQT_BENCH_HBM_SPEC_GBS', '819'))
+  probe_gbs = None
+  if jax.default_backend() == 'tpu' and \
+      os.environ.get('AEQT_BENCH_SOL_PROBE', '1') == '1':
     rows = max(step_bytes // 1024, 1024)
     pool = jnp.zeros((rows, 1024), jnp.int8)
 
     def sol_probe(c0, p):
+      # Carry-dependent slice start defeats loop-invariant hoisting; a
+      # hoistable probe reads a fake 1.9 TB/s on this tunnel.
       def body(c, _):
         i = c.astype(jnp.int32) % 8
         sl = jax.lax.dynamic_slice_in_dim(p, i, p.shape[0] - 8, 0)
@@ -378,32 +417,29 @@ def main():
     sync(sol_jit(jnp.float32(0.0), pool))
     t0 = time.time()
     sync(sol_jit(jnp.float32(0.0), pool))
-    sol_step_s = max(time.time() - t0 - fetch_cost, 1e-9) / inner
-    # The probe has ~40% run-to-run tunnel variance and occasionally
-    # implies bandwidth ABOVE the chip's physical HBM spec (e.g. 1119
-    # GB/s on a v5e) — definitionally measurement error, which would
-    # deflate vs_baseline. Floor the step time at the physical spec.
-    hbm_spec_gbs = float(os.environ.get('AEQT_BENCH_HBM_SPEC_GBS', '819'))
-    spec_step_s = step_bytes / (hbm_spec_gbs * 1e9)
-    if sol_step_s < spec_step_s:
-      log(f'SOL probe implied {step_bytes/sol_step_s/1e9:.0f} GB/s > '
-          f'{hbm_spec_gbs:.0f} GB/s HBM spec; clamping to spec')
-      sol_step_s = spec_step_s
-  else:
-    sol_step_s = step_bytes / 50e9
+    probe_step_s = max(time.time() - t0 - fetch_cost, 1e-9) / inner
+    probe_gbs = round(step_bytes / probe_step_s / 1e9, 1)
+    log(f'SOL probe (diagnostic only): {probe_gbs:.0f} GB/s sustained '
+        f'({probe_step_s*1e3:.2f} ms for {step_bytes/2**30:.2f} GiB)')
+  sol_step_s = step_bytes / (hbm_spec_gbs * 1e9)
   sol_tokens_s = batch / sol_step_s
-  log(f'SOL (measured read floor): weights {weight_bytes/2**30:.2f} GiB + '
-      f'caches {cache_bytes/2**30:.2f} GiB -> {sol_step_s*1e3:.2f} ms/step '
-      f'({step_bytes/sol_step_s/1e9:.0f} GB/s) = {sol_tokens_s:.0f} '
+  log(f'SOL (HBM spec {hbm_spec_gbs:.0f} GB/s): weights '
+      f'{weight_bytes/2**30:.2f} GiB + caches {cache_bytes/2**30:.2f} GiB '
+      f'-> {sol_step_s*1e3:.2f} ms/step = {sol_tokens_s:.0f} '
       'tokens/s ceiling')
-  vs = tokens_s / sol_tokens_s
+  vs = min(tokens_s / sol_tokens_s, 1.0)
 
-  print(json.dumps({
+  result = {
       'metric': f'{preset}_int4_decode_tokens_per_s_per_chip',
       'value': round(tokens_s, 2),
       'unit': 'tokens/s/chip',
       'vs_baseline': round(vs, 4),
-  }))
+      'sol_tokens_s': round(sol_tokens_s, 1),
+      'hbm_spec_gbs': hbm_spec_gbs,
+  }
+  if probe_gbs is not None:
+    result['probe_gbs'] = probe_gbs
+  print(json.dumps(result))
 
 
 def _supervise() -> int:

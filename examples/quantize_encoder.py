@@ -19,9 +19,10 @@ def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--srq', action='store_true',
                       help='fully-integer static-range instead of dynamic')
-  parser.add_argument('--cpu', action='store_true', default=True)
+  parser.add_argument('--device', choices=['cpu', 'tpu'], default='cpu',
+                      help='backend to run on (default cpu)')
   args = parser.parse_args()
-  if args.cpu:
+  if args.device == 'cpu':
     jax.config.update('jax_platforms', 'cpu')
 
   from ai_edge_quantizer_tpu import Quantizer, qtyping

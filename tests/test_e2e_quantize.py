@@ -384,3 +384,51 @@ def test_save_over_mmap_loaded_source(tmp_path):
       np.asarray(g.buffers[0].data))
   again = serialize.load_graph(path)
   assert any(t.dtype == 'int8' for t in again.main_subgraph().tensors)
+
+
+class TestPartiallyPreQuantized:
+  """Feeding a partially-quantized model back through Quantizer.
+
+  Reference behavior (params_generator.py:42-47): warn, leave tensors that
+  already carry quantization untouched, and quantize the rest."""
+
+  def test_requantize_weight_only_output_with_srq(self):
+    import warnings as warnings_lib
+
+    g = fixtures.two_layer_mlp(in_dim=256, hidden=128, out_dim=32, batch=4)
+    first = Quantizer(g, 'default_af32w8float').quantize().quantized_model
+    w1 = first.main_subgraph().tensor_by_name('dense1/w')
+    assert w1.dtype == 'int8'
+    scale_before = np.asarray(w1.quantization.scale).copy()
+
+    qt2 = Quantizer(first, 'default_a8w8')
+    data = test_data_lib.create_random_dataset(first, num_samples=8)
+    cr = qt2.calibrate(data)
+    with warnings_lib.catch_warnings(record=True) as caught:
+      warnings_lib.simplefilter('always')
+      res = qt2.quantize(cr)
+    assert any('partially quantized' in str(w.message) for w in caught)
+
+    sg = res.quantized_model.main_subgraph()
+    # Pre-quantized weights untouched: same storage dtype, same scale — no
+    # double quantization.
+    w_after = sg.tensor_by_name('dense1/w')
+    assert w_after.dtype == 'int8'
+    np.testing.assert_array_equal(
+        np.asarray(w_after.quantization.scale), scale_before)
+    # The float activations DID get SRQ-quantized in the second pass.
+    assert sg.tensor_by_name('x').dtype == 'int8'
+    # The requantized model still runs and tracks the first-pass model
+    # closely (validator dequantizes the SRQ outputs for comparison).
+    snr = qt2.validate(num_samples=4, error_metrics='snr') \
+        .get_signature_comparison_result().output_tensors['dense2/out']
+    assert snr > 50, snr
+
+  def test_float_model_emits_no_warning(self):
+    import warnings as warnings_lib
+
+    g = fixtures.two_layer_mlp()
+    with warnings_lib.catch_warnings(record=True) as caught:
+      warnings_lib.simplefilter('always')
+      Quantizer(g, 'dynamic_wi8_afp32').quantize()
+    assert not any('partially quantized' in str(w.message) for w in caught)

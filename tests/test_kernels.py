@@ -71,12 +71,25 @@ class TestPallasKernel:
         jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale)))
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
 
+  def test_pick_bm_contract(self):
+    """Pin the row-tile selection the multi-tile tests below rely on."""
+    # Small footprint: whole M resident, single row tile.
+    assert pallas_qmatmul._pick_bm(1024, 128 * 4, 8) == 1024
+    # f32 K=4096: 1024 rows * 16 KiB = 16 MiB > 6 MiB budget -> bm=256.
+    assert pallas_qmatmul._pick_bm(1024, 4096 * 4, 8) == 256
+    # DRQ K=4096 (9 B/row-elem): even 256 rows exceed the budget; the
+    # sublane fallback keeps it compiling (advice round-2: the old 256
+    # floor silently blew Mosaic's 16 MB scoped VMEM at big K).
+    assert pallas_qmatmul._pick_bm(1024, 4096 * 9, 32) == 160
+    assert pallas_qmatmul._pick_bm(1024, 16384 * 9, 32) == 32
+
   def test_large_m_row_tiled(self):
-    """M >> bm (encoder/prefill shapes): the row-tiled grid must agree
-    with the XLA twin; the pre-fix whole-M x block OOM'd Mosaic's 16 MB
-    scoped VMEM on TPU at M=16384."""
+    """M spans multiple row tiles (encoder/prefill shapes): the row-tiled
+    grid must agree with the XLA twin; the pre-fix whole-M x block OOM'd
+    Mosaic's 16 MB scoped VMEM on TPU at M=16384."""
     rng = np.random.default_rng(11)
-    m, n, k = 1024, 256, 128  # m spans 4 row tiles at bm=256
+    m, n, k = 1024, 256, 4096  # bm=256 -> grid dim 0 has 4 row tiles
+    assert pallas_qmatmul._pick_bm(m, k * 4, 8) == 256
     x = rng.normal(size=(m, k)).astype(np.float32)
     w_q, scale = _quantized_weight(rng, n, k)
     y = pallas_qmatmul.qmatmul_pallas(
@@ -88,7 +101,7 @@ class TestPallasKernel:
 
   def test_large_m_non_multiple_of_tile(self):
     rng = np.random.default_rng(12)
-    m, n, k = 300, 256, 128  # pads to 2 row tiles, slices back to 300
+    m, n, k = 700, 256, 4096  # pads to 3 row tiles (bm=256), slices to 700
     x = rng.normal(size=(m, k)).astype(np.float32)
     w_q, scale = _quantized_weight(rng, n, k)
     y = pallas_qmatmul.qmatmul_pallas(
@@ -257,6 +270,28 @@ class TestInt8DrqKernel:
     assert got.shape == (2, 4, 128)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+  def test_multi_row_tile_scratch_reuse(self):
+    """M spans several row tiles: the per-row-tile re-quantization
+    (pl.when(program_id(1) == 0)) must refresh the int8/scale scratch for
+    EVERY row tile — scratch reuse across tiles is the riskiest part of
+    the M-blocking."""
+    rng = np.random.default_rng(5)
+    m, n, k = 512, 256, 4096
+    assert pallas_qmatmul._pick_bm(m, k * 9, 32) == 160  # 4 row tiles
+    # Exactly-representable activations (int grid * power-of-two row
+    # scale): in-kernel x * reciprocal(xs) and the ref's x / xs then agree
+    # bit-for-bit, so any mismatch is a real scratch-reuse bug, not
+    # rounding-tie noise.
+    xq0 = rng.integers(-127, 128, (m, k)).astype(np.float32)
+    xq0[:, 0] = 127.0  # pin each row's absmax
+    x = xq0 * 0.03125
+    w = rng.integers(-127, 128, (n, k)).astype(np.int8)
+    s = (rng.random(n) * 0.01 + 0.001).astype(np.float32)
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int8_drq(
+        x, w, jnp.asarray(s), interpret=True))
+    want = np.asarray(qmatmul.drq_matmul_ref(x, w, jnp.asarray(s)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
 
 class TestInt4PackedDrqKernel:
   """Packed int4 weights x in-kernel int8-quantized activations (MXU int8)."""
@@ -295,6 +330,25 @@ class TestInt4PackedDrqKernel:
     # bf16 inputs round before quantization; compare loosely to the f32
     # DRQ twin.
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+  def test_multi_row_tile_scratch_reuse(self):
+    """Exact-twin check with M spanning several row tiles (the DRQ
+    scratch re-quantizes once per row tile; see the int8 twin above)."""
+    rng = np.random.default_rng(6)
+    m, n, k = 512, 256, 4096
+    assert pallas_qmatmul._pick_bm(m, k * 9, 32) == 160  # 4 row tiles
+    # Exactly-representable activations (see the int8 twin above).
+    xq0 = rng.integers(-127, 128, (m, k)).astype(np.float32)
+    xq0[:, 0] = 127.0
+    x = xq0 * 0.03125
+    w = rng.integers(-8, 8, (n, k)).astype(np.int8)
+    s = (rng.random(n) * 0.01 + 0.001).astype(np.float32)
+    packed = pallas_qmatmul.pack_int4_split(jnp.asarray(w))
+    got = np.asarray(pallas_qmatmul.qmatmul_pallas_int4_packed_drq(
+        x, packed, jnp.asarray(s), interpret=True))
+    want = (xq0.astype(np.int64) @ w.astype(np.int64).T).astype(
+        np.float32) * 0.03125 * s
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
   def test_drq_close_to_weight_only(self):
     # DRQ adds activation-quantization noise only: ~0.4% relative on
