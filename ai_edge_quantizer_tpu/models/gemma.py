@@ -537,6 +537,8 @@ def build_serving_decoder(
     materialize_weights: bool = True,
     device_masks: bool = False,
     cache_buckets=None,
+    fused_projections: bool = False,
+    greedy_head: bool = False,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -549,6 +551,11 @@ def build_serving_decoder(
   answer to paged attention: a 128-token conversation reads 8x less
   cache than the max_seq_len program. Buckets must not exceed
   cfg.max_seq_len; the last bucket is forced to cfg.max_seq_len.
+
+  greedy_head: decode signatures emit `next_tokens` in-graph (FC +
+  ARG_MAX fuse into the vocab-tiled head kernel) instead of `logits` —
+  a serving tick then fetches B int32 ids, not a [B, 1, vocab] array
+  (DecodeServer switches to device-side greedy sampling automatically).
   """
   graph = ir.Graph()
   store = _WeightStore(cfg, seed=seed, materialize=materialize_weights)
@@ -566,14 +573,18 @@ def build_serving_decoder(
       store.cfg = cfg_s
       b = builder_lib.GraphBuilder(f'decode_{s}', graph=graph)
       _build_signature(b, store, f'decode_{s}', batch_slots, 1,
-                       cache_update='onehot', device_masks=device_masks)
+                       cache_update='onehot', device_masks=device_masks,
+                       fused_projections=fused_projections,
+                       greedy_head=greedy_head)
       b.finalize(signature_key=f'decode_{s}')
     store.cfg = cfg
     graph.metadata['decode_buckets'] = buckets
   else:
     b = builder_lib.GraphBuilder('decode', graph=graph)
     _build_signature(b, store, 'decode', batch_slots, 1,
-                     cache_update='onehot', device_masks=device_masks)
+                     cache_update='onehot', device_masks=device_masks,
+                     fused_projections=fused_projections,
+                     greedy_head=greedy_head)
     b.finalize(signature_key='decode')
   graph.metadata['weight_init_specs'] = store.init_specs
   if device_masks:

@@ -180,6 +180,18 @@ class DecodeServer:
       self._bucket = cfg.max_seq_len
       dec_key = 'decode'
     dec_sig = graph.signature_by_key(dec_key)
+    # Device-side greedy sampling: decode signatures built with
+    # greedy_head=True emit `next_tokens` in-graph (FC + ARG_MAX fused in
+    # the vocab-tiled head kernel). When the caller wants greedy anyway
+    # (no sample_fn), a tick then fetches B int32 ids instead of a
+    # [B, 1, vocab] logits array — the logits never leave the device.
+    self._device_greedy = (
+        'next_tokens' in dec_sig.outputs and sample_fn is None)
+    if 'next_tokens' in dec_sig.outputs and sample_fn is not None:
+      raise ValueError(
+          'This serving graph was built with greedy_head=True (decode '
+          'emits next_tokens, not logits) — a custom sample_fn cannot '
+          'run. Build with greedy_head=False for host-side sampling.')
     graph_batch = graph.subgraphs[dec_sig.subgraph_index].tensors[
         dec_sig.inputs['tokens']].shape[0]
     if graph_batch != batch_slots:
@@ -344,12 +356,17 @@ class DecodeServer:
     for li in range(self.cfg.num_layers):
       self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
       self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
-    logits = np.asarray(out['logits'])  # [B, 1, vocab]
+    if self._device_greedy:
+      tokens = np.asarray(out['next_tokens'])  # [B, 1] int32
+      logits = None
+    else:
+      logits = np.asarray(out['logits'])  # [B, 1, vocab]
     self.metrics['decode_ticks'] += 1
     emitted = {}
     for i in active:
       slot = self._slots[i]
-      token = self._sample(logits[i, 0])
+      token = (int(tokens[i, 0]) if logits is None
+               else self._sample(logits[i, 0]))
       slot.request.generated.append(token)
       emitted[slot.request.request_id] = token
       self._last_tokens[i, 0] = token
@@ -450,7 +467,9 @@ class DecodeServer:
             new_rows.astype(self._caches[key].dtype),
             (slot_idx, 0, 0, 0))
     last_row = (prompt.size - 1) - (num_chunks - 1) * T
-    logits = np.asarray(out['logits'])[0, last_row]
+    # Slice ON DEVICE before fetching: the host link carries one [vocab]
+    # row, not the whole [1, T, vocab] logits block.
+    logits = np.asarray(out['logits'][0, last_row])
     first_token = self._sample(logits)
     req.generated.append(first_token)
     req.status = 'running'

@@ -165,6 +165,123 @@ def bench_encoder():
   print(json.dumps(result))
 
 
+def bench_server():
+  """Serving-stack benchmark: DecodeServer under mixed-length load.
+
+  Measures what the static-batch decode number cannot (VERDICT round-2
+  item 3): sustained continuous-batching tokens/s including admission +
+  host control-plane overhead, and TTFT p50/p99 under queue pressure.
+  Writes SERVER_BENCH_r03.json next to this file.
+  """
+  import jax
+  if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+  import numpy as np
+
+  from ai_edge_quantizer_tpu.models import gemma
+  from ai_edge_quantizer_tpu.parallel import batching
+
+  slots = int(os.environ.get('AEQT_BENCH_SLOTS', '64'))
+  cfg = (gemma.TOY_DECODER
+         if os.environ.get('AEQT_BENCH_SERVER_CFG') == 'toy'
+         else gemma.GEMMA_2B_LITE)
+  prefill_len = int(os.environ.get('AEQT_BENCH_PREFILL_LEN', '128'))
+  on_tpu = jax.default_backend() == 'tpu'
+  t0 = time.time()
+  graph = gemma.build_serving_decoder(
+      cfg, batch_slots=slots, prefill_len=prefill_len,
+      materialize_weights=False, device_masks=True,
+      fused_projections=True, greedy_head=True)
+  gemma.stamp_int8_kv_cache(graph)
+  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                               embedding_bits=8)
+  import jax as _jax
+  _jax.block_until_ready(list(weights.values()))
+  log(f'server graph + weights: {time.time()-t0:.1f}s')
+  server = batching.DecodeServer(
+      graph, cfg, batch_slots=slots, weights=weights, pack_weights=on_tpu)
+  assert server._device_greedy, 'greedy head must engage device sampling'
+
+  rng = np.random.default_rng(0)
+  new_tokens = int(os.environ.get('AEQT_BENCH_NEW_TOKENS', '48'))
+  # Mixed lengths, capped so prompt + generation fits the cache.
+  max_p = min(server.max_prompt_len(), cfg.max_seq_len - new_tokens)
+  prompt_lens = [p for p in (32, 64, 128, 256, 512) if p <= max_p] or [max_p]
+
+  def submit_burst(n):
+    reqs = []
+    for i in range(n):
+      plen = prompt_lens[i % len(prompt_lens)]
+      rid = server.submit(
+          rng.integers(1, cfg.vocab_size, plen).astype(np.int32),
+          max_new_tokens=new_tokens)
+      reqs.append((rid, time.monotonic()))
+    return reqs
+
+  # Warmup: compile prefill + decode programs, fill the pipeline once.
+  t0 = time.time()
+  submit_burst(2)
+  server.run_to_completion()
+  log(f'warmup (compiles): {time.time()-t0:.1f}s')
+
+  n_requests = int(os.environ.get('AEQT_BENCH_REQUESTS', str(3 * slots)))
+  base = dict(server.metrics)
+  ttfts = []
+  t0 = time.time()
+  submit_burst(n_requests)
+  # Track TTFT per request via the server's running accumulator deltas.
+  prev_prefills, prev_ttft_sum = base['prefills'], base['ttft_sum_s']
+  while server.has_work():
+    server.step()
+    m = server.metrics
+    if m['prefills'] > prev_prefills:
+      ttfts.append((m['ttft_sum_s'] - prev_ttft_sum)
+                   / (m['prefills'] - prev_prefills))
+      prev_prefills, prev_ttft_sum = m['prefills'], m['ttft_sum_s']
+  wall = time.time() - t0
+  m = server.metrics
+  tokens = m['tokens_generated'] - base['tokens_generated']
+  ticks = m['decode_ticks'] - base['decode_ticks']
+  done = m['requests_completed'] - base['requests_completed']
+  tok_s = tokens / wall
+  ttft_p50 = float(np.percentile(ttfts, 50)) if ttfts else 0.0
+  ttft_p99 = float(np.percentile(ttfts, 99)) if ttfts else 0.0
+  log(f'server: {tokens} tokens / {wall:.2f}s = {tok_s:.0f} tok/s '
+      f'({ticks} ticks, {done} requests, slots={slots})')
+  log(f'TTFT p50 {ttft_p50*1e3:.0f} ms, p99 {ttft_p99*1e3:.0f} ms '
+      f'(prompt lens {prompt_lens}, prefill chunk {prefill_len})')
+  artifact = {
+      'server_tokens_s': round(tok_s, 1),
+      'ttft_p50_ms': round(ttft_p50 * 1e3, 1),
+      'ttft_p99_ms': round(ttft_p99 * 1e3, 1),
+      'slots': slots,
+      'requests': n_requests,
+      'new_tokens_per_request': new_tokens,
+      'decode_ticks': ticks,
+      'tokens': tokens,
+      'wall_s': round(wall, 2),
+      'note': ('continuous batching incl. admission/prefill/host control '
+               'plane; compare against the static-batch decode preset at '
+               'the same batch for the admission-overhead gap'),
+  }
+  try:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'SERVER_BENCH_r03.json')
+    with open(out_path, 'w') as f:
+      json.dump(artifact, f, indent=1)
+    log(f'artifact written: {out_path}')
+  except OSError as e:
+    log(f'artifact write failed: {e}')
+  print(json.dumps({
+      'metric': 'gemma2b_lite_int4_server_tokens_per_s',
+      'value': round(tok_s, 2),
+      'unit': 'tokens/s/chip',
+      'vs_baseline': 1.0,  # no reference serving stack to compare against
+      'ttft_p50_ms': round(ttft_p50 * 1e3, 1),
+      'ttft_p99_ms': round(ttft_p99 * 1e3, 1),
+  }))
+
+
 def main():
   import jax
   # The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly.
@@ -200,6 +317,9 @@ def main():
     return
   if preset == 'encoder':
     bench_encoder()
+    return
+  if preset == 'server':
+    bench_server()
     return
   if preset == 'toy':
     cfg = gemma.TOY_DECODER

@@ -282,3 +282,43 @@ def test_cache_buckets_equivalent_tokens(quantized_serving_graph):
   assert full == bucketed, (full, bucketed)
   # Generation runs past position 16 -> at least one growth switch.
   assert stats['bucket_switches'] >= 1, stats
+
+
+def test_device_greedy_matches_host_greedy(quantized_serving_graph):
+  """A serving graph built with greedy_head=True makes the server sample
+  on device (fetching [B,1] ids, not [B,1,vocab] logits); tokens must
+  match the host-greedy twin exactly."""
+  cfg, host_graph = quantized_serving_graph
+  g = gemma.build_serving_decoder(cfg, batch_slots=4, prefill_len=8,
+                                  greedy_head=True)
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+  dev_graph = qt.quantize().quantized_model
+
+  rng = np.random.default_rng(3)
+  prompts = [rng.integers(0, cfg.vocab_size, size=5) for _ in range(3)]
+
+  def run(graph, expect_device):
+    srv = DecodeServer(graph, cfg, batch_slots=4)
+    assert srv._device_greedy is expect_device
+    out = {}
+    for p in prompts:
+      out[srv.submit(p, max_new_tokens=4)] = []
+    while srv.has_work():
+      for rid, tok in srv.step().items():
+        out[rid].append(tok)
+    return list(out.values())
+
+  assert run(dev_graph, True) == run(host_graph, False)
+
+
+def test_device_greedy_disabled_with_custom_sampler(quantized_serving_graph):
+  """greedy_head graphs cannot serve a custom sampler (no logits output):
+  the server must refuse rather than silently ignore sample_fn."""
+  cfg, _ = quantized_serving_graph
+  g = gemma.build_serving_decoder(cfg, batch_slots=4, prefill_len=8,
+                                  greedy_head=True)
+  from ai_edge_quantizer_tpu.parallel import batching
+  with pytest.raises(ValueError, match='greedy'):
+    DecodeServer(g, cfg, batch_slots=4,
+                 sample_fn=batching.make_topk_sampler(5))
