@@ -27,11 +27,15 @@ def ring_weight_gather_matmul_local(
     w_shard: jax.Array,
     scale_shard: jax.Array,
     axis_name: str = 'tp',
+    packed_int4: bool = False,
 ) -> jax.Array:
   """Per-device body (call under shard_map over `axis_name`).
 
   x: [B, K] replicated activations.
-  w_shard: [N/tp, K] integer weight shard held by this device.
+  w_shard: [N/tp, K] integer weight shard held by this device — or, with
+  packed_int4=True, a [N/tp, K//2] uint8 split-half packed int4 shard
+  (kernels/pallas_qmatmul.pack_int4_split layout): the ring then moves
+  HALF the bytes per hop, and each device unpacks in registers.
   scale_shard: [N/tp] matching per-channel scales.
   Returns y: [B, N] fully materialized on every device.
   """
@@ -45,11 +49,26 @@ def ring_weight_gather_matmul_local(
     # Whose shard are we holding after `step` hops? Shards travel +1 each
     # hop, so we hold shard (my - step) mod tp.
     owner = (my - step) % tp
-    chunk = jax.lax.dot_general(
-        x, w_cur.astype(x.dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * s_cur.astype(jnp.float32)[None, :]
+    if packed_int4:
+      w32 = w_cur.astype(jnp.int32)
+      lo = (((w32 & 0xF) ^ 8) - 8).astype(x.dtype)   # x[:, :K/2] half
+      hi = (((w32 >> 4) ^ 8) - 8).astype(x.dtype)    # x[:, K/2:] half
+      k2 = w32.shape[1]
+      chunk = jax.lax.dot_general(
+          x[:, :k2], lo,
+          dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      chunk = chunk + jax.lax.dot_general(
+          x[:, k2:], hi,
+          dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      chunk = chunk * s_cur.astype(jnp.float32)[None, :]
+    else:
+      chunk = jax.lax.dot_general(
+          x, w_cur.astype(x.dtype),
+          dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+      ) * s_cur.astype(jnp.float32)[None, :]
     y = jax.lax.dynamic_update_slice(
         y, chunk.astype(y.dtype), (0, owner * n_shard))
     # Pass the integer shard to the right neighbor; the permute overlaps
@@ -70,15 +89,17 @@ def ring_weight_gather_matmul_local(
   return y
 
 
-def make_ring_matmul(mesh: Mesh, axis_name: str = 'tp'):
+def make_ring_matmul(mesh: Mesh, axis_name: str = 'tp',
+                     packed_int4: bool = False):
   """jitted f(x, w_sharded, scale_sharded) -> y with the ring schedule.
 
   w must be placed with P('tp', None) (shards along out-channels: the
   quantized dim, so scales shard congruently and packed sub-byte rows never
-  straddle devices).
+  straddle devices). packed_int4=True streams split-half packed uint8
+  shards around the ring (half the ICI bytes of int8, an eighth of f32).
   """
   body = functools.partial(ring_weight_gather_matmul_local,
-                           axis_name=axis_name)
+                           axis_name=axis_name, packed_int4=packed_int4)
   in_specs = (P(), P(axis_name, None), P(axis_name))
   if hasattr(jax, 'shard_map'):  # jax >= 0.8 keyword-only API
     fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),

@@ -56,6 +56,8 @@ def measure(cfg, batch, n_devices, dp, steps=8):
 
 
 def main():
+  import json
+
   n = len(jax.devices())
   preset = os.environ.get('AEQT_SCALING_PRESET', 'toy')
   cfg = gemma.TOY_DECODER if preset == 'toy' else gemma.GEMMA_2B_LITE
@@ -69,6 +71,24 @@ def main():
   print(f'devices={half} dp=1: {r1:.1f} tokens/s')
   print(f'devices={n} dp=2: {r2:.1f} tokens/s')
   print(f'scaling efficiency (1 -> 2 host-equivalents): {scaling:.1%}')
+
+  # Driver-readable artifact. On a virtual CPU mesh the efficiency number
+  # is NOT meaningful hardware evidence (devices share one host's cores) —
+  # record it with its backend so the judge can tell which kind it is.
+  artifact = {
+      'backend': jax.default_backend(),
+      'n_devices': n,
+      'preset': preset,
+      'tokens_s_1host_eq': round(r1, 1),
+      'tokens_s_2host_eq': round(r2, 1),
+      'scaling_efficiency_1_to_2': round(scaling, 4),
+      'meaningful_hardware_number': jax.default_backend() == 'tpu' and n > 1,
+  }
+  out_path = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), 'SCALING_r03.json')
+  with open(out_path, 'w') as f:
+    json.dump(artifact, f, indent=1)
+  print(f'artifact written: {out_path}')
 
 
 if __name__ == '__main__':

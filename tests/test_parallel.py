@@ -150,3 +150,27 @@ class TestMeshDecodeServer:
     mesh = mesh_lib.make_mesh(8, dp=2)
     with pytest.raises(ValueError, match='must divide'):
       DecodeServer(graph, cfg, batch_slots=3, mesh=mesh)
+
+
+def test_ring_matmul_packed_int4():
+  """Packed-int4 ring gather: half the ICI bytes per hop, exact numerics
+  vs the dense dequant matmul."""
+  import jax.numpy as jnp
+  from ai_edge_quantizer_tpu.kernels import pallas_qmatmul
+  from ai_edge_quantizer_tpu.parallel import collectives
+
+  rng = np.random.default_rng(0)
+  mesh8 = mesh_lib.make_mesh(8, dp=1)
+  tp = mesh8.shape['tp']
+  n, k, b = 32 * tp, 64, 4
+  w = rng.integers(-8, 8, (n, k)).astype(np.int8)
+  s = (rng.random(n) * 0.02 + 0.01).astype(np.float32)
+  x = rng.standard_normal((b, k)).astype(np.float32)
+  packed = pallas_qmatmul.pack_int4_split(jnp.asarray(w))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  wp = jax.device_put(packed, NamedSharding(mesh8, P('tp', None)))
+  sp = jax.device_put(jnp.asarray(s), NamedSharding(mesh8, P('tp')))
+  fn = collectives.make_ring_matmul(mesh8, packed_int4=True)
+  got = np.asarray(fn(jnp.asarray(x), wp, sp))
+  want = x @ (w.astype(np.float32) * s[:, None]).T
+  np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
