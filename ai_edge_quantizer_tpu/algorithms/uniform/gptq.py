@@ -118,12 +118,15 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
     diag = jnp.where(diag != 0, diag, 1.0)
     damped = diag + damp_factor * jnp.mean(diag)
     h = jnp.fill_diagonal(h, damped, inplace=False)
-    eye = jnp.eye(d, dtype=jnp.float32)
     l = jax.scipy.linalg.cholesky(h, lower=True)
-    l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    l_inv = jax.scipy.linalg.solve_triangular(
+        l, jnp.eye(d, dtype=jnp.float32), lower=True)
     x = l_inv.T @ l_inv
-    for _ in range(2):  # Newton: X <- X (2I - H X)
-      x = x @ (2.0 * eye - h @ x)
+    for _ in range(2):
+      # Newton X <- X (2I - H X), expanded as 2X - X(HX): no d x d
+      # identity temp alive through the refinement — at d=16k each saved
+      # temp is 1 GiB of HLO scratch (the eye-form OOM'd a 16 GiB chip).
+      x = 2.0 * x - x @ (h @ x)
     x = 0.5 * (x + x.T)  # re-symmetrize f32 round-off
     return x
 

@@ -1280,3 +1280,183 @@ def decode_attention_oproj_pallas(
   )(lens, q2, k2, v2, x2, wo_packed, scales,
     so.astype(jnp.float32).reshape(1, d))
   return out.reshape(x_res.shape).astype(x_res.dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV cache with per-token (per-written-row) dynamic scales.
+#
+# Packed layout: uint8 [B, NK, S, H//2], split-half along H (byte j holds
+# h=j in the low nibble, h=j+H/2 in the high nibble — same scheme as
+# pallas_qmatmul.pack_int4_split, so unpack is two mask/shift ops and the
+# two half-matrices contract against the matching halves of q).
+# Scales: bf16 [B, NK, 8, S]; sublane 0 = K row scales, sublane 1 = V row
+# scales, sublanes 2-7 pad to the f32/bf16 tile (the 8-row pad costs ~6%
+# of the bytes the int4 packing saves).
+#
+# Numerics: K_s = nib_K(s) * kscale_s, so scores[:, s] scale by kscale_s
+# AFTER the integer-valued dot; V_s likewise, so probs scale by vscale_s
+# BEFORE the context dot (exact linear algebra, no approximation beyond
+# the int4 grid itself).
+# ---------------------------------------------------------------------------
+
+
+def pack_int4_rows(x_q: jax.Array) -> jax.Array:
+  """int8 int4-valued [..., H] -> uint8 [..., H//2] (split-half on H)."""
+  h = x_q.shape[-1]
+  lo = x_q[..., : h // 2].astype(jnp.uint8) & 0xF
+  hi = x_q[..., h // 2:].astype(jnp.uint8) & 0xF
+  return lo | (hi << 4)
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+  """Inverse of pack_int4_rows: uint8 [..., H//2] -> int8 [..., H]."""
+  w32 = packed.astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+  hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
+  return jnp.concatenate([lo, hi], axis=-1)
+
+
+def quantize_kv_rows_int4(x: jax.Array):
+  """Per-row (last-dim) dynamic int4 quantization of K/V rows.
+
+  x [..., H] float -> (packed uint8 [..., H//2], scale f32 [...]).
+  """
+  absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+  scale = jnp.maximum(absmax, 1e-9) * (1.0 / 7.0)
+  q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+               -8, 7).astype(jnp.int8)
+  return pack_int4_rows(q), scale
+
+
+def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
+  """Per-row context over [0, length) with int4 packed K/V + row scales.
+
+  q: [G, H] f32 values. kp_ref/vp_ref: [S, H/2] uint8 refs.
+  sc_ref: [8, S] bf16 ref (row 0 = kscale, row 1 = vscale).
+  """
+  g, h = q.shape
+  s = kp_ref.shape[0]
+  h2 = h // 2
+  pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+  qb = q.astype(jnp.bfloat16)
+  k32 = kp_ref[:].astype(jnp.int32)
+  klo = (((k32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)   # [S, H/2]
+  khi = (((k32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  scores = jax.lax.dot_general(
+      qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  scores += jax.lax.dot_general(
+      qb[:, h2:], khi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  kscale = sc_ref[0:1, :].astype(jnp.float32)          # [1, S]
+  scores = scores * kscale * (1.0 / (h ** 0.5))
+  scores = jnp.where(pos < length, scores, -1e30)
+  scores = scores - jnp.max(scores, axis=1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+  vscale = sc_ref[1:2, :].astype(jnp.float32)
+  pv = (probs * vscale).astype(jnp.bfloat16)           # [G, S]
+  v32 = vp_ref[:].astype(jnp.int32)
+  vlo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+  vhi = (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  ctx_lo = jax.lax.dot_general(
+      pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  ctx_hi = jax.lax.dot_general(
+      pv, vhi, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  return jnp.concatenate([ctx_lo, ctx_hi], axis=1)     # [G, H]
+
+
+@functools.partial(
+    jax.jit, static_argnames=('batch_block', 'out_dtype', 'interpret'))
+def decode_attention_int4_lengths(
+    q: jax.Array,
+    k_packed: jax.Array,
+    v_packed: jax.Array,
+    kv_scales: jax.Array,
+    lengths: jax.Array,
+    batch_block: int = 4,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+  """Decode attention over an int4-packed KV cache with per-token scales.
+
+  q [B, NK, G, H] float; k_packed/v_packed [B, NK, S, H//2] uint8;
+  kv_scales [B, NK, 8, S] bf16 (sublane 0 = K scales, 1 = V scales);
+  lengths [B] int32 visible-prefix lengths. Streams HALF the int8 path's
+  cache bytes — the decode step's dominant HBM traffic.
+  """
+  b, nk, g, h = q.shape
+  s = k_packed.shape[2]
+  h2 = h // 2
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  # VMEM: two double-buffered packed streams + the scale rows.
+  while bb > 1 and 2 * (2 * bb * s * h2) + 2 * bb * 8 * s > 14 * 2**20:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_packed.reshape(bn_rows, s, h2)
+  v2 = v_packed.reshape(bn_rows, s, h2)
+  sc2 = kv_scales.reshape(bn_rows, 8, s).astype(jnp.bfloat16)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
+
+  def kernel(lens_ref, q_ref, kp_ref, vp_ref, sc_ref, o_ref):
+    row0 = pl.program_id(0) * bb
+    for row in range(bb):
+      ctx = _ctx_prefix_len_int4(
+          q_ref[row], kp_ref.at[row], vp_ref.at[row], sc_ref.at[row],
+          lens_ref[row0 + row])
+      o_ref[row] = ctx.astype(o_ref.dtype)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(bn_rows // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, 8, s), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+  )
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), out_dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * bn_rows * g * s * h,
+          bytes_accessed=bn_rows * s * (h + 2 * 2),
+          transcendentals=bn_rows * g * s),
+      interpret=interpret,
+  )(lens, q2, k2, v2, sc2)
+  return out.reshape(b, nk, g, h)
+
+
+def decode_attention_int4_ref(q, k_packed, v_packed, kv_scales, lengths):
+  """XLA twin of decode_attention_int4_lengths (tests + validation)."""
+  b, nk, g, h = q.shape
+  s = k_packed.shape[2]
+  kq = unpack_int4_rows(k_packed).astype(jnp.float32)   # [B, NK, S, H]
+  vq = unpack_int4_rows(v_packed).astype(jnp.float32)
+  ks = kv_scales[:, :, 0, :].astype(jnp.float32)        # [B, NK, S]
+  vs = kv_scales[:, :, 1, :].astype(jnp.float32)
+  k = kq * ks[..., None]
+  v = vq * vs[..., None]
+  scores = jnp.einsum('bngh,bnsh->bngs', q.astype(jnp.float32), k)
+  scores = scores / (h ** 0.5)
+  pos = jnp.arange(s)[None, None, None, :]
+  scores = jnp.where(pos < lengths[:, None, None, None], scores, -1e30)
+  scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+  return jnp.einsum('bngs,bnsh->bngh', probs, v)

@@ -656,3 +656,70 @@ class TestWritebackAttention:
       else:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
                                    err_msg=name)
+
+
+class TestInt4KvAttention:
+  """int4-packed KV cache with per-token scales (opt-in serving
+  primitive: ~11-16% attention error on gaussian data vs float — the
+  serving DEFAULT stays int8 KV; this kernel is for quality-tolerant
+  deployments wanting the extra 2x cache-bandwidth cut)."""
+
+  def _data(self, b=3, nk=1, g=8, h=128, s=256, seed=0):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(seed)
+    kf = rng.standard_normal((b, nk, s, h)).astype(np.float32)
+    vf = rng.standard_normal((b, nk, s, h)).astype(np.float32)
+    kp, ks = pa.quantize_kv_rows_int4(jnp.asarray(kf))
+    vp, vs = pa.quantize_kv_rows_int4(jnp.asarray(vf))
+    sc = jnp.zeros((b, nk, 8, s), jnp.bfloat16)
+    sc = sc.at[:, :, 0, :].set(ks.astype(jnp.bfloat16))
+    sc = sc.at[:, :, 1, :].set(vs.astype(jnp.bfloat16))
+    q = jnp.asarray(rng.standard_normal((b, nk, g, h)), jnp.float32)
+    lengths = jnp.asarray([s - 6, 100, 37][:b], jnp.int32)
+    return q, kp, vp, sc, lengths
+
+  def test_pack_roundtrip(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(1)
+    x = rng.integers(-8, 8, (2, 5, 64)).astype(np.int8)
+    packed = pa.pack_int4_rows(jnp.asarray(x))
+    assert packed.shape == (2, 5, 32)
+    np.testing.assert_array_equal(
+        np.asarray(pa.unpack_int4_rows(packed)), x)
+
+  def test_kernel_matches_xla_twin(self):
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kp, vp, sc, lengths = self._data()
+    got = np.asarray(pa.decode_attention_int4_lengths(
+        q, kp, vp, sc, lengths, interpret=True))
+    want = np.asarray(pa.decode_attention_int4_ref(q, kp, vp, sc, lengths))
+    # bf16 kernel dots vs the twin's f32: sub-percent agreement.
+    err = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9))
+    assert err < 1e-2, err
+
+  def test_length_masking(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    q, kp, vp, sc, _ = self._data(b=1)
+    lengths = jnp.asarray([5], jnp.int32)
+    out1 = np.asarray(pa.decode_attention_int4_lengths(
+        q, kp, vp, sc, lengths, interpret=True))
+    # Poisoning the tail (positions >= 5) must not change the output.
+    kp2 = kp.at[:, :, 10:].set(255)
+    sc2 = sc.at[:, :, 0, 10:].set(99.0)
+    out2 = np.asarray(pa.decode_attention_int4_lengths(
+        q, kp2, vp, sc2, lengths, interpret=True))
+    np.testing.assert_allclose(out1, out2)
+
+  def test_quantize_rows_roundtrip_error(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 1, 16, 64)).astype(np.float32)
+    packed, scale = pa.quantize_kv_rows_int4(jnp.asarray(x))
+    deq = np.asarray(pa.unpack_int4_rows(packed)).astype(
+        np.float32) * np.asarray(scale)[..., None]
+    rel = np.linalg.norm(deq - x) / np.linalg.norm(x)
+    assert rel < 0.12, rel  # int4 grid noise ~ scale/sqrt(12)
