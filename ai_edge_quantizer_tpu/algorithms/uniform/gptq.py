@@ -98,18 +98,22 @@ def _inverse_via_cholesky_host(hessian: np.ndarray,
 
 def _inverse_via_cholesky_device(hessian: np.ndarray,
                                  damp_factor: float) -> np.ndarray:
-  """H⁻¹ on device: f32 Cholesky + triangular solve + Newton refinement.
+  """H⁻¹ on device via Newton–Schulz: pure MXU matmuls, no factorization.
 
-  The O(d³) factorization/solves run as MXU matmuls; two Newton steps
-  X ← X(2I − HX) recover the accuracy the f32 factorization loses vs the
-  host f64 path (residual ‖HX − I‖ squares per step). Memory: 3 d×d f32
-  buffers — a 32k-dim FFN Hessian fits one chip's HBM, where the host
-  f64 path needs >8 GiB and minutes of single-threaded LAPACK.
+  For SPD H (which a damped 2/n·XᵀX Hessian is), X₀ = I/‖H‖∞ gives
+  spectral radius ρ(I − X₀H) < 1, and X ← 2X − X(HX) then squares the
+  residual per step — ~log₂(cond) + 6 iterations to f32 convergence,
+  each just two d×d matmuls. This replaces the earlier f32 Cholesky +
+  triangular-solve design: XLA's blocked triangular solve at d ≥ 8k both
+  compiles O(d²)-sized DUS temps (66 GiB of HLO scratch at d=16k — an
+  OOM on a 16 GiB chip) and returned inaccurate inverses through this
+  toolchain, while Newton–Schulz needs only ~4 d×d f32 buffers (4 GiB at
+  d=32k) and runs at MXU matmul speed. Residual-checked early exit via
+  lax.while_loop; the damping floor (damp_factor · mean diag) bounds the
+  condition number so the iteration count stays small.
   """
   import jax
   import jax.numpy as jnp
-
-  d = hessian.shape[0]
 
   @jax.jit
   def solve(h):
@@ -118,19 +122,39 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
     diag = jnp.where(diag != 0, diag, 1.0)
     damped = diag + damp_factor * jnp.mean(diag)
     h = jnp.fill_diagonal(h, damped, inplace=False)
-    l = jax.scipy.linalg.cholesky(h, lower=True)
-    l_inv = jax.scipy.linalg.solve_triangular(
-        l, jnp.eye(d, dtype=jnp.float32), lower=True)
-    x = l_inv.T @ l_inv
-    for _ in range(2):
-      # Newton X <- X (2I - H X), expanded as 2X - X(HX): no d x d
-      # identity temp alive through the refinement — at d=16k each saved
-      # temp is 1 GiB of HLO scratch (the eye-form OOM'd a 16 GiB chip).
-      x = 2.0 * x - x @ (h @ x)
-    x = 0.5 * (x + x.T)  # re-symmetrize f32 round-off
-    return x
+    h = 0.5 * (h + h.T)
+    inf_norm = jnp.max(jnp.sum(jnp.abs(h), axis=1))
+    d = h.shape[0]
+    x0 = jnp.zeros_like(h)
+    x0 = jnp.fill_diagonal(x0, jnp.full((d,), 1.0, jnp.float32) / inf_norm,
+                           inplace=False)
 
-  return np.asarray(jax.device_get(solve(jnp.asarray(hessian))))
+    def cond(state):
+      _, err, it = state
+      return jnp.logical_and(err > 1e-5, it < 60)
+
+    def body(state):
+      x, _, it = state
+      hx = h @ x
+      # max|HX - I| without materializing an identity: off-diagonal max
+      # vs diagonal deviation.
+      derr = jnp.max(jnp.abs(jnp.diagonal(hx) - 1.0))
+      oerr = jnp.max(jnp.abs(jnp.fill_diagonal(
+          hx, jnp.zeros((d,), jnp.float32), inplace=False)))
+      x = 2.0 * x - x @ hx
+      return x, jnp.maximum(derr, oerr), it + 1
+
+    x, err, it = jax.lax.while_loop(
+        cond, body, (x0, jnp.float32(1.0), jnp.int32(0)))
+    return 0.5 * (x + x.T), err, it
+
+  x, err, it = solve(jnp.asarray(hessian))
+  x = np.asarray(jax.device_get(x))
+  if not np.isfinite(x).all():
+    raise RuntimeError(
+        f'device Hessian inverse diverged (residual {float(err):.2e} after '
+        f'{int(it)} Newton-Schulz steps).')
+  return x
 
 
 def _inverse_via_cholesky(hessian: np.ndarray,

@@ -175,6 +175,13 @@ def main():
   sg = graph.subgraphs[sig.subgraph_index]
   fc_keys = [(sig.subgraph_index, op.inputs[1]) for op in sg.ops
              if op.opcode == 'FULLY_CONNECTED' and len(op.inputs) > 1]
+  # MLP fusion replaces per-FC weights with synthetic grouped/concat keys
+  # (negative tids); sweep what actually lives in the serving weight dict.
+  fused_out = [k for k in fc_keys if k not in weights]
+  fc_keys = [k for k in fc_keys if k in weights]
+  if fused_out:
+    log(f'fc sweep: {len(fused_out)} weights folded into megakernels '
+        '(measured inside the full step, not here)')
   x_by_k = {}
 
   def fc_one(w, xs, key):

@@ -32,12 +32,18 @@ def log(*a):
 
 
 def make_hessian_device(d: int, seed: int = 0) -> jax.Array:
-  """A realistic-conditioned PSD Hessian built ON DEVICE (2/n X^T X form:
-  low-rank part + diagonal floor, condition number ~1e4)."""
+  """A realistic 2/n X^T X calibration Hessian built ON DEVICE (n = 2d
+  samples -> full rank, the conditioning a converged calibration run
+  produces; GPTQ's 1% damping bounds the condition number regardless)."""
   key = jax.random.PRNGKey(seed)
-  r = min(d // 4, 2048)
-  b = jax.random.normal(key, (d, r), jnp.float32)
-  h = (b @ b.T) * (2.0 / r) + jnp.eye(d, dtype=jnp.float32) * 1e-3
+  n = 2 * d
+  h = jnp.zeros((d, d), jnp.float32)
+  # Accumulate in 8 chunks so the [n, d] sample matrix never exists whole.
+  for i in range(8):
+    xk = jax.random.normal(jax.random.fold_in(key, i), (n // 8, d),
+                           jnp.float32)
+    h = h + xk.T @ xk
+  h = h * (2.0 / n)
   return jax.block_until_ready(h)
 
 
