@@ -13,6 +13,7 @@ Parity: reference `algorithms/uniform_quantize/gptq.py`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Mapping, Optional
 
 import numpy as np
@@ -113,6 +114,22 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
   condition number so the iteration count stays small.
   """
   import jax
+
+  solve = _device_ns_solver(float(damp_factor))
+  x, err, it = solve(hessian)
+  x = np.asarray(jax.device_get(x))
+  if not np.isfinite(x).all():
+    raise RuntimeError(
+        f'device Hessian inverse diverged (residual {float(err):.2e} after '
+        f'{int(it)} Newton-Schulz steps).')
+  return x
+
+
+@functools.lru_cache(maxsize=4)
+def _device_ns_solver(damp_factor: float):
+  """Jitted Newton-Schulz solver, cached so repeated solves (one per FC
+  layer shape) reuse the compiled executable."""
+  import jax
   import jax.numpy as jnp
 
   @jax.jit
@@ -123,6 +140,12 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
     damped = diag + damp_factor * jnp.mean(diag)
     h = jnp.fill_diagonal(h, damped, inplace=False)
     h = 0.5 * (h + h.T)
+    # Jacobi preconditioning: iterate on Hn = D^-1/2 H D^-1/2 (unit
+    # diagonal). Calibration Hessians have wildly varying diagonals
+    # (2/n sum x_i^2 per input channel); normalizing slashes the
+    # condition number NS has to fight in f32. X = D^-1/2 Xn D^-1/2.
+    dsqrt_inv = jax.lax.rsqrt(damped)
+    h = h * dsqrt_inv[:, None] * dsqrt_inv[None, :]
     inf_norm = jnp.max(jnp.sum(jnp.abs(h), axis=1))
     d = h.shape[0]
     x0 = jnp.zeros_like(h)
@@ -130,11 +153,17 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
                            inplace=False)
 
     def cond(state):
-      _, err, it = state
-      return jnp.logical_and(err > 1e-5, it < 60)
+      _, err, prev_err, it = state
+      converged = err <= 1e-5
+      # Plateau: in the squaring regime err drops superlinearly; once an
+      # iteration fails to halve it we are at the f32 floor — more steps
+      # only burn matmuls.
+      plateaued = jnp.logical_and(it > 8, err > 0.5 * prev_err)
+      return jnp.logical_and(
+          it < 60, jnp.logical_not(jnp.logical_or(converged, plateaued)))
 
     def body(state):
-      x, _, it = state
+      x, err, _, it = state
       hx = h @ x
       # max|HX - I| without materializing an identity: off-diagonal max
       # vs diagonal deviation.
@@ -142,19 +171,14 @@ def _inverse_via_cholesky_device(hessian: np.ndarray,
       oerr = jnp.max(jnp.abs(jnp.fill_diagonal(
           hx, jnp.zeros((d,), jnp.float32), inplace=False)))
       x = 2.0 * x - x @ hx
-      return x, jnp.maximum(derr, oerr), it + 1
+      return x, jnp.maximum(derr, oerr), err, it + 1
 
-    x, err, it = jax.lax.while_loop(
-        cond, body, (x0, jnp.float32(1.0), jnp.int32(0)))
+    x, err, _, it = jax.lax.while_loop(
+        cond, body, (x0, jnp.float32(1.0), jnp.float32(2.0), jnp.int32(0)))
+    x = x * dsqrt_inv[:, None] * dsqrt_inv[None, :]
     return 0.5 * (x + x.T), err, it
 
-  x, err, it = solve(jnp.asarray(hessian))
-  x = np.asarray(jax.device_get(x))
-  if not np.isfinite(x).all():
-    raise RuntimeError(
-        f'device Hessian inverse diverged (residual {float(err):.2e} after '
-        f'{int(it)} Newton-Schulz steps).')
-  return x
+  return solve
 
 
 def _inverse_via_cholesky(hessian: np.ndarray,

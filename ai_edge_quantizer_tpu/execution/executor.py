@@ -1324,6 +1324,14 @@ class GraphExecutor:
       env[op.outputs[0]] = out
       return
 
+    if (
+        self.use_fused_kernels
+        and opcode in ('CONV_2D', 'DEPTHWISE_CONV_2D')
+        and os.environ.get('AEQT_SRQ_INT', '1') == '1'
+        and self._try_srq_int_conv(sg, op, env)
+    ):
+      return
+
     impl_fn = ops_impl.OPS.get(opcode)
     if impl_fn is None:
       raise NotImplementedError(f'No executor impl for op {opcode!r}.')
@@ -1345,6 +1353,80 @@ class GraphExecutor:
     if not isinstance(result, tuple):
       result = (result,)
     self._store_outputs(sg, op, result, env)
+
+  def _try_srq_int_conv(self, sg: ir.Subgraph, op: ir.Op,
+                        env: dict) -> bool:
+    """Integer SRQ convolution: int8 x int8 -> int32 on the MXU.
+
+    SAME padding pads with the ACTIVATION ZERO POINT (TFLite integer-conv
+    semantics: padded pixels dequantize to 0.0, matching the float
+    model's zero padding), so every output window sums the full weight
+    stencil and the zero-point correction is the constant
+    zp_x * sum(w) per output channel. y = (acc - zp*wsum) * s_x * s_w.
+    8x the f32 MXU rate of the dequantize-first generic path — the
+    MobileNet/encoder-class SRQ serving fast path. Returns False when
+    the op doesn't fit (the generic path then runs)."""
+    x_tid, w_tid = op.inputs[0], op.inputs[1]
+    if x_tid < 0 or w_tid < 0:
+      return False
+    x_t, w_t = sg.tensors[x_tid], sg.tensors[w_tid]
+    xq, wq_info = x_t.quantization, w_t.quantization
+    x_val, w_val = env.get(x_tid), env.get(w_tid)
+    if (
+        xq is None or wq_info is None
+        or x_val is None or w_val is None
+        or getattr(x_val, 'dtype', None) != jnp.int8
+        or getattr(w_val, 'dtype', None) != jnp.int8
+        or np.asarray(xq.scale).size != 1
+        or not np.all(np.asarray(wq_info.zero_point) == 0)
+        or wq_info.block_size
+    ):
+      return False
+    s = int(op.attrs.get('stride', 1))
+    padding = op.attrs.get('padding', 'SAME')
+    if not isinstance(padding, str):
+      return False
+    zp = int(np.asarray(xq.zero_point).reshape(()))
+    depthwise = op.opcode == 'DEPTHWISE_CONV_2D'
+    if depthwise:
+      ch = w_val.shape[-1]
+      if int(w_val.shape[0]) != 1 or ch != int(x_val.shape[-1]):
+        return False  # channel multiplier > 1: generic path
+      w_conv = jnp.transpose(w_val, (3, 1, 2, 0))  # [ch, kh, kw, 1]
+      groups = ch
+      w_sums = jnp.sum(w_val.astype(jnp.int32), axis=(0, 1, 2))  # [ch]
+    else:
+      w_conv = w_val  # [out_c, kh, kw, in_c]
+      groups = 1
+      w_sums = jnp.sum(w_val.astype(jnp.int32), axis=(1, 2, 3))  # [out_c]
+    kh, kw = int(w_conv.shape[1]), int(w_conv.shape[2])
+    pads = jax.lax.padtype_to_pads(
+        x_val.shape[1:3], (kh, kw), (s, s), padding)
+    if zp != 0 and any(p != (0, 0) for p in pads):
+      x_padded = jnp.pad(
+          x_val, ((0, 0), pads[0], pads[1], (0, 0)),
+          constant_values=np.int8(zp))
+      conv_pads = 'VALID'
+    else:
+      x_padded = x_val
+      conv_pads = list(pads)
+    acc = jax.lax.conv_general_dilated(
+        x_padded, w_conv, window_strides=(s, s), padding=conv_pads,
+        dimension_numbers=('NHWC', 'OHWI', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    acc = acc - jnp.int32(zp) * w_sums[None, None, None, :]
+    y = acc.astype(jnp.float32) * (
+        float(np.asarray(xq.scale).reshape(()))
+        * jnp.asarray(np.asarray(wq_info.scale, np.float32).reshape(-1)))
+    b_tid = op.inputs[2] if len(op.inputs) > 2 else -1
+    if b_tid >= 0:
+      y = y + self._dequant_view(sg, b_tid, env)
+    y = ops_impl._fused_activation(
+        y, op.attrs.get('fused_activation', 'NONE'))
+    self._store_outputs(sg, op, (y,), env)
+    return True
 
   def _store_outputs(self, sg: ir.Subgraph, op: ir.Op, values: tuple,
                      env: dict) -> None:
@@ -1756,12 +1838,28 @@ class GraphExecutor:
             zero_point=None if symmetric else jnp.asarray(q.zero_point),
             bias=bias, block_size=q.block_size)
     else:
-      # SRQ: integer activation; scaled-accumulator path.
-      x_f = quant_arith.dequantize(x_val, x_t.quantization)
-      y = qmm.qmatmul(
-          x_f, w_q, jnp.asarray(q.scale),
-          zero_point=None if symmetric else jnp.asarray(q.zero_point),
-          bias=bias, block_size=q.block_size)
+      # SRQ: integer activation.
+      xq = x_t.quantization
+      if (
+          symmetric and q.block_size == 0
+          and x_val.dtype == jnp.int8 and w_q.dtype == jnp.int8
+          and np.asarray(xq.scale).size == 1
+          and os.environ.get('AEQT_SRQ_INT', '1') == '1'
+      ):
+        # True integer execution: int8 x int8 -> int32 on the MXU, zero
+        # point folded through the weight row sums — 8x the f32 MXU rate
+        # of the dequantize-first path (the reference's QS8 semantics).
+        y = qmm.srq_matmul(
+            x_val, np.asarray(xq.scale).reshape(()),
+            np.asarray(xq.zero_point).reshape(()), w_q,
+            jnp.asarray(q.scale), bias=bias)
+      else:
+        # Scaled-accumulator fallback (int16 acts, blockwise, asym w).
+        x_f = quant_arith.dequantize(x_val, x_t.quantization)
+        y = qmm.qmatmul(
+            x_f, w_q, jnp.asarray(q.scale),
+            zero_point=None if symmetric else jnp.asarray(q.zero_point),
+            bias=bias, block_size=q.block_size)
     y = ops_impl._fused_activation(
         y, op.attrs.get('fused_activation', 'NONE'))
     self._store_outputs(sg, op, (y,), env)

@@ -134,6 +134,44 @@ def drq_matmul(
                         act_num_bits=act_num_bits)
 
 
+def srq_matmul(
+    x_q: jax.Array,
+    x_scale,
+    x_zero_point,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+  """Static-range integer matmul: int8 x int8 -> int32 on the MXU.
+
+  x_q [..., K] int8 with per-TENSOR (x_scale, x_zero_point); w_q [N, K]
+  int8 symmetric with per-channel (or scalar) w_scale. The activation
+  zero point enters in closed form through the per-channel weight row
+  sums (constant-folded by XLA):
+
+      y = (x_q . w_q^T  -  zp_x * rowsum(w_q)) * s_x * s_w  + bias
+
+  This is the path the reference's integer kernels take (XNNPACK QS8):
+  both operands stay int8 all the way into the systolic array — 8x the
+  f32 MXU rate the dequantize-first path pays.
+  """
+  acc = jax.lax.dot_general(
+      x_q, w_q,
+      dimension_numbers=(((x_q.ndim - 1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32,
+  )
+  zp = jnp.asarray(x_zero_point, jnp.int32).reshape(())
+  row_sums = jnp.sum(w_q.astype(jnp.int32), axis=1)  # [N], folded by XLA
+  acc = acc - zp * row_sums
+  y = acc.astype(jnp.float32) * (
+      jnp.asarray(x_scale, jnp.float32).reshape(())
+      * w_scale.astype(jnp.float32).reshape(-1))
+  if bias is not None:
+    y = y + bias.astype(jnp.float32)
+  return y.astype(out_dtype)
+
+
 def qmatmul(
     x: jax.Array,
     w_q: jax.Array,

@@ -66,14 +66,19 @@ def main():
     t0 = time.perf_counter()
     x = gptq._inverse_via_cholesky_device(np.asarray(h_dev),
                                           gptq._DAMP_FACTOR)
+    dt_cold = time.perf_counter() - t0  # includes the remote XLA compile
+    t0 = time.perf_counter()
+    x = gptq._inverse_via_cholesky_device(np.asarray(h_dev),
+                                          gptq._DAMP_FACTOR)
     dt = time.perf_counter() - t0
     h_host = np.asarray(h_dev)
     res = residual(h_host, x)
     ws_gib = 3 * d * d * 4 / 2**30
-    log(f'device d={d}: {dt:.2f}s, residual {res:.2e}, '
-        f'working set ~{ws_gib:.2f} GiB')
+    log(f'device d={d}: {dt:.2f}s warm / {dt_cold:.2f}s incl. compile, '
+        f'residual {res:.2e}, working set ~{ws_gib:.2f} GiB')
     results[f'device_d{d}'] = {
-        'solve_s': round(dt, 2), 'residual_max': float(f'{res:.3e}'),
+        'solve_s': round(dt, 2), 'solve_incl_compile_s': round(dt_cold, 2),
+        'residual_max': float(f'{res:.3e}'),
         'working_set_gib': round(ws_gib, 2),
     }
     del h_dev
