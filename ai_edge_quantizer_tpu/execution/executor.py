@@ -1332,6 +1332,14 @@ class GraphExecutor:
     ):
       return
 
+    if (
+        self.use_fused_kernels
+        and opcode == 'BATCH_MATMUL'
+        and os.environ.get('AEQT_SRQ_INT', '1') == '1'
+        and self._try_srq_int_bmm(sg, op, env)
+    ):
+      return
+
     impl_fn = ops_impl.OPS.get(opcode)
     if impl_fn is None:
       raise NotImplementedError(f'No executor impl for op {opcode!r}.')
@@ -1353,6 +1361,49 @@ class GraphExecutor:
     if not isinstance(result, tuple):
       result = (result,)
     self._store_outputs(sg, op, result, env)
+
+  def _try_srq_int_bmm(self, sg: ir.Subgraph, op: ir.Op,
+                       env: dict) -> bool:
+    """Integer SRQ batched matmul (SRQ attention score/context matmuls).
+
+    Both operands are int8 ACTIVATIONS with per-tensor params; the zero
+    points expand in closed form through runtime row/column sums:
+
+      (A - za)(B - zb) = AB - za*colsum(B) - zb*rowsum(A) + K*za*zb
+
+    so the big contraction stays int8 x int8 -> int32 on the MXU."""
+    a_tid, b_tid = op.inputs[0], op.inputs[1]
+    if a_tid < 0 or b_tid < 0:
+      return False
+    a_t, b_t = sg.tensors[a_tid], sg.tensors[b_tid]
+    aq, bq = a_t.quantization, b_t.quantization
+    a, b = env.get(a_tid), env.get(b_tid)
+    if (
+        aq is None or bq is None or a is None or b is None
+        or getattr(a, 'dtype', None) != jnp.int8
+        or getattr(b, 'dtype', None) != jnp.int8
+        or np.asarray(aq.scale).size != 1 or np.asarray(bq.scale).size != 1
+    ):
+      return False
+    if op.attrs.get('adj_x', False):
+      a = jnp.swapaxes(a, -1, -2)
+    if op.attrs.get('adj_y', False):
+      b = jnp.swapaxes(b, -1, -2)
+    k = a.shape[-1]
+    za = int(np.asarray(aq.zero_point).reshape(()))
+    zb = int(np.asarray(bq.zero_point).reshape(()))
+    acc = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+    if zb:
+      acc = acc - zb * jnp.sum(a.astype(jnp.int32), axis=-1, keepdims=True)
+    if za:
+      acc = acc - za * jnp.sum(b.astype(jnp.int32), axis=-2, keepdims=True)
+    if za and zb:
+      acc = acc + jnp.int32(k * za * zb)
+    y = acc.astype(jnp.float32) * (
+        float(np.asarray(aq.scale).reshape(()))
+        * float(np.asarray(bq.scale).reshape(())))
+    self._store_outputs(sg, op, (y,), env)
+    return True
 
   def _try_srq_int_conv(self, sg: ir.Subgraph, op: ir.Op,
                         env: dict) -> bool:

@@ -89,3 +89,47 @@ def test_srq_matmul_closed_form():
   w_f = w_q.astype(np.float64) * ws[:, None]
   want = x_f @ w_f.T + bias
   np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_integer_bmm_matches_dequant_path(monkeypatch):
+  """SRQ BATCH_MATMUL (attention score/context matmuls) via int8 MXU with
+  closed-form zero-point expansion matches the dequantize-first path."""
+  b = GraphBuilder('main')
+  p = b.input('p', (2, 4, 8, 32))
+  q = b.input('q', (2, 4, 32, 8))
+  z = b.op('BATCH_MATMUL', [p, q], [(2, 4, 8, 8)], output_names=['z'])
+  y = b.unary('SOFTMAX', z, name='probs')
+  b.output(y)
+  g = b.finalize()
+  quantized = _quantize_srq(g)
+  inputs = {
+      'p': RNG.normal(size=(2, 4, 8, 32)).astype(np.float32),
+      'q': RNG.normal(size=(2, 4, 32, 8)).astype(np.float32),
+  }
+  out_int = _run(quantized, inputs, monkeypatch, srq_int=True)
+  out_f32 = _run(quantized, inputs, monkeypatch, srq_int=False)
+  for k in out_f32:
+    a = np.asarray(out_int[k], np.float32)
+    c = np.asarray(out_f32[k], np.float32)
+    assert np.max(np.abs(a - c)) <= 1.0 + 1e-6, (k, np.max(np.abs(a - c)))
+
+
+def test_integer_bmm_adjoint_flags(monkeypatch):
+  """adj_x/adj_y transposes happen BEFORE the integer contraction."""
+  b = GraphBuilder('main')
+  p = b.input('p', (2, 32, 8))
+  q = b.input('q', (2, 32, 8))
+  z = b.op('BATCH_MATMUL', [p, q], [(2, 8, 8)], output_names=['z'],
+           attrs={'adj_x': True})
+  b.output(z)
+  g = b.finalize()
+  quantized = _quantize_srq(g)
+  inputs = {
+      'p': RNG.normal(size=(2, 32, 8)).astype(np.float32),
+      'q': RNG.normal(size=(2, 32, 8)).astype(np.float32),
+  }
+  out_int = _run(quantized, inputs, monkeypatch, srq_int=True)
+  out_f32 = _run(quantized, inputs, monkeypatch, srq_int=False)
+  a = np.asarray(out_int['z'], np.float32)
+  c = np.asarray(out_f32['z'], np.float32)
+  assert np.max(np.abs(a - c)) <= 1.0 + 1e-6
