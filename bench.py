@@ -193,8 +193,23 @@ def bench_server():
       materialize_weights=False, device_masks=True,
       fused_projections=True, greedy_head=True)
   gemma.stamp_int8_kv_cache(graph)
-  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
-                                               embedding_bits=8)
+  cache_path = (f'/tmp/aeqt_server_weights_{cfg.vocab_size}_'
+                f's{slots}_p{prefill_len}.npz')
+  weights = None
+  if os.path.exists(cache_path) and cfg.vocab_size > 1024:
+    try:
+      weights = gemma.load_materialized(graph, cache_path)
+    except Exception as ce:  # noqa: BLE001
+      log(f'server weight cache unreadable ({ce}); regenerating')
+      weights = None
+  if weights is None:
+    weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                                 embedding_bits=8)
+    if cfg.vocab_size > 1024:
+      try:
+        gemma.save_materialized(graph, weights, cache_path)
+      except Exception as ce:  # noqa: BLE001
+        log(f'server weight cache save failed: {ce}')
   import jax as _jax
   _jax.block_until_ready(list(weights.values()))
   log(f'server graph + weights: {time.time()-t0:.1f}s')
@@ -246,14 +261,23 @@ def bench_server():
   tok_s = tokens / wall
   ttft_p50 = float(np.percentile(ttfts, 50)) if ttfts else 0.0
   ttft_p99 = float(np.percentile(ttfts, 99)) if ttfts else 0.0
+  # First wave = the first `slots` admissions (no queue wait): isolates
+  # prefill/admission latency from saturation queueing.
+  wave = ttfts[:slots]
+  ttft_w50 = float(np.percentile(wave, 50)) if wave else 0.0
+  ttft_w99 = float(np.percentile(wave, 99)) if wave else 0.0
   log(f'server: {tokens} tokens / {wall:.2f}s = {tok_s:.0f} tok/s '
       f'({ticks} ticks, {done} requests, slots={slots})')
   log(f'TTFT p50 {ttft_p50*1e3:.0f} ms, p99 {ttft_p99*1e3:.0f} ms '
+      f'(saturated queue); first wave p50 {ttft_w50*1e3:.0f} ms, '
+      f'p99 {ttft_w99*1e3:.0f} ms '
       f'(prompt lens {prompt_lens}, prefill chunk {prefill_len})')
   artifact = {
       'server_tokens_s': round(tok_s, 1),
       'ttft_p50_ms': round(ttft_p50 * 1e3, 1),
       'ttft_p99_ms': round(ttft_p99 * 1e3, 1),
+      'ttft_first_wave_p50_ms': round(ttft_w50 * 1e3, 1),
+      'ttft_first_wave_p99_ms': round(ttft_w99 * 1e3, 1),
       'slots': slots,
       'requests': n_requests,
       'new_tokens_per_request': new_tokens,
