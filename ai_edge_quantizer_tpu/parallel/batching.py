@@ -396,6 +396,97 @@ class DecodeServer:
         self.metrics['requests_completed'] += 1
     return emitted
 
+  def step_chunk(self, n: int) -> dict:
+    """Admit, then run n decode ticks in ONE on-device lax.scan.
+
+    The sampled token feeds the next tick on device, so the host syncs
+    once per n tokens instead of once per token — through a high-latency
+    link the per-tick round-trip (~28 ms vs a ~6 ms device step)
+    otherwise dominates serving throughput. Requires a graph built with
+    greedy_head=True and device_masks=True (tokens/positions are the only
+    host inputs and sampling happens in-graph). Slots that finish inside
+    the chunk have their surplus tokens discarded (their cache writes are
+    masked out by position for any future occupant). Falls back to n
+    plain step() calls when the graph can't support it.
+
+    Returns {request_id: [tokens emitted this chunk]}.
+    """
+    if n <= 1 or not (
+        self._device_greedy
+        and self.graph.metadata.get('decode_device_masks')):
+      merged: dict = {}
+      for _ in range(n):
+        for rid, tok in self.step().items():
+          merged.setdefault(rid, []).append(tok)
+      return merged
+    self._expire()
+    if (self._buckets and self._queue
+        and not any(s.active for s in self._slots)
+        and self._bucket != self._buckets[0]):
+      self._alloc_caches(self._buckets[0])
+      self.metrics['bucket_switches'] += 1
+    self._admit()
+    active = [i for i, s in enumerate(self._slots) if s.active]
+    if not active:
+      return {}
+    self._fit_bucket(max(self._slots[i].pos for i in active) + n)
+    inputs = self._decode_inputs()
+    tokens0 = jnp.asarray(inputs['tokens'])
+    positions0 = jnp.asarray(inputs['positions'])
+    fn = self._chunk_fn_for(self._bucket, n)
+    toks, self._caches = fn(self._executor._weights, self._caches,
+                            tokens0, positions0)
+    toks = np.asarray(toks)  # [n, B, 1] int32
+    self.metrics['decode_ticks'] += n
+    emitted: dict = {}
+    for i in active:
+      slot = self._slots[i]
+      for step_i in range(n):
+        if slot.request is None:
+          break
+        token = int(toks[step_i, i, 0])
+        slot.request.generated.append(token)
+        emitted.setdefault(slot.request.request_id, []).append(token)
+        self._last_tokens[i, 0] = token
+        slot.pos += 1
+        self.metrics['tokens_generated'] += 1
+        if (len(slot.request.generated) >= slot.request.max_new_tokens
+            or slot.pos >= self.cfg.max_seq_len
+            or (self._eos is not None and token == self._eos)):
+          self._finish(slot.request, 'done')
+          slot.request = None
+          self.metrics['requests_completed'] += 1
+    return emitted
+
+  def _chunk_fn_for(self, bucket: int, n: int):
+    if not hasattr(self, '_chunk_fns'):
+      self._chunk_fns = {}
+    key = (bucket, n)
+    if key not in self._chunk_fns:
+      sig_key = f'decode_{bucket}' if self._buckets else 'decode'
+      sig = self.graph.signature_by_key(sig_key)
+      cache_keys = sorted(self._cache_dtypes)
+      seq_cap = bucket
+
+      def chunk(weights, caches, tokens, positions, _idx=sig.subgraph_index,
+                _key=sig_key):
+        def body(carry, _):
+          caches_c, tok, pos = carry
+          out = self._executor._run_signature(
+              _idx, _key, False, weights,
+              {'tokens': tok, 'positions': pos, **caches_c})
+          new_caches = {k: out[k[:-3]] for k in cache_keys}
+          nxt = out['next_tokens'].astype(jnp.int32)
+          pos2 = jnp.minimum(pos + 1, seq_cap - 1)
+          return (new_caches, nxt, pos2), nxt
+
+        (caches, _, _), toks = jax.lax.scan(
+            body, (caches, tokens, positions), None, length=n)
+        return toks, caches
+
+      self._chunk_fns[key] = jax.jit(chunk, donate_argnums=(1,))
+    return self._chunk_fns[key]
+
   def run_to_completion(self, max_ticks: int = 10000) -> None:
     for _ in range(max_ticks):
       if not self.has_work():

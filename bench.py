@@ -240,6 +240,15 @@ def bench_server():
   log(f'warmup (compiles): {time.time()-t0:.1f}s')
 
   n_requests = int(os.environ.get('AEQT_BENCH_REQUESTS', str(3 * slots)))
+  # Chunked ticks: n on-device decode steps per host sync (the per-tick
+  # round-trip otherwise dominates through a high-latency link).
+  tick_chunk = int(os.environ.get('AEQT_BENCH_TICK_CHUNK', '8'))
+  if tick_chunk > 1:
+    t0 = time.time()
+    submit_burst(1)
+    while server.has_work():
+      server.step_chunk(tick_chunk)
+    log(f'chunk warmup (scan compile): {time.time()-t0:.1f}s')
   base = dict(server.metrics)
   ttfts = []
   t0 = time.time()
@@ -247,7 +256,10 @@ def bench_server():
   # Track TTFT per request via the server's running accumulator deltas.
   prev_prefills, prev_ttft_sum = base['prefills'], base['ttft_sum_s']
   while server.has_work():
-    server.step()
+    if tick_chunk > 1:
+      server.step_chunk(tick_chunk)
+    else:
+      server.step()
     m = server.metrics
     if m['prefills'] > prev_prefills:
       ttfts.append((m['ttft_sum_s'] - prev_ttft_sum)

@@ -322,3 +322,37 @@ def test_device_greedy_disabled_with_custom_sampler(quantized_serving_graph):
   with pytest.raises(ValueError, match='greedy'):
     DecodeServer(g, cfg, batch_slots=4,
                  sample_fn=batching.make_topk_sampler(5))
+
+
+def test_step_chunk_matches_plain_steps(quantized_serving_graph):
+  """n on-device chunked ticks emit exactly the tokens n plain ticks
+  would (greedy device graph; surplus tokens past a request's budget are
+  discarded)."""
+  cfg, _ = quantized_serving_graph
+  g = gemma.build_serving_decoder(cfg, batch_slots=4, prefill_len=8,
+                                  greedy_head=True, device_masks=True)
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+  graph = qt.quantize().quantized_model
+
+  rng = np.random.default_rng(7)
+  prompts = [rng.integers(0, cfg.vocab_size, size=5) for _ in range(6)]
+
+  def run(chunked):
+    srv = DecodeServer(graph, cfg, batch_slots=4)
+    assert srv._device_greedy
+    out = {}
+    for p in prompts:
+      out[srv.submit(p, max_new_tokens=7)] = []
+    # Prefill's first token lands in request.generated, not step output.
+    while srv.has_work():
+      if chunked:
+        for rid, toks in srv.step_chunk(3).items():
+          out[rid].extend(toks)
+      else:
+        for rid, tok in srv.step().items():
+          out[rid].append(tok)
+    return out
+
+  a, b = run(True), run(False)
+  assert a == b
