@@ -174,3 +174,105 @@ def test_ring_matmul_packed_int4():
   got = np.asarray(fn(jnp.asarray(x), wp, sp))
   want = x @ (w.astype(np.float32) * s[:, None]).T
   np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestExpertParallel:
+  """EP: experts sharded over the 'ep' mesh axis, int-quantized weights."""
+
+  def _moe_data(self, e=8, b=4, d=32, f=64, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    def qw(shape):
+      w = rng.standard_normal(shape).astype(np.float32) * 0.1
+      s = np.abs(w).max(axis=-1) / 127.0 + 1e-9
+      q = np.clip(np.round(w / s[..., None]), -127, 127).astype(np.int8)
+      return jnp.asarray(q), jnp.asarray(s.astype(np.float32))
+    wg, sg = qw((e, f, d))
+    wu, su = qw((e, f, d))
+    wd, sd = qw((e, d, f))
+    x = jnp.asarray(rng.standard_normal((b, d)), np.float32)
+    router = jnp.asarray(rng.standard_normal((b, e)), np.float32)
+    return x, router, wg, sg, wu, su, wd, sd
+
+  def test_topk_gates(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.parallel import moe
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 0.0]], jnp.float32)
+    g = np.asarray(moe.topk_gates(logits, k=2))
+    assert g[0, 0] == 0.0 and g[0, 3] == 0.0
+    np.testing.assert_allclose(g.sum(-1), 1.0, rtol=1e-6)
+    assert g[0, 1] > g[0, 2] > 0
+
+  def test_ep_sharded_matches_reference(self):
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ai_edge_quantizer_tpu.parallel import moe
+    data = self._moe_data()
+    x, router, wg, sg, wu, su, wd, sd = data
+    mesh = Mesh(np.array(jax.devices()[:4]), ('ep',))
+    place = lambda a: jax.device_put(a, NamedSharding(mesh, P('ep')))
+    fn = moe.make_moe_ffn(mesh)
+    got = np.asarray(fn(x, router, place(wg), place(sg), place(wu),
+                        place(su), place(wd), place(sd)))
+    want = np.asarray(moe.moe_ffn_reference(x, router, wg, sg, wu, su,
+                                            wd, sd))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+  def test_only_topk_experts_contribute(self):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.parallel import moe
+    data = self._moe_data(seed=1)
+    x, router, wg, sg, wu, su, wd, sd = data
+    # Poison one never-routed expert's weights: force routing to experts
+    # 0 and 1 only; expert 7's weights must not affect the output.
+    router = jnp.full_like(router, -10.0)
+    router = router.at[:, 0].set(5.0).at[:, 1].set(4.0)
+    base = np.asarray(moe.moe_ffn_reference(x, router, wg, sg, wu, su,
+                                            wd, sd))
+    wg2 = wg.at[7].set(127)
+    poisoned = np.asarray(moe.moe_ffn_reference(x, router, wg2, sg, wu,
+                                                su, wd, sd))
+    np.testing.assert_allclose(base, poisoned)
+
+
+class TestPipelineParallel:
+  """PP: layer stages over the 'pp' axis, microbatched GPipe schedule."""
+
+  def _stage_fn(self):
+    import jax.numpy as jnp
+
+    def stage_fn(x, w):
+      # One quantized FC per stage: int8 weights, per-channel scales.
+      y = jax.lax.dot_general(
+          x, w['wq'].astype(jnp.float32),
+          dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32) * w['scale']
+      return jnp.tanh(y)
+    return stage_fn
+
+  def _weights(self, pp=4, d=32, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((pp, d, d)).astype(np.float32) * 0.3
+    s = np.abs(w).max(axis=-1) / 127.0 + 1e-9
+    wq = np.clip(np.round(w / s[..., None]), -127, 127).astype(np.int8)
+    return {'wq': jnp.asarray(wq), 'scale': jnp.asarray(
+        s.astype(np.float32))}
+
+  @pytest.mark.parametrize('n_micro', [1, 4, 6])
+  def test_pipeline_matches_sequential(self, n_micro):
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ai_edge_quantizer_tpu.parallel import pipeline as pl
+    pp, d, bm = 4, 32, 2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((n_micro, bm, d)), np.float32)
+    weights = self._weights(pp=pp, d=d)
+    stage_fn = self._stage_fn()
+    mesh = Mesh(np.array(jax.devices()[:pp]), ('pp',))
+    w_sharded = {k: jax.device_put(v, NamedSharding(mesh, P('pp')))
+                 for k, v in weights.items()}
+    fn = pl.make_pipeline(mesh, stage_fn)
+    got = np.asarray(fn(x, w_sharded))
+    want = np.asarray(pl.pipeline_reference(x, weights, stage_fn))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
