@@ -154,6 +154,45 @@ def _build_signature(
     cache_onehot = b.activation(f'{sig}/cache_onehot', (B, 1, S, 1))
     b.subgraph.ops.append(ir.Op(opcode='CAST', inputs=[hit],
                                 outputs=[cache_onehot]))
+  elif device_masks and cache_update == 'dus':
+    # Prefill device masks: the causal mask is DERIVED IN-GRAPH from
+    # `positions` (key column s visible to query row t iff s <= pos[b,t]),
+    # so an admission ships tokens + positions + a 4-int cache_pos — not a
+    # host-built [B,1,G*T,S] float mask (~4 MB/chunk at 2B scale, the
+    # dominant per-admission transfer through a high-latency host link).
+    # Padded prompt columns carry positions beyond every valid row's
+    # position, so valid rows never attend to them; padded rows' outputs
+    # are discarded and their cache writes are overwritten by decode
+    # before any mask exposes them.
+    shape4 = b.constant(f'{sig}/pos4_shape',
+                        np.asarray([B, 1, T, 1], np.int32))
+    pos4 = b.op('RESHAPE', [positions, shape4], [(B, 1, T, 1)],
+                output_names=[f'{sig}/pos4'])
+    iota_row = b.constant(
+        f'{sig}/iota_row', np.arange(S, dtype=np.int32).reshape(1, 1, 1, S))
+    visible = b.op('LESS_EQUAL', [iota_row, pos4], [(B, 1, T, S)],
+                   output_names=[f'{sig}/mask_visible'])
+    visible_f = b.activation(f'{sig}/mask_visible_f', (B, 1, T, S))
+    b.subgraph.ops.append(ir.Op(opcode='CAST', inputs=[visible],
+                                outputs=[visible_f]))
+    one = b.constant(f'{sig}/mask_one', np.asarray(1.0, np.float32))
+    neg = b.constant(f'{sig}/mask_neg', np.asarray(1e9, np.float32))
+    m1 = b.op('SUB', [visible_f, one], [(B, 1, T, S)],
+              output_names=[f'{sig}/mask_m1'])
+    mask_rows = b.op('MUL', [m1, neg], [(B, 1, T, S)],
+                     output_names=[f'{sig}/mask_rows'])
+    if G == 1:
+      mask = mask_rows  # already [B, 1, G*T, S]
+    else:
+      # Tile the T query rows across the G grouped-query heads: the score
+      # layout is g-major ([B, NK, G*T, S]), so broadcast the G axis in
+      # front of T, then flatten.
+      maskg = b.op('BROADCAST_TO', [mask_rows], [(B, G, T, S)],
+                   output_names=[f'{sig}/mask_g'])
+      mask = b.op('RESHAPE', [maskg], [(B, 1, G * T, S)],
+                  output_names=[f'{sig}/mask'],
+                  attrs={'new_shape': [B, 1, G * T, S]})
+    cache_pos = b.input(f'{sig}/cache_pos', (4,), 'int32')
   else:
     # Additive attention mask over the full cache: 0 for visible,
     # -inf-like for hidden. Broadcasts over grouped score rows.
@@ -539,6 +578,9 @@ def build_serving_decoder(
     cache_buckets=None,
     fused_projections: bool = False,
     greedy_head: bool = False,
+    prefill_batch: int = 1,
+    prefill_device_masks: bool = False,
+    prefill_greedy: bool = False,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -556,11 +598,24 @@ def build_serving_decoder(
   ARG_MAX fuse into the vocab-tiled head kernel) instead of `logits` —
   a serving tick then fetches B int32 ids, not a [B, 1, vocab] array
   (DecodeServer switches to device-side greedy sampling automatically).
+
+  prefill_batch: batch dimension of the prefill signature — admission then
+  prefills up to prefill_batch queued requests in ONE pass (the weight
+  stream and the dispatch amortize across requests; DecodeServer groups
+  admissions by chunk count automatically).
+  prefill_device_masks: derive the prefill causal mask in-graph from
+  `positions` (admission ships tokens+positions only).
+  prefill_greedy: prefill also emits `next_tokens` in-graph, so the
+  first-token fetch is prefill_batch int32 ids instead of a logits row.
   """
   graph = ir.Graph()
   store = _WeightStore(cfg, seed=seed, materialize=materialize_weights)
   b = builder_lib.GraphBuilder('prefill', graph=graph)
-  _build_signature(b, store, 'prefill', 1, prefill_len, cache_update='dus')
+  _build_signature(b, store, 'prefill', prefill_batch, prefill_len,
+                   cache_update='dus',
+                   fused_projections=fused_projections,
+                   device_masks=prefill_device_masks,
+                   greedy_head=prefill_greedy)
   b.finalize(signature_key='prefill')
   if cache_buckets:
     buckets = sorted({min(int(s), cfg.max_seq_len) for s in cache_buckets}
@@ -589,6 +644,8 @@ def build_serving_decoder(
   graph.metadata['weight_init_specs'] = store.init_specs
   if device_masks:
     graph.metadata['decode_device_masks'] = True
+  if prefill_device_masks:
+    graph.metadata['prefill_device_masks'] = True
   return graph
 
 

@@ -223,8 +223,21 @@ class DecodeServer:
     self._prefill_fn = jax.jit(functools.partial(
         self._executor._run_signature, pre_sig.subgraph_index, 'prefill',
         False))
-    self._prefill_len = graph.subgraphs[
-        pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape[1]
+    pre_tokens_shape = graph.subgraphs[
+        pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape
+    self._prefill_batch = pre_tokens_shape[0]
+    self._prefill_len = pre_tokens_shape[1]
+    self._prefill_device_masks = bool(
+        graph.metadata.get('prefill_device_masks'))
+    self._prefill_greedy = 'next_tokens' in pre_sig.outputs
+    if self._prefill_greedy and sample_fn is not None:
+      raise ValueError(
+          'This serving graph was built with prefill_greedy=True (prefill '
+          'emits next_tokens, not logits) — a custom sample_fn cannot '
+          'run. Build with prefill_greedy=False for host-side sampling.')
+    # Per-request time-to-first-token samples (seconds), appended at each
+    # admission — percentile source for serving benchmarks.
+    self.ttft_log: list = []
 
     NK, H = cfg.num_kv_heads, cfg.head_dim
     dec_sg = graph.subgraphs[dec_sig.subgraph_index]
@@ -239,15 +252,16 @@ class DecodeServer:
     self._last_tokens = np.zeros((batch_slots, 1), np.int32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def _slot_writer(caches, new_rows, slot_idx):
+    def _slot_writer(caches, new_rows, slot_ids):
+      """Scatter n prefilled rows into the slot pool (ONE jitted call per
+      admission group: separate un-jitted per-layer writes cost 2L host
+      round-trips per admission through a high-latency link)."""
       written = {}
       for key, cache in caches.items():
         rows = new_rows[key]
         if rows.shape[2] > cache.shape[2]:
           rows = rows[:, :, :cache.shape[2], :]
-        written[key] = jax.lax.dynamic_update_slice(
-            cache, rows.astype(cache.dtype),
-            (slot_idx, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        written[key] = cache.at[slot_ids].set(rows.astype(cache.dtype))
       return written
 
     self._slot_writer = _slot_writer
@@ -519,89 +533,148 @@ class DecodeServer:
         slot.request = None
 
   def _admit(self) -> None:
-    for i, slot in enumerate(self._slots):
-      if slot.active or not self._queue:
-        continue
-      req = self._queue.popleft()
-      self._prefill_into_slot(i, req)
+    """Admit queued requests into free slots.
 
-  def _prefill_into_slot(self, slot_idx: int, req: Request) -> None:
-    """Prefill a slot, chunking prompts longer than one prefill window.
-
-    Each chunk's output caches feed the next chunk's cache inputs (the
-    prefill program already takes a DUS start position), so any prompt up
-    to max_prompt_len() prefills losslessly — no tail truncation.
+    Admissions are grouped by prefill chunk count and prefilled up to
+    prefill_batch requests per pass (one weight stream, one dispatch chain
+    for the whole group), and every group's first-token fetch is deferred
+    to ONE host sync at the end of the wave — per-admission blocking
+    round-trips through a high-latency link otherwise dominate serving
+    throughput (measured 264 tok/s with serial per-request prefills vs a
+    ~31k tok/s decode loop).
     """
-    cfg = self.cfg
-    T = self._prefill_len
-    prompt = req.prompt
-    num_chunks = max(1, -(-prompt.size // T))
+    if not self._queue:
+      return
+    free = [i for i, s in enumerate(self._slots) if not s.active]
+    admissions = []
+    while free and self._queue:
+      admissions.append((free.pop(0), self._queue.popleft()))
+    if not admissions:
+      return
+    T, Bp = self._prefill_len, self._prefill_batch
+    by_chunks: dict = {}
+    for si, req in admissions:
+      nc = max(1, -(-req.prompt.size // T))
+      by_chunks.setdefault(nc, []).append((si, req))
+    pending = []
+    for nc in sorted(by_chunks):
+      group = by_chunks[nc]
+      for g0 in range(0, len(group), Bp):
+        part = group[g0:g0 + Bp]
+        pending.append((part, self._prefill_group(part, nc)))
+    self._finalize_admissions(pending)
+
+  def _prefill_group(self, slot_reqs, num_chunks: int):
+    """Prefill up to prefill_batch requests in one batched pass per chunk.
+
+    All rows share the chunk start (requests are grouped by chunk count),
+    so the DUS cache write position is one (4,) vector for the group.
+    Chunked prompts thread each pass's output caches into the next pass,
+    so any prompt up to max_prompt_len() prefills losslessly. Returns the
+    group's first tokens (greedy-head graphs) or last-row logits as a
+    DEVICE array — the host sync happens once per admission wave, in
+    _finalize_admissions.
+    """
+    cfg, T, Bp = self.cfg, self._prefill_len, self._prefill_batch
+    n = len(slot_reqs)
+    tok_mat = np.zeros((Bp, num_chunks * T), np.int32)
+    for r, (_, req) in enumerate(slot_reqs):
+      tok_mat[r, :req.prompt.size] = req.prompt
     if not hasattr(self, '_prefill_zero_caches'):
       # Device-resident zero caches reused by every first chunk: shipping
       # 2L host-built zero arrays per admission costs tens of MB over the
       # host link (measured ~1.8 s/request through the axon tunnel).
       self._prefill_zero_caches = {
-          key: jnp.zeros((1, cfg.num_kv_heads, cfg.max_seq_len,
+          key: jnp.zeros((Bp, cfg.num_kv_heads, cfg.max_seq_len,
                           cfg.head_dim), dtype)
           for key, dtype in self._cache_dtypes.items()
       }
+    pos_row = np.arange(T, dtype=np.int32)
     chunk_caches = None
     out = None
     for c in range(num_chunks):
       start = c * T
-      chunk = prompt[start:start + T]
-      pad = T - chunk.size
-      tokens = np.concatenate([chunk, np.zeros(pad, np.int32)])[None, :]
-      inputs = gemma.make_inputs(cfg, 'prefill', 1, T, start_pos=start)
-      inputs.update(self._prefill_zero_caches)
-      inputs['tokens'] = tokens
-      if pad:
-        # Hide padded-key columns even from padded rows (garbage K values
-        # must not leak into softmax numerics).
-        mask = np.asarray(inputs['mask'])
-        mask[:, :, :, prompt.size:start + T] = -1e9
-        inputs['mask'] = mask
-      if chunk_caches is not None:
-        inputs.update(chunk_caches)
+      inputs = {
+          'tokens': tok_mat[:, start:start + T],
+          'positions': np.broadcast_to(pos_row + start, (Bp, T)).copy(),
+          'cache_pos': np.array([0, 0, start, 0], np.int32),
+      }
+      if not self._prefill_device_masks:
+        inputs['mask'] = self._host_prefill_mask(slot_reqs, start)
+      inputs.update(chunk_caches if chunk_caches is not None
+                    else self._prefill_zero_caches)
       out = self._prefill_fn(self._executor._weights, inputs)
       if c + 1 < num_chunks:
         chunk_caches = {
             f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
             for li in range(cfg.num_layers) for kind in ('k', 'v')
         }
-    self.metrics['prefills'] += 1
-    # Write the prefilled caches into this slot's rows — ONE jitted call
-    # for all layers (2L separate un-jitted DUS ops cost 2L host
-    # round-trips per admission: ~1 s/request through a ~28 ms-latency
-    # link; measured 72 tok/s before this batching).
+    # Scatter the group's rows into the slot pool: ONE jitted call for all
+    # layers and rows.
     new_rows = {
-        f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
+        f'layer_{li}_{kind}_cache_in':
+            out[f'layer_{li}_{kind}_cache'][:n]
         for li in range(cfg.num_layers) for kind in ('k', 'v')
     }
-    self._caches = self._slot_writer(
-        self._caches, new_rows, jnp.int32(slot_idx))
-    last_row = (prompt.size - 1) - (num_chunks - 1) * T
-    # Slice ON DEVICE before fetching: the host link carries one [vocab]
-    # row, not the whole [1, T, vocab] logits block.
-    logits = np.asarray(out['logits'][0, last_row])
-    first_token = self._sample(logits)
-    req.generated.append(first_token)
-    req.status = 'running'
-    req.first_token_at = time.monotonic()
-    self.metrics['ttft_sum_s'] += req.first_token_at - req.submitted_at
-    self.metrics['tokens_generated'] += 1
-    slot = self._slots[slot_idx]
-    slot.request = req
-    slot.pos = prompt.size
-    self._last_tokens[slot_idx, 0] = first_token
-    if (len(req.generated) >= req.max_new_tokens
-        or slot.pos >= cfg.max_seq_len
-        or (self._eos is not None and first_token == self._eos)):
-      # Done at prefill: request satisfied (or cache full — no room for a
-      # decode write) before any decode tick.
-      self._finish(req, 'done')
-      slot.request = None
-      self.metrics['requests_completed'] += 1
+    slot_ids = jnp.asarray([si for si, _ in slot_reqs], jnp.int32)
+    self._caches = self._slot_writer(self._caches, new_rows, slot_ids)
+    # Gather each row's last valid position ON DEVICE; the wave-end fetch
+    # then carries n ids (greedy head) or n vocab rows (host samplers).
+    rows_idx = jnp.arange(n)
+    cols = jnp.asarray(
+        [(req.prompt.size - 1) - (num_chunks - 1) * T
+         for _, req in slot_reqs], jnp.int32)
+    if self._prefill_greedy:
+      return out['next_tokens'][rows_idx, cols]
+    return out['logits'][rows_idx, cols]
+
+  def _host_prefill_mask(self, slot_reqs, start: int) -> np.ndarray:
+    """Host-built additive mask for graphs without prefill device masks:
+    causal over positions, with each row's padded-key columns hidden."""
+    cfg, T, Bp = self.cfg, self._prefill_len, self._prefill_batch
+    G = cfg.num_query_heads // cfg.num_kv_heads
+    S = cfg.max_seq_len
+    mask = np.full((Bp, 1, G * T, S), -1e9, np.float32)
+    for t in range(T):
+      limit = start + t + 1
+      for g in range(G):
+        mask[:, :, g * T + t, :limit] = 0.0
+    for r, (_, req) in enumerate(slot_reqs):
+      if req.prompt.size < start + T:
+        # Hide padded-key columns even from padded rows (garbage K values
+        # must not leak into softmax numerics).
+        mask[r, :, :, req.prompt.size:start + T] = -1e9
+    return mask
+
+  def _finalize_admissions(self, pending) -> None:
+    """One host sync for the whole admission wave, then bookkeeping."""
+    if not pending:
+      return
+    fetched = jax.device_get([arr for _, arr in pending])
+    for (slot_reqs, _), arr in zip(pending, fetched):
+      for r, (slot_idx, req) in enumerate(slot_reqs):
+        first_token = (int(arr[r]) if self._prefill_greedy
+                       else self._sample(arr[r]))
+        req.generated.append(first_token)
+        req.status = 'running'
+        req.first_token_at = time.monotonic()
+        ttft = req.first_token_at - req.submitted_at
+        self.metrics['ttft_sum_s'] += ttft
+        self.ttft_log.append(ttft)
+        self.metrics['prefills'] += 1
+        self.metrics['tokens_generated'] += 1
+        slot = self._slots[slot_idx]
+        slot.request = req
+        slot.pos = req.prompt.size
+        self._last_tokens[slot_idx, 0] = first_token
+        if (len(req.generated) >= req.max_new_tokens
+            or slot.pos >= self.cfg.max_seq_len
+            or (self._eos is not None and first_token == self._eos)):
+          # Done at prefill: request satisfied (or cache full — no room
+          # for a decode write) before any decode tick.
+          self._finish(req, 'done')
+          slot.request = None
+          self.metrics['requests_completed'] += 1
 
   def _decode_inputs(self) -> dict:
     cfg = self.cfg

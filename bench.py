@@ -186,15 +186,18 @@ def bench_server():
          if os.environ.get('AEQT_BENCH_SERVER_CFG') == 'toy'
          else gemma.GEMMA_2B_LITE)
   prefill_len = int(os.environ.get('AEQT_BENCH_PREFILL_LEN', '128'))
+  prefill_batch = int(os.environ.get('AEQT_BENCH_PREFILL_BATCH', '8'))
   on_tpu = jax.default_backend() == 'tpu'
   t0 = time.time()
   graph = gemma.build_serving_decoder(
       cfg, batch_slots=slots, prefill_len=prefill_len,
       materialize_weights=False, device_masks=True,
-      fused_projections=True, greedy_head=True)
+      fused_projections=True, greedy_head=True,
+      prefill_batch=prefill_batch, prefill_device_masks=True,
+      prefill_greedy=True)
   gemma.stamp_int8_kv_cache(graph)
-  cache_path = (f'/tmp/aeqt_server_weights_{cfg.vocab_size}_'
-                f's{slots}_p{prefill_len}.npz')
+  cache_path = (f'/tmp/aeqt_server_weights_v2_{cfg.vocab_size}_'
+                f's{slots}_p{prefill_len}_pb{prefill_batch}.npz')
   weights = None
   if os.path.exists(cache_path) and cfg.vocab_size > 1024:
     try:
@@ -250,22 +253,16 @@ def bench_server():
       server.step_chunk(tick_chunk)
     log(f'chunk warmup (scan compile): {time.time()-t0:.1f}s')
   base = dict(server.metrics)
-  ttfts = []
+  ttft_log_base = len(server.ttft_log)
   t0 = time.time()
   submit_burst(n_requests)
-  # Track TTFT per request via the server's running accumulator deltas.
-  prev_prefills, prev_ttft_sum = base['prefills'], base['ttft_sum_s']
   while server.has_work():
     if tick_chunk > 1:
       server.step_chunk(tick_chunk)
     else:
       server.step()
-    m = server.metrics
-    if m['prefills'] > prev_prefills:
-      ttfts.append((m['ttft_sum_s'] - prev_ttft_sum)
-                   / (m['prefills'] - prev_prefills))
-      prev_prefills, prev_ttft_sum = m['prefills'], m['ttft_sum_s']
   wall = time.time() - t0
+  ttfts = server.ttft_log[ttft_log_base:]  # per-request TTFT samples
   m = server.metrics
   tokens = m['tokens_generated'] - base['tokens_generated']
   ticks = m['decode_ticks'] - base['decode_ticks']

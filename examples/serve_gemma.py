@@ -19,12 +19,24 @@ from ai_edge_quantizer_tpu.parallel.batching import (  # noqa: E402
 
 
 def main():
+  import argparse
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--device', choices=['cpu', 'tpu'], default='cpu',
+                      help='backend to run on (default cpu)')
+  args = parser.parse_args()
+  import jax
+  if args.device == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+
   cfg = gemma.TOY_DECODER
   slots = 4
 
-  # 1. Build the serving graph: prefill (batch 1) + decode (batch = slots,
-  #    per-slot cache scatter), one shared weight store.
-  graph = gemma.build_serving_decoder(cfg, batch_slots=slots, prefill_len=8)
+  # 1. Build the serving graph: prefill (batched admission: up to 2
+  #    requests prefill per pass, causal mask derived in-graph) + decode
+  #    (batch = slots, per-slot cache scatter), one shared weight store.
+  graph = gemma.build_serving_decoder(cfg, batch_slots=slots, prefill_len=8,
+                                      prefill_batch=2,
+                                      prefill_device_masks=True)
   # int8 KV cache for the serving path.
   gemma.stamp_int8_kv_cache(graph)
 
@@ -34,7 +46,6 @@ def main():
   quantized = qt.quantize().quantized_model
 
   # 3. Serve with continuous batching + top-k sampling.
-  import jax
   server = DecodeServer(quantized, cfg, batch_slots=slots,
                         sample_fn=make_topk_sampler(k=20, temperature=0.8),
                         pack_weights=jax.default_backend() == 'tpu')

@@ -356,3 +356,79 @@ def test_step_chunk_matches_plain_steps(quantized_serving_graph):
 
   a, b = run(True), run(False)
   assert a == b
+
+
+class TestBatchedPrefill:
+  """prefill_batch>1 admission: groups of requests prefill in one pass and
+  must emit exactly the tokens the one-request-at-a-time path emits."""
+
+  def _build(self, **kw):
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_serving_decoder(cfg, batch_slots=4, prefill_len=8, **kw)
+    qt = Quantizer(g)
+    qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+    return cfg, qt.quantize().quantized_model
+
+  def _run(self, cfg, graph, prompts, n=5):
+    srv = DecodeServer(graph, cfg, batch_slots=4)
+    out = {}
+    for p in prompts:
+      out[srv.submit(p, max_new_tokens=n)] = []
+    while srv.has_work():
+      for rid, tok in srv.step().items():
+        out[rid].append(tok)
+    return list(out.values()), srv
+
+  def test_batched_matches_serial(self):
+    rng = np.random.default_rng(11)
+    # Mixed lengths spanning 1- and 2-chunk groups (prefill window 8).
+    prompts = [rng.integers(0, gemma.TOY_DECODER.vocab_size, size=s)
+               for s in (3, 8, 13, 5)]
+    cfg, g1 = self._build()
+    cfg, g3 = self._build(prefill_batch=3)
+    serial, _ = self._run(cfg, g1, prompts)
+    batched, srv = self._run(cfg, g3, prompts)
+    assert srv._prefill_batch == 3
+    assert serial == batched, (serial, batched)
+    # Per-request TTFT samples were recorded for every admission.
+    assert len(srv.ttft_log) == len(prompts)
+
+  def test_prefill_device_masks_match_host(self):
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, gemma.TOY_DECODER.vocab_size, size=s)
+               for s in (4, 11, 8)]
+    cfg, g_host = self._build(prefill_batch=2)
+    cfg, g_dev = self._build(prefill_batch=2, prefill_device_masks=True)
+    host, _ = self._run(cfg, g_host, prompts)
+    dev, srv = self._run(cfg, g_dev, prompts)
+    assert srv._prefill_device_masks
+    assert host == dev, (host, dev)
+
+  def test_prefill_greedy_matches_host_greedy(self):
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, gemma.TOY_DECODER.vocab_size, size=s)
+               for s in (6, 9)]
+    cfg, g_host = self._build(prefill_batch=2, prefill_device_masks=True)
+    cfg, g_dev = self._build(prefill_batch=2, prefill_device_masks=True,
+                             prefill_greedy=True)
+    host, _ = self._run(cfg, g_host, prompts)
+    dev, srv = self._run(cfg, g_dev, prompts)
+    assert srv._prefill_greedy
+    assert host == dev, (host, dev)
+
+  def test_prefill_greedy_refuses_custom_sampler(self):
+    from ai_edge_quantizer_tpu.parallel import batching
+    cfg, g = self._build(prefill_greedy=True)
+    with pytest.raises(ValueError, match='prefill_greedy'):
+      DecodeServer(g, cfg, batch_slots=4,
+                   sample_fn=batching.make_topk_sampler(5))
+
+  def test_fused_projections_share_weights_across_signatures(self):
+    """Prefill and decode must alias ONE fused weight set (a serving graph
+    whose prefill holds separate unfused weights is a different model)."""
+    cfg = gemma.TOY_DECODER
+    g = gemma.build_serving_decoder(cfg, batch_slots=2, prefill_len=8,
+                                    fused_projections=True)
+    names = {t.name for sg in g.subgraphs for t in sg.tensors}
+    assert any('attn/qkv/w' in n and n.startswith('prefill') for n in names)
+    assert not any('attn/q/w' in n for n in names)
