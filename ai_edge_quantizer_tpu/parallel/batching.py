@@ -111,6 +111,7 @@ class DecodeServer:
       request_timeout_s: Optional[float] = None,
       pack_weights: bool = False,
       mesh=None,
+      activation_dtype: str = 'float32',
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
     and 'prefill' (batch=1) signatures.
@@ -136,7 +137,12 @@ class DecodeServer:
             f"({mesh.shape['dp']}).")
       self._cache_sharding = NamedSharding(mesh, P('dp'))
       self._input_sharding = NamedSharding(mesh, P('dp'))
-    self._executor = executor_lib.GraphExecutor(graph)
+    # activation_dtype='bfloat16' is the TPU serving mode (float
+    # activations — including any float KV traffic — flow bf16, feeding
+    # the MXU natively); 'float32' stays bit-faithful to the offline
+    # pipeline.
+    self._executor = executor_lib.GraphExecutor(
+        graph, activation_dtype=activation_dtype)
     if weights is not None:
       self._executor._weights = weights
     if pack_weights:
@@ -227,6 +233,11 @@ class DecodeServer:
         pre_sig.subgraph_index].tensors[pre_sig.inputs['tokens']].shape
     self._prefill_batch = pre_tokens_shape[0]
     self._prefill_len = pre_tokens_shape[1]
+    if self._prefill_batch > batch_slots:
+      raise ValueError(
+          f'prefill batch ({self._prefill_batch}) exceeds batch_slots '
+          f'({batch_slots}); build the serving graph with '
+          'prefill_batch <= batch_slots.')
     self._prefill_device_masks = bool(
         graph.metadata.get('prefill_device_masks'))
     self._prefill_greedy = 'next_tokens' in pre_sig.outputs
@@ -252,16 +263,26 @@ class DecodeServer:
     self._last_tokens = np.zeros((batch_slots, 1), np.int32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def _slot_writer(caches, new_rows, slot_ids):
-      """Scatter n prefilled rows into the slot pool (ONE jitted call per
-      admission group: separate un-jitted per-layer writes cost 2L host
-      round-trips per admission through a high-latency link)."""
+    def _slot_writer(caches, new_rows, slot_ids, valid):
+      """Scatter a group's prefilled rows into the slot pool — ONE jitted
+      call per admission group, at ONE fixed shape.
+
+      slot_ids is always length prefill_batch (a partial group is padded
+      with DISTINCT spare slot indices whose `valid` flag is False); a
+      padded row writes back the slot's current content, so the program
+      shape — and its compilation — is independent of the group size.
+      Per-group recompiles (one per distinct size) cost tens of seconds
+      each through the tunnel's compile path; separate un-jitted
+      per-layer writes cost 2L host round-trips per admission."""
       written = {}
       for key, cache in caches.items():
-        rows = new_rows[key]
+        rows = new_rows[key][:slot_ids.shape[0]]
         if rows.shape[2] > cache.shape[2]:
           rows = rows[:, :, :cache.shape[2], :]
-        written[key] = cache.at[slot_ids].set(rows.astype(cache.dtype))
+        cur = cache[slot_ids]
+        rows = jnp.where(valid[:, None, None, None],
+                         rows.astype(cache.dtype), cur)
+        written[key] = cache.at[slot_ids].set(rows)
       return written
 
     self._slot_writer = _slot_writer
@@ -610,23 +631,32 @@ class DecodeServer:
             for li in range(cfg.num_layers) for kind in ('k', 'v')
         }
     # Scatter the group's rows into the slot pool: ONE jitted call for all
-    # layers and rows.
+    # layers and rows, at ONE program shape — partial groups pad slot_ids
+    # with distinct spare slots (valid=False rows write back their own
+    # content) so group size never triggers a recompile.
     new_rows = {
-        f'layer_{li}_{kind}_cache_in':
-            out[f'layer_{li}_{kind}_cache'][:n]
+        f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
         for li in range(cfg.num_layers) for kind in ('k', 'v')
     }
-    slot_ids = jnp.asarray([si for si, _ in slot_reqs], jnp.int32)
-    self._caches = self._slot_writer(self._caches, new_rows, slot_ids)
-    # Gather each row's last valid position ON DEVICE; the wave-end fetch
-    # then carries n ids (greedy head) or n vocab rows (host samplers).
-    rows_idx = jnp.arange(n)
-    cols = jnp.asarray(
-        [(req.prompt.size - 1) - (num_chunks - 1) * T
-         for _, req in slot_reqs], jnp.int32)
+    group_ids = [si for si, _ in slot_reqs]
+    if n < Bp:
+      spares = [i for i in range(self.batch_slots) if i not in group_ids]
+      group_ids = group_ids + spares[:Bp - n]
+    valid = np.zeros(Bp, bool)
+    valid[:n] = True
+    self._caches = self._slot_writer(
+        self._caches, new_rows, jnp.asarray(group_ids, jnp.int32),
+        jnp.asarray(valid))
+    # Gather each row's last valid position ON DEVICE (padded to the fixed
+    # prefill batch — one gather program); the wave-end fetch then carries
+    # prefill_batch ids (greedy head) or vocab rows (host samplers).
+    cols = np.zeros(Bp, np.int32)
+    for r, (_, req) in enumerate(slot_reqs):
+      cols[r] = (req.prompt.size - 1) - (num_chunks - 1) * T
+    rows_idx = jnp.arange(Bp)
     if self._prefill_greedy:
-      return out['next_tokens'][rows_idx, cols]
-    return out['logits'][rows_idx, cols]
+      return out['next_tokens'][rows_idx, jnp.asarray(cols)]
+    return out['logits'][rows_idx, jnp.asarray(cols)]
 
   def _host_prefill_mask(self, slot_reqs, start: int) -> np.ndarray:
     """Host-built additive mask for graphs without prefill device masks:

@@ -217,7 +217,8 @@ def bench_server():
   _jax.block_until_ready(list(weights.values()))
   log(f'server graph + weights: {time.time()-t0:.1f}s')
   server = batching.DecodeServer(
-      graph, cfg, batch_slots=slots, weights=weights, pack_weights=on_tpu)
+      graph, cfg, batch_slots=slots, weights=weights, pack_weights=on_tpu,
+      activation_dtype=os.environ.get('AEQT_BENCH_ACT_DTYPE', 'bfloat16'))
   assert server._device_greedy, 'greedy head must engage device sampling'
 
   rng = np.random.default_rng(0)
