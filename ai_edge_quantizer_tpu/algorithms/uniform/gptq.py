@@ -162,15 +162,21 @@ def _device_ns_solver(damp_factor: float):
       return jnp.logical_and(
           it < 60, jnp.logical_not(jnp.logical_or(converged, plateaued)))
 
+    # Full-f32 matmuls (bf16x6 passes on the MXU): the TPU default
+    # precision accumulates bf16-grade error over d-length dot products,
+    # which floors the achievable residual around 1e-1 at d=16k; HIGHEST
+    # costs ~3x per matmul but buys orders of magnitude on the floor.
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
     def body(state):
       x, err, _, it = state
-      hx = h @ x
+      hx = mm(h, x)
       # max|HX - I| without materializing an identity: off-diagonal max
       # vs diagonal deviation.
       derr = jnp.max(jnp.abs(jnp.diagonal(hx) - 1.0))
       oerr = jnp.max(jnp.abs(jnp.fill_diagonal(
           hx, jnp.zeros((d,), jnp.float32), inplace=False)))
-      x = 2.0 * x - x @ hx
+      x = 2.0 * x - mm(x, hx)
       return x, jnp.maximum(derr, oerr), err, it + 1
 
     x, err, _, it = jax.lax.while_loop(
