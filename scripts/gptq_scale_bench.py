@@ -67,18 +67,23 @@ def main():
     x = gptq._inverse_via_cholesky_device(np.asarray(h_dev),
                                           gptq._DAMP_FACTOR)
     dt_cold = time.perf_counter() - t0  # includes the remote XLA compile
+    # Warm solve through the raw solver so iteration count / device-side
+    # residual are visible alongside the host-f64 residual check.
+    solve = gptq._device_ns_solver(float(gptq._DAMP_FACTOR))
     t0 = time.perf_counter()
-    x = gptq._inverse_via_cholesky_device(np.asarray(h_dev),
-                                          gptq._DAMP_FACTOR)
+    xj, err_dev, iters = solve(jnp.asarray(h_dev))
+    x = np.asarray(jax.device_get(xj))
     dt = time.perf_counter() - t0
     h_host = np.asarray(h_dev)
     res = residual(h_host, x)
     ws_gib = 3 * d * d * 4 / 2**30
     log(f'device d={d}: {dt:.2f}s warm / {dt_cold:.2f}s incl. compile, '
-        f'residual {res:.2e}, working set ~{ws_gib:.2f} GiB')
+        f'residual {res:.2e} (device-iter err {float(err_dev):.2e}, '
+        f'{int(iters)} NS steps), working set ~{ws_gib:.2f} GiB')
     results[f'device_d{d}'] = {
         'solve_s': round(dt, 2), 'solve_incl_compile_s': round(dt_cold, 2),
         'residual_max': float(f'{res:.3e}'),
+        'ns_steps': int(iters),
         'working_set_gib': round(ws_gib, 2),
     }
     del h_dev
