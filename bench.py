@@ -271,6 +271,37 @@ def bench_server():
   tok_s = tokens / wall
   ttft_p50 = float(np.percentile(ttfts, 50)) if ttfts else 0.0
   ttft_p99 = float(np.percentile(ttfts, 99)) if ttfts else 0.0
+
+  # Roofline-composite ceiling for the WHOLE serving workload, from chip
+  # spec numbers only (deterministic, comparable round over round — the
+  # serving analog of the decode preset's HBM-spec SOL and the encoder
+  # preset's MFU):
+  #   prefill: compute-bound -> ideal (unpadded) prompt FLOPs / MXU peak,
+  #            so chunk-padding waste is charged against us;
+  #   decode:  max(HBM stream of weights+caches, batched-slot FLOPs).
+  from ai_edge_quantizer_tpu.utils import flops as flops_lib
+  fpt = flops_lib.graph_flops(graph, 'prefill') / (prefill_batch
+                                                   * prefill_len)
+  prompt_tokens = sum(prompt_lens[i % len(prompt_lens)]
+                      for i in range(n_requests))
+  mxu_peak = _mxu_peak_flops()
+  hbm_spec_gbs = float(os.environ.get('AEQT_BENCH_HBM_SPEC_GBS', '819'))
+  weight_bytes = sum(int(v.nbytes) for v in server._executor._weights
+                     .values())
+  cache_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                    for v in server._caches.values())
+  prefill_s = prompt_tokens * fpt / mxu_peak
+  decode_s = max(ticks * (weight_bytes + cache_bytes)
+                 / (hbm_spec_gbs * 1e9),
+                 ticks * slots * fpt / mxu_peak)
+  ceiling_wall = prefill_s + decode_s
+  vs = min(ceiling_wall / wall, 1.0)
+  log(f'server ceiling: prefill {prompt_tokens} ideal prompt tokens * '
+      f'{fpt/1e9:.2f} GFLOP/token / {mxu_peak/1e12:.0f} TOPS = '
+      f'{prefill_s:.2f}s, decode {ticks} ticks * '
+      f'({weight_bytes/2**30:.2f} GiB weights + {cache_bytes/2**30:.2f} '
+      f'GiB caches) @ {hbm_spec_gbs:.0f} GB/s = {decode_s:.2f}s -> '
+      f'{ceiling_wall:.2f}s ideal vs {wall:.2f}s wall = {vs:.3f}')
   # First wave = the first `slots` admissions (no queue wait): isolates
   # prefill/admission latency from saturation queueing.
   wave = ttfts[:slots]
@@ -294,6 +325,9 @@ def bench_server():
       'decode_ticks': ticks,
       'tokens': tokens,
       'wall_s': round(wall, 2),
+      'vs_roofline_ceiling': round(vs, 4),
+      'ceiling_wall_s': round(ceiling_wall, 2),
+      'ideal_prompt_tokens': prompt_tokens,
       'note': ('continuous batching incl. admission/prefill/host control '
                'plane; compare against the static-batch decode preset at '
                'the same batch for the admission-overhead gap'),
@@ -310,7 +344,7 @@ def bench_server():
       'metric': 'gemma2b_lite_int4_server_tokens_per_s',
       'value': round(tok_s, 2),
       'unit': 'tokens/s/chip',
-      'vs_baseline': 1.0,  # no reference serving stack to compare against
+      'vs_baseline': round(vs, 4),  # roofline-composite ceiling fraction
       'ttft_p50_ms': round(ttft_p50 * 1e3, 1),
       'ttft_p99_ms': round(ttft_p99 * 1e3, 1),
   }))
