@@ -221,8 +221,13 @@ def concatenation(ctx: OpContext, *xs):
 def slice_op(ctx: OpContext, x, begin=None, size=None):
   begin = ctx.attrs.get('begin', begin)
   out_shape = ctx.out_tensor(0).shape
-  return jax.lax.dynamic_slice(x, [int(b) for b in np.asarray(begin)],
-                               out_shape)
+  if isinstance(begin, (np.ndarray, list, tuple)):
+    starts = [int(b) for b in np.asarray(begin)]
+  else:
+    # `begin` is a graph input (traced): dynamic_slice takes per-dim
+    # scalar index arrays; the output shape stays static from the IR.
+    starts = [begin[i] for i in range(len(out_shape))]
+  return jax.lax.dynamic_slice(x, starts, out_shape)
 
 
 @register('STRIDED_SLICE')
@@ -350,6 +355,8 @@ _register_unary('TANH', jnp.tanh)
 _register_unary('LOGISTIC', jax.nn.sigmoid)
 _register_unary('RSQRT', jax.lax.rsqrt)
 _register_unary('SQRT', jnp.sqrt)
+_register_unary('SIN', jnp.sin)  # RoPE tables (ref toy gemma kv-cache model)
+_register_unary('COS', jnp.cos)
 _register_unary('HARD_SWISH', lambda x: x * jnp.clip(x + 3.0, 0, 6.0) / 6.0)
 
 

@@ -179,7 +179,18 @@ class Calibrator:
         continue
       seen.add(sg_idx)
       sg = self._graph.subgraphs[sg_idx]
-      for op_id, op in enumerate(sg.ops):
+      # Real ops first, then virtual INPUT/OUTPUT ops — the reference
+      # appends IOOperators during calibration (ref calibrator.py:440-443)
+      # so even subgraph inputs no real op consumes get QSVs (e.g. the
+      # dead cache inputs in toy_model_with_kv_cache_multi_signature).
+      work_items = [(op_id, op) for op_id, op in enumerate(sg.ops)]
+      work_items.append((qtyping.VIRTUAL_INPUT_OP_ID, ir.Op(
+          opcode=qtyping.OpName.INPUT.value, inputs=[],
+          outputs=list(sg.inputs))))
+      work_items.append((qtyping.VIRTUAL_INPUT_OP_ID, ir.Op(
+          opcode=qtyping.OpName.OUTPUT.value, inputs=list(sg.outputs),
+          outputs=[])))
+      for op_id, op in work_items:
         try:
           op_key = qtyping.OpName(op.opcode)
         except ValueError:
@@ -192,19 +203,27 @@ class Calibrator:
         )
         if algorithm_name == AlgorithmName.NO_QUANTIZE:
           continue
+        try:
+          algorithm_manager.get_quantization_func(
+              algorithm_name, op_key, qtyping.QuantizeMode.CALIBRATE)
+        except ValueError:
+          # The resolved algorithm has no calibration binding for this op
+          # (e.g. GPTQ admitted via skip_checks resolving for a virtual
+          # INPUT op): skip, same as the recipe layer's silent-skip rule.
+          continue
         # Composite side-effect subgraphs calibrate too.
         sg_indices.extend(op.side_effect_subgraphs)
-        plan.append((sg_idx, op_id, op_key, algorithm_name, op_quant_config))
+        plan.append((sg_idx, op_id, op, op_key, algorithm_name,
+                     op_quant_config))
     return plan
 
   def _hessian_names(self, plan: list) -> set:
     """Activation tensors needing on-device GPTQ Hessians (FC inputs)."""
     names = set()
-    for sg_idx, op_id, op_key, algorithm_name, _ in plan:
+    for sg_idx, op_id, op, op_key, algorithm_name, _ in plan:
       if algorithm_name != AlgorithmName.GPTQ:
         continue
       sg = self._graph.subgraphs[sg_idx]
-      op = sg.ops[op_id]
       # gptq.calibrate collects inputs AND outputs (Hessians for both).
       for tid in list(op.inputs) + list(op.outputs):
         if tid < 0:
@@ -220,10 +239,9 @@ class Calibrator:
     """Merge on-device QSV stats per planned op (device_stats mode)."""
     from ai_edge_quantizer_tpu.algorithms.uniform import op_library
 
-    for sg_idx, op_id, op_key, algorithm_name, op_quant_config in plan:
+    for sg_idx, op_id, op, op_key, algorithm_name, op_quant_config in plan:
       sg = self._graph.subgraphs[sg_idx]
-      op = sg.ops[op_id]
-      self._maybe_init_op(sg_idx, op_id, op_key, algorithm_name,
+      self._maybe_init_op(sg_idx, op_id, op, op_key, algorithm_name,
                           op_quant_config)
       spec = op_library.OP_SPECS.get(op_key)
       in_ignore = set(spec.inputs_to_ignore) if spec else set()
@@ -254,15 +272,15 @@ class Calibrator:
         else:
           self._model_qsvs[name] = update_fn(old, new_qsv)
 
-  def _maybe_init_op(self, sg_idx: int, op_id: int, op_key,
+  def _maybe_init_op(self, sg_idx: int, op_id: int, op, op_key,
                      algorithm_name, op_quant_config) -> None:
-    op_token = (sg_idx, op_id)
+    op_token = (sg_idx, op_id, op_key)
     if op_token in self._initialized_ops:
       return
     sg = self._graph.subgraphs[sg_idx]
     graph_info = qtyping.GraphInfo(subgraph=sg, buffers=self._graph.buffers)
     op_info = qtyping.OpInfo(
-        op=sg.ops[op_id], op_name=op_key, subgraph_op_index=op_id,
+        op=op, op_name=op_key, subgraph_op_index=op_id,
         op_quant_config=op_quant_config)
     init_fn = algorithm_manager.get_init_qsv_fn(algorithm_name, op_key)
     if init_fn is not None:
@@ -271,16 +289,15 @@ class Calibrator:
     self._initialized_ops.add(op_token)
 
   def _calibrate_step(self, plan: list, tensor_content_map: dict) -> None:
-    for sg_idx, op_id, op_key, algorithm_name, op_quant_config in plan:
+    for sg_idx, op_id, op, op_key, algorithm_name, op_quant_config in plan:
       sg = self._graph.subgraphs[sg_idx]
-      op = sg.ops[op_id]
       graph_info = qtyping.GraphInfo(
           subgraph=sg, buffers=self._graph.buffers)
       op_info = qtyping.OpInfo(
           op=op, op_name=op_key, subgraph_op_index=op_id,
           op_quant_config=op_quant_config)
       # One-time QSV init (weight min/max etc.).
-      self._maybe_init_op(sg_idx, op_id, op_key, algorithm_name,
+      self._maybe_init_op(sg_idx, op_id, op, op_key, algorithm_name,
                           op_quant_config)
       calib_fn = algorithm_manager.get_quantization_func(
           algorithm_name, op_key, qtyping.QuantizeMode.CALIBRATE)

@@ -144,11 +144,18 @@ def make_model(cfg):
 
 
 # ---------------------------------------------------------------------------
-# KV quantize/dequantize emulations (exact kernel semantics).
+# KV quantize/dequantize emulations. Scale handling matches the shipped
+# kernels bit-exactly (f32 quantize scale, bf16 sidecar dequant); one known
+# divergence remains: the kernels run score/context matmuls in bf16 while
+# this study evaluates in f32, so reported deltas exclude bf16 matmul
+# rounding (~1e-3 relative), which applies equally to every scheme.
 # ---------------------------------------------------------------------------
 
 
 def _hadamard(n: int) -> np.ndarray:
+  assert n & (n - 1) == 0, (
+      f'head_dim {n} is not a power of two; the *_had schemes need one '
+      '(the shipped HADAMARD_ROTATION op is block-diagonal instead)')
   h = np.array([[1.0]], np.float32)
   while h.shape[0] < n:
     h = np.block([[h, h], [h, -h]])
@@ -165,6 +172,9 @@ def make_qdq_fns(calib_absmax_k, calib_absmax_v, head_dim: int):
 
     group: optional scale-group size along H (per-group sidecar scales);
     None = one scale per row (the shipped int4 kernel's layout).
+    Kernel-exact scale handling (quantize_kv_rows_int4): the QUANTIZE
+    divides by the f32 scale; the DEQUANTIZE multiplies by the bf16
+    sidecar value.
     """
     if group:
       xg = x.reshape(*x.shape[:-1], x.shape[-1] // group, group)
@@ -172,10 +182,28 @@ def make_qdq_fns(calib_absmax_k, calib_absmax_v, head_dim: int):
       return out.reshape(x.shape)
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-9) / qmax_div
+    lo = -qmax_div - 1 if qmax_div == 7.0 else -qmax_div
+    q = jnp.clip(jnp.round(x / scale), lo, qmax_div)
     if qmax_div == 7.0:  # int4 sidecar scales are stored bf16
       scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = -qmax_div - 1 if qmax_div == 7.0 else -qmax_div
-    return jnp.clip(jnp.round(x / scale), lo, qmax_div) * scale
+    return q * scale
+
+  def qdq_row_asym(x, group, num_bits=4):
+    """Per-group ASYMMETRIC quantization (uint levels + bf16 scale/zero).
+
+    The int4-K candidate VERDICT r3 item 8 asks for: K rows are strongly
+    non-zero-centered post-RoPE, so an asymmetric grid spends all 16
+    levels on the observed span.
+    """
+    levels = float(2 ** num_bits - 1)
+    xg = x.reshape(*x.shape[:-1], x.shape[-1] // group, group)
+    mn = jnp.min(xg, axis=-1, keepdims=True)
+    mx = jnp.max(xg, axis=-1, keepdims=True)
+    scale = jnp.maximum(mx - mn, 1e-9) / levels
+    q = jnp.clip(jnp.round((xg - mn) / scale), 0.0, levels)
+    scale_b = scale.astype(jnp.bfloat16).astype(jnp.float32)
+    mn_b = mn.astype(jnp.bfloat16).astype(jnp.float32)
+    return (q * scale_b + mn_b).reshape(x.shape)
 
   def qdq_rot(x, qmax_div, group=None):
     """Quantize in the Hadamard-rotated basis (QuaRot-style).
@@ -189,11 +217,15 @@ def make_qdq_fns(calib_absmax_k, calib_absmax_v, head_dim: int):
   def qdq_static(x, scale):
     return jnp.clip(jnp.round(x / scale), -127, 127) * scale
 
+  # stamp_int8_kv_cache applies ONE shared scale to both K and V; mirror
+  # that exactly (separately-calibrated scales would flatter the scheme).
+  shared = jnp.maximum(calib_absmax_k, calib_absmax_v) / 127.0
   g4 = max(8, head_dim // 8)  # per-group(32) at Gemma's H=256
+  g16 = min(16, head_dim)
   return {
       'float': None,
-      'int8_static': lambda k, v: (qdq_static(k, calib_absmax_k / 127.0),
-                                   qdq_static(v, calib_absmax_v / 127.0)),
+      'int8_static': lambda k, v: (qdq_static(k, shared),
+                                   qdq_static(v, shared)),
       'int8_pertoken': lambda k, v: (qdq_row(k, 127.0), qdq_row(v, 127.0)),
       'int4_pertoken': lambda k, v: (qdq_row(k, 7.0), qdq_row(v, 7.0)),
       'k8v4': lambda k, v: (qdq_row(k, 127.0), qdq_row(v, 7.0)),
@@ -203,6 +235,11 @@ def make_qdq_fns(calib_absmax_k, calib_absmax_v, head_dim: int):
       'int4_had_group': lambda k, v: (qdq_rot(k, 7.0, g4),
                                       qdq_rot(v, 7.0, g4)),
       'k8v4_had': lambda k, v: (qdq_row(k, 127.0), qdq_rot(v, 7.0)),
+      # VERDICT r3 item 8 candidate: per-group-16 asymmetric K, per-group
+      # symmetric V — all int4 storage.
+      'int4_g16_asymk': lambda k, v: (qdq_row_asym(k, g16),
+                                      qdq_row(v, 7.0, g16)),
+      'k4asym_v8': lambda k, v: (qdq_row_asym(k, g16), qdq_row(v, 127.0)),
   }
 
 
@@ -221,7 +258,7 @@ def main():
   ap.add_argument('--batch', type=int, default=64)
   ap.add_argument('--lr', type=float, default=3e-3)
   ap.add_argument('--cpu', action='store_true')
-  ap.add_argument('--out', default='/root/repo/KV_QUALITY_r03.json')
+  ap.add_argument('--out', default='/root/repo/KV_QUALITY_r04.json')
   args = ap.parse_args()
   if args.cpu:
     os.environ['JAX_PLATFORMS'] = 'cpu'
@@ -268,6 +305,8 @@ def main():
     starts = g.integers(0, len(src) - seq - 1, n)
     return np.stack([src[st:st + seq + 1] for st in starts]).astype(np.int32)
 
+  if args.steps < 1:
+    raise SystemExit('--steps must be >= 1 (the study needs a trained model)')
   t0 = time.time()
   g = np.random.default_rng(1)
   for step in range(args.steps):
@@ -291,9 +330,9 @@ def main():
     absmax['v'] = max(absmax['v'], float(jnp.max(jnp.abs(v))))
     return k, v
 
-  calib = jnp.asarray(sample_batch(train, 16, args.seq, g))
+  calib = jnp.asarray(sample_batch(train, 8, args.seq, g))
   with jax.disable_jit():  # host callback-free absmax capture
-    forward(params, calib[:8, :-1], kv_qdq=record_absmax)
+    forward(params, calib[:, :-1], kv_qdq=record_absmax)
   print(f'calib absmax: k={absmax["k"]:.3f} v={absmax["v"]:.3f}')
 
   qdq = make_qdq_fns(jnp.float32(absmax['k']), jnp.float32(absmax['v']),
