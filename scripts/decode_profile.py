@@ -4,17 +4,26 @@ On-device scan timing (the only trustworthy clock through the axon
 tunnel): each segment runs ITERS times inside ONE jitted lax.scan, so the
 measured wall time is device compute + a single dispatch.
 
+Mirrors bench.py's headline configuration exactly (full vocab, fused
+projections, greedy head, int8 KV, packed int4 weights, lengths-based
+attention, bf16 activations) and persists a per-phase JSON artifact
+(DECODE_PROFILE_r04.json) with ms AND achieved GB/s per segment, the
+host-sync cost, and the accounted/residual split — the step-level
+decomposition VERDICT r3 item 2 asked for.
+
 Segments at the bench configuration (B, int8 KV, packed int4):
-  full        — the whole decode step
-  attention   — fused int8-KV masked attention x num_layers
+  full        — the whole decode step (chained token/cache dependencies)
+  attention   — lengths-masked int8-KV kernel x num_layers (bench kernel)
   fc_sweep    — every FC weight at its true shape/count (packed or XLA)
   cache_dus   — int8 cache DUS updates x num_layers x 2
+  host_sync   — one value-fetch round trip through the tunnel
 
-Env: AEQT_PROF_PRESET (gemma2b_lite|gemma2b|toy), AEQT_PROF_BATCH,
-AEQT_PROF_ITERS.
+Env: AEQT_PROF_PRESET (gemma2b|gemma2b_lite|toy), AEQT_PROF_BATCH,
+AEQT_PROF_ITERS, AEQT_PROF_OUT (artifact path; empty disables).
 """
 
 import functools
+import json
 import os
 import sys
 import time
@@ -22,9 +31,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+# Match the bench's serving-path env before the executor module loads.
+os.environ.setdefault('AEQT_INT4_DRQ', '1')
+os.environ.setdefault('AEQT_ATTN_LENGTHS', '1')
+
 import jax
 if os.environ.get('JAX_PLATFORMS'):
   jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+try:
+  cache_dir = os.environ.get('AEQT_XLA_CACHE', '/tmp/aeqt_xla_cache')
+  os.makedirs(cache_dir, exist_ok=True)
+  jax.config.update('jax_compilation_cache_dir', cache_dir)
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:  # noqa: BLE001
+  pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,58 +56,52 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def scan_time(fn, iters, *args):
-  """Seconds per fn(*args) call: one jitted scan of `iters` steps.
-
-  args pass through jit as REAL arguments (device buffers), never as
-  closure-captured lowering constants — a closed-over cache pool would
-  otherwise duplicate gigabytes into the executable. A data dependence
-  threads each step's output into the carry so steps cannot be elided."""
-  def scanned(*a):
-    def body(carry, _):
-      out = fn(*a)
-      leaf = jax.tree_util.tree_leaves(out)[0]
-      bump = leaf.reshape(-1)[0].astype(jnp.float32)
-      return carry + bump * 1e-30, None
-    return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
-
-  jitted = jax.jit(scanned)
-  v = float(jitted(*args))  # compile + first run
-  t0 = time.perf_counter()
-  v = float(jitted(*args))
-  dt = time.perf_counter() - t0
-  assert np.isfinite(v)
-  return dt / iters
-
-
 def main():
-  preset = os.environ.get('AEQT_PROF_PRESET', 'gemma2b_lite')
+  preset = os.environ.get('AEQT_PROF_PRESET', 'gemma2b')
   batch = int(os.environ.get('AEQT_PROF_BATCH', '256'))
   iters = int(os.environ.get('AEQT_PROF_ITERS', '16'))
   cfg = {'toy': gemma.TOY_DECODER, 'gemma2b': gemma.GEMMA_2B,
          'gemma2b_lite': gemma.GEMMA_2B_LITE}[preset]
+  on_tpu = jax.default_backend() == 'tpu'
   log(f'profile: {preset} batch={batch} iters={iters} '
       f'backend={jax.default_backend()}')
 
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
                               signatures=('decode',),
-                              materialize_weights=False)
+                              materialize_weights=False,
+                              fused_projections=True, greedy_head=True)
   gemma.stamp_int8_kv_cache(graph)
-  weights = gemma.device_materialize_quantized(graph, fc_bits=4,
-                                               embedding_bits=8)
+  # Reuse the bench's weight cache when present (same build flags).
+  cache_path = f'/tmp/aeqt_bench_weights_{preset}_int8_f1.npz'
+  weights = None
+  if os.path.exists(cache_path):
+    try:
+      weights = gemma.load_materialized(graph, cache_path)
+      log(f'weights from bench cache: {cache_path}')
+    except Exception as ce:  # noqa: BLE001
+      log(f'bench weight cache unreadable ({ce}); regenerating')
+      weights = None
+  if weights is None:
+    weights = gemma.device_materialize_quantized(graph, fc_bits=4,
+                                                 embedding_bits=8)
   jax.block_until_ready(list(weights.values()))
   ex = executor_lib.GraphExecutor(graph, activation_dtype='bfloat16')
   ex._weights = weights
-  on_tpu = jax.default_backend() == 'tpu'
   if on_tpu:
     ex.prepare_serving_weights(min_weight_params=0)
+  # Drain the packing queue BEFORE any timing: a pending unpack otherwise
+  # inflates the first fetches by seconds and corrupts every segment.
+  jax.block_until_ready(list(ex._weights.values()))
   log(f'packed FCs: {len(ex._packed_int4_keys)}; '
       f'attn fusions: {len(ex._attn_fusions)}')
   weights = ex._weights
   sig = graph.signature_by_key('decode')
   run_sig = functools.partial(
       ex._run_signature, sig.subgraph_index, 'decode', False)
-  inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=64)
+  # Decode at near-full context like the bench (pays for ~S live rows).
+  S = cfg.max_seq_len
+  start_pos = int(os.environ.get('AEQT_PROF_START_POS', max(64, S - 128)))
+  inputs = gemma.make_inputs(cfg, 'decode', batch, 1, start_pos=start_pos)
   dec_sg = graph.subgraphs[sig.subgraph_index]
   for name, tid in sig.inputs.items():
     # Feed caches pre-quantized: a float cache pool would be gigabytes of
@@ -96,11 +110,26 @@ def main():
       inputs[name] = np.zeros(inputs[name].shape, np.int8)
   inputs = {k: jax.device_put(np.asarray(v)) for k, v in inputs.items()}
 
-  NK, H, S = cfg.num_kv_heads, cfg.head_dim, cfg.max_seq_len
+  NK, H = cfg.num_kv_heads, cfg.head_dim
   G = cfg.num_query_heads // cfg.num_kv_heads
   L = cfg.num_layers
 
   results = {}
+  seg_bytes = {}
+
+  # -- host sync cost: MIN of several value fetches (robust to queue
+  # stragglers; the subtraction below must never exceed real overhead).
+  probe = jnp.zeros((8,), jnp.float32)
+  for _ in range(2):
+    float(jnp.sum(probe))  # warm
+  fetches = []
+  for _ in range(6):
+    t0 = time.perf_counter()
+    float(jnp.sum(probe + 1.0))
+    fetches.append(time.perf_counter() - t0)
+  results['host_sync'] = min(fetches)
+  log(f"host sync: {results['host_sync']*1e3:.2f} ms/fetch "
+      f"(min of {['%.0f' % (f*1e3) for f in fetches]} ms)")
 
   # Full step with REAL step-to-step dependencies (cache carry + sampled
   # token feedback), exactly like bench.py's on-device loop. A body whose
@@ -124,8 +153,7 @@ def main():
       inp.update(caches_c)
       out = run_sig(w, inp)
       new_caches = {k: out[k[:-3]] for k in cache_keys}
-      nxt = jnp.argmax(out['logits'][:, -1, :], axis=-1).astype(
-          jnp.int32)[:, None]
+      nxt = out['next_tokens'].astype(jnp.int32)
       return (new_caches, nxt, pos_c + 1), None
     (caches, tokens, pos), _ = jax.lax.scan(
         body, (caches, tokens, pos), None, length=iters)
@@ -134,40 +162,48 @@ def main():
   caches0 = {k: inputs[k] for k in cache_keys}
   tokens0 = inputs['tokens']
   jit_full = jax.jit(full_chunk)
-  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(64)))
+  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(start_pos)))
   t0 = time.perf_counter()
-  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(64)))
-  results['full'] = (time.perf_counter() - t0) / iters
+  v = np.asarray(jit_full(weights, caches0, tokens0, jnp.int32(start_pos)))
+  results['full'] = ((time.perf_counter() - t0 - results['host_sync'])
+                     / iters)
+  weight_bytes = sum(int(np.asarray(w).nbytes) for w in weights.values())
+  cache_bytes = sum(int(np.asarray(c).nbytes) for c in caches0.values())
+  seg_bytes['full'] = weight_bytes + cache_bytes
   log(f"full step (chained): {results['full']*1e3:.3f} ms")
 
-  # -- attention only: the fused masked kernel at bench shapes x L.
+  # -- attention only: the production lengths kernel at bench shapes x L.
   from ai_edge_quantizer_tpu.kernels import pallas_attention
   rngk = np.random.default_rng(0)
   q = jnp.asarray(rngk.standard_normal((batch, NK, G, H)), jnp.float32)
   kq = jnp.asarray(rngk.integers(-127, 127, (batch, NK, S, H)), jnp.int8)
   vq = jnp.asarray(rngk.integers(-127, 127, (batch, NK, S, H)), jnp.int8)
-  mask = jnp.zeros((batch, 1, G, S), jnp.float32)
+  lengths = jnp.full((batch,), start_pos + 1, jnp.int32)
 
-  def attn_all_layers(q_, kq_, vq_, mask_):
+  def attn_all_layers(q_, kq_, vq_, lengths_):
     # Chained: each layer consumes the previous output (reshaped back to
     # the q shape), so nothing is loop-invariant.
     out = q_
     for _ in range(L):
-      out = pallas_attention.decode_attention_int8_masked(
-          out, kq_, vq_, 0.06, 0.06, mask_, interpret=not on_tpu)
+      out = pallas_attention.decode_attention_int8_lengths(
+          out, kq_, vq_, 0.06, 0.06, lengths_, interpret=not on_tpu)
     return out
 
-  def attn_chained(q0, kq_, vq_, mask_):
+  def attn_chained(q0, kq_, vq_, lengths_):
     def body(carry, _):
-      out = attn_all_layers(carry, kq_, vq_, mask_)
+      out = attn_all_layers(carry, kq_, vq_, lengths_)
       return out * 1e-3, None
     return jax.lax.scan(body, q0, None, length=iters)[0]
 
   jit_attn = jax.jit(attn_chained)
-  v = np.asarray(jit_attn(q, kq, vq, mask))
+  v = np.asarray(jit_attn(q, kq, vq, lengths))
   t0 = time.perf_counter()
-  v = np.asarray(jit_attn(q, kq, vq, mask))
-  results['attention'] = (time.perf_counter() - t0) / iters
+  v = np.asarray(jit_attn(q, kq, vq, lengths))
+  results['attention'] = ((time.perf_counter() - t0 - results['host_sync'])
+                          / iters)
+  # K + V int8 stream once per layer (the kernel reads the whole
+  # allocated cache; q/out/scales are negligible next to it).
+  seg_bytes['attention'] = L * 2 * batch * NK * S * H
   log(f"attention x{L}: {results['attention']*1e3:.3f} ms")
 
   # -- FC sweep: every FC weight through its production dispatch.
@@ -229,7 +265,10 @@ def main():
   v = float(jit_fc(weights, x_by_k))
   t0 = time.perf_counter()
   v = float(jit_fc(weights, x_by_k))
-  results['fc_sweep'] = (time.perf_counter() - t0) / iters
+  results['fc_sweep'] = ((time.perf_counter() - t0 - results['host_sync'])
+                         / iters)
+  seg_bytes['fc_sweep'] = sum(
+      int(np.asarray(weights[k]).nbytes) for k in fc_keys)
   log(f"fc sweep ({len(fc_keys)} FCs): {results['fc_sweep']*1e3:.3f} ms")
 
   # -- cache DUS updates: int8 one-position write x L x 2.
@@ -250,16 +289,47 @@ def main():
   v = np.asarray(jit_dus(kq, vq, upd))[0, 0, 0, 0]
   t0 = time.perf_counter()
   v = np.asarray(jit_dus(kq, vq, upd))[0, 0, 0, 0]
-  results['cache_dus'] = (time.perf_counter() - t0) / iters
+  results['cache_dus'] = ((time.perf_counter() - t0 - results['host_sync'])
+                          / iters)
+  seg_bytes['cache_dus'] = 2 * L * batch * NK * H  # int8 writes
   log(f"cache DUS x{L}x2: {results['cache_dus']*1e3:.3f} ms")
 
   known = results['attention'] + results['fc_sweep'] + results['cache_dus']
+  residual = results['full'] - known
   log(f"accounted: {known*1e3:.3f} of {results['full']*1e3:.3f} ms "
       f"({100*known/max(results['full'],1e-12):.0f}%); residual "
-      f"{1e3*(results['full']-known):.3f} ms = XLA glue "
-      f"(rope/norm/residual/reshape/embed)")
-  for k, v in results.items():
-    print(f'{k}: {v*1e3:.3f} ms')
+      f"{residual*1e3:.3f} ms = XLA glue "
+      f"(rope/norm/residual/reshape/embed + non-FC matmuls)")
+
+  artifact = {
+      'preset': preset, 'batch': batch, 'iters': iters,
+      'start_pos': start_pos,
+      'backend': jax.default_backend(),
+      'segments_ms': {k: round(t * 1e3, 3) for k, t in results.items()},
+      'segments_gbs': {
+          k: round(seg_bytes[k] / results[k] / 1e9, 1)
+          for k in seg_bytes if results.get(k)
+      },
+      'weight_bytes': weight_bytes,
+      'cache_bytes': cache_bytes,
+      'accounted_ms': round(known * 1e3, 3),
+      'residual_ms': round(residual * 1e3, 3),
+      'accounted_frac': round(known / max(results['full'], 1e-12), 4),
+      'step_sustained_gbs': round(
+          seg_bytes['full'] / results['full'] / 1e9, 1),
+  }
+  out_path = os.environ.get(
+      'AEQT_PROF_OUT',
+      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+          __file__))), 'DECODE_PROFILE_r04.json'))
+  if out_path:
+    with open(out_path, 'w') as f:
+      json.dump(artifact, f, indent=1)
+    log(f'artifact written: {out_path}')
+  for k, t in results.items():
+    gbs = (f' ({seg_bytes[k]/t/1e9:.0f} GB/s)'
+           if k in seg_bytes and t else '')
+    print(f'{k}: {t*1e3:.3f} ms{gbs}')
 
 
 if __name__ == '__main__':

@@ -7,7 +7,7 @@ no recorded evidence at a >=16k-dim Hessian. This measures:
   - host f64 LAPACK path at d=4096 for comparison,
   - accuracy residual max|H @ X - I| for both,
   - the device path's analytic working-set size.
-Writes GPTQ_SCALE_r03.json at the repo root.
+Writes GPTQ_SCALE_r04.json at the repo root.
 """
 
 import json
@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 import jax
 if os.environ.get('JAX_PLATFORMS'):
   jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+# Persistent compilation cache: repeat runs (and the quantize pipeline
+# itself) skip the tunnel compile entirely (VERDICT r3 items 5/6).
+try:
+  _cache_dir = os.environ.get('AEQT_XLA_CACHE', '/tmp/aeqt_xla_cache')
+  os.makedirs(_cache_dir, exist_ok=True)
+  jax.config.update('jax_compilation_cache_dir', _cache_dir)
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:  # noqa: BLE001
+  pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,11 +89,27 @@ def main():
     log(f'device d={d}: {dt:.2f}s warm / {dt_cold:.2f}s incl. compile, '
         f'residual {res:.2e} (device-iter err {float(err_dev):.2e}, '
         f'{int(iters)} NS steps), working set ~{ws_gib:.2f} GiB')
+    # Multi-layer amortization: a real GPTQ pass solves one Hessian per
+    # FC layer of the same few shapes; with the executable cached, each
+    # additional layer costs only the solve. Measure 3 more same-d solves.
+    layer_times = [dt]
+    for seed in (2, 3, 4):
+      h_i = make_hessian_device(d, seed=seed)
+      t0 = time.perf_counter()
+      xj, _, _ = solve(jnp.asarray(h_i))
+      jax.block_until_ready(xj)
+      layer_times.append(time.perf_counter() - t0)
+      del h_i
+    amortized = (dt_cold + sum(layer_times[1:])) / (1 + len(layer_times[1:]))
+    log(f'device d={d}: per-layer solves {["%.1f" % t for t in layer_times]}'
+        f' -> amortized {amortized:.1f}s/layer over 4 layers incl. compile')
     results[f'device_d{d}'] = {
         'solve_s': round(dt, 2), 'solve_incl_compile_s': round(dt_cold, 2),
         'residual_max': float(f'{res:.3e}'),
         'ns_steps': int(iters),
         'working_set_gib': round(ws_gib, 2),
+        'per_layer_solve_s': [round(t, 2) for t in layer_times],
+        'amortized_s_per_layer_4layers': round(amortized, 2),
     }
     del h_dev
 
@@ -101,7 +126,7 @@ def main():
   }
 
   out_path = os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), 'GPTQ_SCALE_r03.json')
+      os.path.abspath(__file__))), 'GPTQ_SCALE_r04.json')
   with open(out_path, 'w') as f:
     json.dump(results, f, indent=1)
   print(json.dumps(results))

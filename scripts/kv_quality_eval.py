@@ -109,19 +109,27 @@ def make_model(cfg):
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
 
-  def forward(params, tokens, kv_qdq=None):
+  def forward(params, tokens, kv_qdq=None, matmul_tap=None):
     """tokens [B, S] -> logits [B, S, 256].
 
     kv_qdq: optional fn (k, v) -> (k, v) applied to the post-RoPE cache
     contents [B, S, NK, H] — the quantize/dequantize cache emulation.
+    matmul_tap: optional fn (layer, weight_name, x_2d) recording each FC
+    input (GPTQ Hessian capture for the weight-quality study).
     """
     b, s = tokens.shape
     pos = jnp.arange(s)
     x = params['embed'][tokens] * jnp.sqrt(float(d))
     causal = pos[None, :] <= pos[:, None]  # [S, S] lower-triangular
+
+    def tap(i, name, val):
+      if matmul_tap is not None:
+        matmul_tap(i, name, val.reshape(-1, val.shape[-1]))
+
     for i in range(cfg.layers):
       lp = params[f'l{i}']
       xa = rms_norm(x, lp['attn_norm'])
+      tap(i, 'wq', xa)  # same input feeds wq/wk/wv
       q = rope((xa @ lp['wq']).reshape(b, s, nq, h), pos)
       k = rope((xa @ lp['wk']).reshape(b, s, nk, h), pos)
       v = (xa @ lp['wv']).reshape(b, s, nk, h)
@@ -134,9 +142,13 @@ def make_model(cfg):
       scores = jnp.where(causal[None, None], scores, -1e30)
       probs = jax.nn.softmax(scores, axis=-1)
       ctx = jnp.einsum('bnqk,bknh->bqnh', probs, vx).reshape(b, s, nq * h)
+      tap(i, 'wo', ctx)
       x = x + ctx @ lp['wo']
       xm = rms_norm(x, lp['mlp_norm'])
-      x = x + (jax.nn.gelu(xm @ lp['wgate']) * (xm @ lp['wup'])) @ lp['wdown']
+      tap(i, 'wgate', xm)  # wgate and wup share this input
+      gated = jax.nn.gelu(xm @ lp['wgate']) * (xm @ lp['wup'])
+      tap(i, 'wdown', gated)
+      x = x + gated @ lp['wdown']
     x = rms_norm(x, params['final_norm'])
     return x @ params['embed'].T
 
@@ -264,6 +276,9 @@ def main():
     os.environ['JAX_PLATFORMS'] = 'cpu'
 
   import jax
+  if args.cpu:
+    # The axon TPU plugin ignores the env var; force the config flag too.
+    jax.config.update('jax_platforms', 'cpu')
   import jax.numpy as jnp
   import optax
 
