@@ -1460,3 +1460,228 @@ def decode_attention_int4_ref(q, k_packed, v_packed, kv_scales, lengths):
   probs = jnp.exp(scores)
   probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
   return jnp.einsum('bngs,bnsh->bngh', probs, v)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV cache, per-GROUP scales (VERDICT r3 item 8).
+#
+# The per-row int4 scheme above loses ~0.05 nats delta-NLL on trained-LM
+# eval (KV_QUALITY_r03) because one scale per row lets a single outlier
+# dim crush 255 others onto the 16-level grid. Per-group-16 sidecars fix
+# the granularity, and K additionally quantizes ASYMMETRICALLY: post-RoPE
+# K rows are strongly non-zero-centered, so an asymmetric grid spends all
+# 16 levels on the observed span (scripts/kv_quality_eval.py
+# int4_g16_asymk measures the end-quality gain).
+#
+# Layout: codes stay split-half packed like the per-row scheme. Sidecar
+# [B, NK, SC, S] bf16 with SC = 3 * (H // group):
+#   rows [0,                 ngroups)   K scale per group
+#   rows [ngroups,       2 * ngroups)   K min   per group (asym offset)
+#   rows [2 * ngroups,   3 * ngroups)   V scale per group (symmetric)
+#
+# Numerics (exact): K_{s,h} = kcode_{s,h} * kscale_{g(h),s} + kmin_{g(h),s}
+# with kcode in [0, 15], so
+#   scores_s = sum_g kscale_{g,s} * (q_g . kcode_{s,g})
+#            + sum_g kmin_{g,s} * sum(q_g)            (one [G,NG]x[NG,S] dot)
+# V_{s,h} = vcode_{s,h} * vscale_{g(h),s} with vcode in [-8, 7], so
+#   ctx_g = (probs * vscale_g) . vcode_{:,g}  per group.
+# ---------------------------------------------------------------------------
+
+
+def quantize_k_rows_int4_asym(x: jax.Array, group: int = 16):
+  """Per-group ASYMMETRIC int4 quantization of K rows.
+
+  x [..., H] float -> (packed uint8 [..., H//2] of codes in [0, 15],
+  scale f32 [..., H//group], minv f32 [..., H//group]).
+  """
+  h = x.shape[-1]
+  ng = h // group
+  xg = x.astype(jnp.float32).reshape(*x.shape[:-1], ng, group)
+  mn = jnp.min(xg, axis=-1)
+  mx = jnp.max(xg, axis=-1)
+  scale = jnp.maximum(mx - mn, 1e-9) * (1.0 / 15.0)
+  codes = jnp.clip(jnp.round((xg - mn[..., None]) / scale[..., None]),
+                   0, 15).astype(jnp.uint8).reshape(x.shape)
+  lo = codes[..., : h // 2] & 0xF
+  hi = codes[..., h // 2:] & 0xF
+  return lo | (hi << 4), scale, mn
+
+
+def quantize_v_rows_int4_group(x: jax.Array, group: int = 16):
+  """Per-group SYMMETRIC int4 quantization of V rows.
+
+  x [..., H] float -> (packed uint8 [..., H//2], scale f32 [..., H//group]).
+  """
+  h = x.shape[-1]
+  ng = h // group
+  xg = x.astype(jnp.float32).reshape(*x.shape[:-1], ng, group)
+  absmax = jnp.max(jnp.abs(xg), axis=-1)
+  scale = jnp.maximum(absmax, 1e-9) * (1.0 / 7.0)
+  q = jnp.clip(jnp.round(xg / scale[..., None]), -8, 7).astype(
+      jnp.int8).reshape(x.shape)
+  return pack_int4_rows(q), scale
+
+
+def build_kv_sidecar_group(k_scale, k_min, v_scale):
+  """Stack per-group stats into the kernel sidecar [..., 3*NG, S] bf16.
+
+  Inputs are [..., S, NG] f32 (trailing group axis, matching the
+  quantizers above applied to [..., S, H] caches).
+  """
+  stats = jnp.concatenate([k_scale, k_min, v_scale], axis=-1)  # [..., S, 3NG]
+  return jnp.swapaxes(stats, -1, -2).astype(jnp.bfloat16)     # [..., 3NG, S]
+
+
+def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
+                               group: int):
+  """Per-row context over [0, length): per-group asym-K / sym-V int4.
+
+  q: [G, H] f32. kp_ref/vp_ref: [S, H/2] uint8. sc_ref: [3*NG, S] bf16.
+  """
+  g, h = q.shape
+  s = kp_ref.shape[0]
+  h2 = h // 2
+  ng = h // group
+  pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+  qb = q.astype(jnp.bfloat16)
+
+  k32 = kp_ref[:].astype(jnp.int32)
+  # Asym K codes are UNSIGNED nibbles (0..15): no sign fix on unpack.
+  kcodes = jnp.concatenate([(k32 & 0xF), (k32 >> 4)],
+                           axis=-1).astype(jnp.bfloat16)       # [S, H]
+  scores = jnp.zeros((g, s), jnp.float32)
+  for gi in range(ng):
+    sl = slice(gi * group, (gi + 1) * group)
+    part = jax.lax.dot_general(
+        qb[:, sl], kcodes[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [G, S]
+    scores += part * sc_ref[gi:gi + 1, :].astype(jnp.float32)
+  # Offset term: one [G, NG] x [NG, S] dot covers every group's min.
+  qsums = jnp.sum(qb.astype(jnp.float32).reshape(g, ng, group), axis=-1)
+  kmins = sc_ref[ng:2 * ng, :].astype(jnp.float32)             # [NG, S]
+  scores += jax.lax.dot_general(
+      qsums, kmins, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  scores *= 1.0 / (h ** 0.5)
+  scores = jnp.where(pos < length, scores, -1e30)
+  scores = scores - jnp.max(scores, axis=1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)        # [G, S] f32
+
+  v32 = vp_ref[:].astype(jnp.int32)
+  vlo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+  vhi = (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  vcodes = jnp.concatenate([vlo, vhi], axis=-1)                # [S, H]
+  ctx_parts = []
+  for gi in range(ng):
+    sl = slice(gi * group, (gi + 1) * group)
+    vscale = sc_ref[2 * ng + gi:2 * ng + gi + 1, :].astype(jnp.float32)
+    pv = (probs * vscale).astype(jnp.bfloat16)                 # [G, S]
+    ctx_parts.append(jax.lax.dot_general(
+        pv, vcodes[:, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))                   # [G, group]
+  return jnp.concatenate(ctx_parts, axis=1)                    # [G, H]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('group', 'batch_block', 'out_dtype', 'interpret'))
+def decode_attention_int4_group_lengths(
+    q: jax.Array,
+    k_packed: jax.Array,
+    v_packed: jax.Array,
+    sidecar: jax.Array,
+    lengths: jax.Array,
+    group: int = 16,
+    batch_block: int = 4,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+  """Decode attention over per-group asym-K / sym-V int4 KV caches.
+
+  q [B, NK, G, H]; k_packed/v_packed [B, NK, S, H//2] uint8 (K codes
+  unsigned, V codes signed split-half); sidecar [B, NK, 3*(H//group), S]
+  bf16 (build_kv_sidecar_group); lengths [B] int32. Streams the int8
+  path's cache bytes halved plus 6*H/group bytes of sidecar per row
+  (~9% of the int8 row at H=256, group=16).
+  """
+  b, nk, g, h = q.shape
+  s = k_packed.shape[2]
+  h2 = h // 2
+  ng3 = 3 * (h // group)
+  bn_rows = b * nk
+  bb = max(1, batch_block)
+  while bn_rows % bb:
+    bb //= 2
+  while bb > 1 and 2 * (2 * bb * s * h2) + 2 * bb * ng3 * s > 14 * 2**20:
+    bb //= 2
+  q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
+  k2 = k_packed.reshape(bn_rows, s, h2)
+  v2 = v_packed.reshape(bn_rows, s, h2)
+  sc2 = sidecar.reshape(bn_rows, ng3, s).astype(jnp.bfloat16)
+  lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
+
+  def kernel(lens_ref, q_ref, kp_ref, vp_ref, sc_ref, o_ref):
+    row0 = pl.program_id(0) * bb
+    for row in range(bb):
+      ctx = _ctx_prefix_len_int4_group(
+          q_ref[row], kp_ref.at[row], vp_ref.at[row], sc_ref.at[row],
+          lens_ref[row0 + row], group)
+      o_ref[row] = ctx.astype(o_ref.dtype)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(bn_rows // bb,),
+      in_specs=[
+          pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((bb, ng3, s), lambda i, lens_ref: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+  )
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((bn_rows, g, h), out_dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * bn_rows * g * s * h,
+          bytes_accessed=bn_rows * s * (h + ng3 * 2),
+          transcendentals=bn_rows * g * s),
+      interpret=interpret,
+  )(lens, q2, k2, v2, sc2)
+  return out.reshape(b, nk, g, h)
+
+
+def decode_attention_int4_group_ref(q, k_packed, v_packed, sidecar,
+                                    lengths, group: int = 16):
+  """XLA twin of decode_attention_int4_group_lengths (tests)."""
+  b, nk, g, h = q.shape
+  s = k_packed.shape[2]
+  ng = h // group
+  k32 = k_packed.astype(jnp.int32)
+  kcodes = jnp.concatenate([(k32 & 0xF), (k32 >> 4)],
+                           axis=-1).astype(jnp.float32)        # [B,NK,S,H]
+  vq = unpack_int4_rows(v_packed).astype(jnp.float32)
+  sc = jnp.swapaxes(sidecar.astype(jnp.float32), -1, -2)       # [B,NK,S,3NG]
+  kscale, kmin, vscale = sc[..., :ng], sc[..., ng:2 * ng], sc[..., 2 * ng:]
+  k = (kcodes.reshape(b, nk, s, ng, group) * kscale[..., None]
+       + kmin[..., None]).reshape(b, nk, s, h)
+  v = (vq.reshape(b, nk, s, ng, group) * vscale[..., None]).reshape(
+      b, nk, s, h)
+  scores = jnp.einsum('bngh,bnsh->bngs', q.astype(jnp.float32), k)
+  scores = scores / (h ** 0.5)
+  pos = jnp.arange(s)[None, None, None, :]
+  scores = jnp.where(pos < lengths[:, None, None, None], scores, -1e30)
+  scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+  probs = jnp.exp(scores)
+  probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+  return jnp.einsum('bngs,bnsh->bngh', probs, v)

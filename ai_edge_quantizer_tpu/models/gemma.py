@@ -105,8 +105,16 @@ def _build_signature(
     fused_projections: bool = False,
     device_masks: bool = False,
     greedy_head: bool = False,
+    head_cols: bool = False,
 ) -> None:
   """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
+
+  head_cols (prefill, T > 1): add a `head_cols` [B, 1] int32 input and
+  run the vocab head on ONE gathered row per batch element (one-hot
+  blend over T) instead of all T positions. Admission consumes exactly
+  one next-token per request, and nothing at all from intermediate
+  chunks, so the full-T head is pure waste: 2*B*T*D*V FLOPs (~137
+  GFLOP/chunk at 2B-lite shapes) collapse to 2*B*D*V.
 
   cache_update: 'dus' writes all rows at one shared position
   (DYNAMIC_UPDATE_SLICE, the SAME_AS_OUTPUT-scale int8-cache path);
@@ -382,6 +390,29 @@ def _build_signature(
   xf = b.op('RMS_NORM', [x, gamma_f], [(B, T, D)],
             output_names=[f'{sig}/final_norm/out'],
             attrs={'epsilon': cfg.norm_eps})
+  head_t = T
+  if head_cols and T > 1:
+    # Gather each row's single head position in-graph (one-hot blend over
+    # T): the [B, T, V] head collapses to [B, 1, V].
+    hc = b.input(f'{sig}/head_cols', (B, 1), 'int32')
+    hc_shape = b.constant(f'{sig}/head_cols_shape',
+                          np.asarray([B, 1, 1], np.int32))
+    hc3 = b.op('RESHAPE', [hc, hc_shape], [(B, 1, 1)],
+               output_names=[f'{sig}/head_cols3'])
+    iota_t = b.constant(f'{sig}/head_iota',
+                        np.arange(T, dtype=np.int32).reshape(1, T, 1))
+    hit = b.op('EQUAL', [iota_t, hc3], [(B, T, 1)],
+               output_names=[f'{sig}/head_hit'], output_dtypes=['bool'])
+    hit_f = b.activation(f'{sig}/head_hit_f', (B, T, 1))
+    b.subgraph.ops.append(ir.Op(opcode='CAST', inputs=[hit],
+                                outputs=[hit_f]))
+    picked = b.op('MUL', [xf, hit_f], [(B, T, D)],
+                  output_names=[f'{sig}/head_picked'])
+    axes = b.constant(f'{sig}/head_sum_axes', np.asarray([1], np.int32))
+    xf = b.op('SUM', [picked, axes], [(B, 1, D)],
+              output_names=[f'{sig}/head_row'],
+              attrs={'keep_dims': True})
+    head_t = 1
   if cfg.tie_embedding:
     # Tied logits head: the FC consumes the embedding table's buffer — the
     # classic shared-buffer case the planner must reconcile or duplicate.
@@ -391,7 +422,7 @@ def _build_signature(
     logits_w = store.tensor(b, f'{sig}/logits/w', (cfg.vocab_size, D),
                             1.0 / math.sqrt(D))
   logits = b.op('FULLY_CONNECTED', [xf, logits_w, -1],
-                [(B, T, cfg.vocab_size)],
+                [(B, head_t, cfg.vocab_size)],
                 output_names=[f'{sig}/logits'],
                 attrs={'fused_activation': 'NONE'})
   if greedy_head:
@@ -399,7 +430,7 @@ def _build_signature(
     # vocab-tiled kernel, so the [B, T, vocab] logits never reach HBM.
     # (The logits tensor is intentionally NOT a signature output — an
     # escaping logits output would block the fusion.)
-    tokens_out = b.op('ARG_MAX', [logits], [(B, T)],
+    tokens_out = b.op('ARG_MAX', [logits], [(B, head_t)],
                       output_names=[f'{sig}/next_tokens'],
                       attrs={'axis': -1}, output_dtypes=['int32'])
     b.output(tokens_out, user_name='next_tokens')
@@ -581,6 +612,7 @@ def build_serving_decoder(
     prefill_batch: int = 1,
     prefill_device_masks: bool = False,
     prefill_greedy: bool = False,
+    prefill_head_cols: bool = False,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -615,7 +647,8 @@ def build_serving_decoder(
                    cache_update='dus',
                    fused_projections=fused_projections,
                    device_masks=prefill_device_masks,
-                   greedy_head=prefill_greedy)
+                   greedy_head=prefill_greedy,
+                   head_cols=prefill_head_cols)
   b.finalize(signature_key='prefill')
   if cache_buckets:
     buckets = sorted({min(int(s), cfg.max_seq_len) for s in cache_buckets}
@@ -646,6 +679,8 @@ def build_serving_decoder(
     graph.metadata['decode_device_masks'] = True
   if prefill_device_masks:
     graph.metadata['prefill_device_masks'] = True
+  if prefill_head_cols:
+    graph.metadata['prefill_head_cols'] = True
   return graph
 
 

@@ -601,6 +601,12 @@ class DecodeServer:
     tok_mat = np.zeros((Bp, num_chunks * T), np.int32)
     for r, (_, req) in enumerate(slot_reqs):
       tok_mat[r, :req.prompt.size] = req.prompt
+    # Each row's first-token position within the FINAL chunk (the only
+    # head output admission consumes).
+    cols = np.zeros(Bp, np.int32)
+    for r, (_, req) in enumerate(slot_reqs):
+      cols[r] = (req.prompt.size - 1) - (num_chunks - 1) * T
+    head_cols_mode = bool(self.graph.metadata.get('prefill_head_cols'))
     if not hasattr(self, '_prefill_zero_caches'):
       # Device-resident zero caches reused by every first chunk: shipping
       # 2L host-built zero arrays per admission costs tens of MB over the
@@ -620,6 +626,10 @@ class DecodeServer:
           'positions': np.broadcast_to(pos_row + start, (Bp, T)).copy(),
           'cache_pos': np.array([0, 0, start, 0], np.int32),
       }
+      if head_cols_mode:
+        # The in-graph head gathers ONE row per request; intermediate
+        # chunks compute a 1-row head on garbage and it is ignored.
+        inputs['head_cols'] = np.clip(cols, 0, T - 1).reshape(Bp, 1)
       if not self._prefill_device_masks:
         inputs['mask'] = self._host_prefill_mask(slot_reqs, start)
       inputs.update(chunk_caches if chunk_caches is not None
@@ -649,10 +659,12 @@ class DecodeServer:
         jnp.asarray(valid))
     # Gather each row's last valid position ON DEVICE (padded to the fixed
     # prefill batch — one gather program); the wave-end fetch then carries
-    # prefill_batch ids (greedy head) or vocab rows (host samplers).
-    cols = np.zeros(Bp, np.int32)
-    for r, (_, req) in enumerate(slot_reqs):
-      cols[r] = (req.prompt.size - 1) - (num_chunks - 1) * T
+    # prefill_batch ids (greedy head) or vocab rows (host samplers). With
+    # head_cols graphs the gather already happened in-graph.
+    if head_cols_mode:
+      if self._prefill_greedy:
+        return out['next_tokens'][:, 0]
+      return out['logits'][:, 0]
     rows_idx = jnp.arange(Bp)
     if self._prefill_greedy:
       return out['next_tokens'][rows_idx, jnp.asarray(cols)]

@@ -194,9 +194,9 @@ def bench_server():
       materialize_weights=False, device_masks=True,
       fused_projections=True, greedy_head=True,
       prefill_batch=prefill_batch, prefill_device_masks=True,
-      prefill_greedy=True)
+      prefill_greedy=True, prefill_head_cols=True)
   gemma.stamp_int8_kv_cache(graph)
-  cache_path = (f'/tmp/aeqt_server_weights_v2_{cfg.vocab_size}_'
+  cache_path = (f'/tmp/aeqt_server_weights_v3_{cfg.vocab_size}_'
                 f's{slots}_p{prefill_len}_pb{prefill_batch}.npz')
   weights = None
   if os.path.exists(cache_path) and cfg.vocab_size > 1024:

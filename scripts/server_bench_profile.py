@@ -43,7 +43,8 @@ def main():
       cfg, batch_slots=slots, prefill_len=prefill_len,
       materialize_weights=False, device_masks=True, fused_projections=True,
       greedy_head=True, prefill_batch=prefill_batch,
-      prefill_device_masks=True, prefill_greedy=True)
+      prefill_device_masks=True, prefill_greedy=True,
+      prefill_head_cols=True)
   gemma.stamp_int8_kv_cache(graph)
   weights = gemma.device_materialize_quantized(graph, fc_bits=4,
                                                embedding_bits=8)

@@ -432,3 +432,31 @@ class TestBatchedPrefill:
     names = {t.name for sg in g.subgraphs for t in sg.tensors}
     assert any('attn/qkv/w' in n and n.startswith('prefill') for n in names)
     assert not any('attn/q/w' in n for n in names)
+
+
+def test_prefill_head_cols_tokens_identical():
+  """prefill_head_cols=True (head on ONE gathered row per request instead
+  of all T positions) must emit bit-identical tokens to the full-T head,
+  including multi-chunk prompts (models/gemma.py head_cols gather)."""
+  import numpy as np
+  from ai_edge_quantizer_tpu.models import gemma
+  from ai_edge_quantizer_tpu.parallel import batching
+
+  cfg = gemma.TOY_DECODER
+  outs = {}
+  for hc in (False, True):
+    g = gemma.build_serving_decoder(
+        cfg, batch_slots=4, prefill_len=8, materialize_weights=True,
+        device_masks=True, fused_projections=True, greedy_head=True,
+        prefill_batch=2, prefill_device_masks=True, prefill_greedy=True,
+        prefill_head_cols=hc)
+    gemma.stamp_int8_kv_cache(g)
+    server = batching.DecodeServer(g, cfg, batch_slots=4)
+    rng = np.random.default_rng(1)
+    for plen in (3, 8, 13):  # 13 spans two prefill chunks
+      server.submit(rng.integers(1, cfg.vocab_size, plen).astype(np.int32),
+                    max_new_tokens=5)
+    reqs = list(server._queue)
+    server.run_to_completion()
+    outs[hc] = [list(r.generated) for r in reqs]
+  assert outs[False] == outs[True], outs
