@@ -1855,6 +1855,15 @@ class GraphExecutor:
             x_f, w_q, self._packed_scale[key],
             bias=None if true_n is not None else bias,
             bn=bn, interpret=jax.default_backend() != 'tpu')
+      elif (os.environ.get('AEQT_INT4_DRQ', '0') == '1'
+            and os.environ.get('AEQT_INT4_DRQ_KBLOCK', '1') == '1'):
+        # K > 8192 (FFN down projections): the K-blocked DRQ kernel keeps
+        # the contraction on the int8 MXU instead of falling back to the
+        # half-rate bf16 kernel (~1/3 of prefill FLOPs at Gemma shapes).
+        y = pallas_qmatmul.qmatmul_pallas_int4_packed_drq_kblock(
+            x_f, w_q, self._packed_scale[key],
+            bias=None if true_n is not None else bias,
+            bn=bn, interpret=jax.default_backend() != 'tpu')
       else:
         y = pallas_qmatmul.qmatmul_pallas_int4_packed(
             x_f, w_q, self._packed_scale[key],

@@ -763,3 +763,137 @@ def qmatmul_pallas(
   )(*operands)
   out = out[:m]
   return out.reshape(lead_shape + (n,)).astype(x.dtype)
+
+
+def _int4_drq_kblock_kernel(xlo_ref, xhi_ref, w_ref, s_ref, xs_ref, b_ref,
+                            o_ref, acc_ref, *, k_steps: int):
+  """K-blocked int8 x packed-int4 contraction with int32 accumulation.
+
+  Grid (M/bm, N/bn, K2/bk2), k minor: acc scratch [bm, bn] persists
+  across the k sweep. The packed byte block [bn, bk2] holds x columns
+  [k2_0, k2_1) in its low nibbles and [K/2 + k2_0, K/2 + k2_1) in the
+  high nibbles (split-half layout), so the two x operands are the
+  pre-quantized halves blocked congruently.
+  """
+  k = pl.program_id(2)
+
+  @pl.when(k == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  w32 = w_ref[:].astype(jnp.int32)
+  lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+  hi = (((w32 >> 4) ^ 8) - 8).astype(jnp.int8)
+  acc = jax.lax.dot_general(
+      xlo_ref[:], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  acc += jax.lax.dot_general(
+      xhi_ref[:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  acc_ref[:] += acc
+
+  @pl.when(k == k_steps - 1)
+  def _():
+    y = acc_ref[:].astype(jnp.float32) * xs_ref[:] * s_ref[:]
+    if b_ref is not None:
+      y = y + b_ref[:]
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'bk', 'interpret'))
+def qmatmul_pallas_int4_packed_drq_kblock(
+    x: jax.Array,
+    w_packed: jax.Array,
+    scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    bn: int = 256,
+    bk: int = 4096,
+    interpret: bool = False,
+) -> jax.Array:
+  """DRQ x [..., K] . packed int4 [N, K//2] -> [..., N] with K-BLOCKING.
+
+  The non-blocked DRQ kernel loads the full K row tile into VMEM and so
+  refuses K > 8192 — the Gemma FFN down projections (K=16384) fell back
+  to the half-MXU-rate bf16 kernel, ~1/3 of prefill FLOPs (VERDICT r3
+  item 3). Here activations quantize per row ONCE in XLA (absmax/127 —
+  identical numerics to the in-kernel quantize), and the kernel streams
+  (bm, bk2) x (bn, bk2) tiles with int32 accumulator scratch, so any K
+  runs on the int8 MXU.
+  """
+  n, k2 = w_packed.shape
+  k = k2 * 2
+  lead_shape = x.shape[:-1]
+  m = 1
+  for d in lead_shape:
+    m *= d
+  compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+  x2 = x.reshape(m, k).astype(jnp.float32)
+  # Per-row dynamic quantization (one pass, fused by XLA).
+  absmax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+  xs = jnp.maximum(absmax, 1e-9) * (1.0 / 127.0)
+  xq = jnp.round(x2 / xs).astype(jnp.int8)
+  m_pad = _round_up(max(m, 32), 32)
+  if m_pad != m:
+    xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+    xs = jnp.pad(xs, ((0, m_pad - m), (0, 0)), constant_values=1.0)
+  xlo, xhi = xq[:, :k2], xq[:, k2:]
+  bk2 = min(bk // 2, k2)
+  while k2 % bk2:
+    bk2 //= 2
+  # VMEM: two int8 x tiles + packed w tile (double-buffered) + int32 acc.
+  bm = _pick_bm(m_pad, 2 * bk2 + 4 * n // max(n // 256, 1), 32)
+  bm = min(bm, m_pad)
+  while m_pad % bm:
+    bm //= 2
+  bn_fit = _pick_tile(n, bn)
+  while bn_fit > 128 and (2 * 2 * bm * bk2 + 2 * bn_fit * bk2
+                          + 4 * bm * bn_fit) > 13 * 2**20:
+    bn_fit //= 2
+  bn = _pick_tile(n, bn_fit)
+  k_steps = k2 // bk2
+  operands = [xlo, xhi, w_packed,
+              scale.astype(jnp.float32).reshape(1, n),
+              xs]
+  in_specs = [
+      pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((bn, bk2), lambda i, j, kk: (j, kk),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                   memory_space=pltpu.VMEM),
+  ]
+  if bias is not None:
+    operands.append(bias.astype(jnp.float32).reshape(1, n))
+    in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                                 memory_space=pltpu.VMEM))
+    body = functools.partial(_int4_drq_kblock_kernel, k_steps=k_steps)
+
+    def kernel(xlo_ref, xhi_ref, w_ref, s_ref, xs_ref, b_ref, o_ref,
+               acc_ref):
+      body(xlo_ref, xhi_ref, w_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref)
+  else:
+    def kernel(xlo_ref, xhi_ref, w_ref, s_ref, xs_ref, o_ref, acc_ref):
+      _int4_drq_kblock_kernel(xlo_ref, xhi_ref, w_ref, s_ref, xs_ref,
+                              None, o_ref, acc_ref, k_steps=k_steps)
+  out = pl.pallas_call(
+      kernel,
+      grid=(m_pad // bm, n // bn, k_steps),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), compute),
+      scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=(m_pad * k * (m_pad // bm == 1 and 1 or 1)
+                          + (m_pad // bm) * n * k2 + m_pad * n * 2),
+          transcendentals=0),
+      interpret=interpret,
+  )(*operands)
+  return out[:m].reshape(lead_shape + (n,)).astype(x.dtype)

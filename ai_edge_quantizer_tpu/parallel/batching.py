@@ -112,6 +112,7 @@ class DecodeServer:
       pack_weights: bool = False,
       mesh=None,
       activation_dtype: str = 'float32',
+      admit_budget_groups: Optional[int] = None,
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
     and 'prefill' (batch=1) signatures.
@@ -122,6 +123,12 @@ class DecodeServer:
     (tp column/row-parallel, quantized-dim congruent). One server then
     drives a whole slice; decode ticks scale with dp since slots are
     batch-local.
+
+    admit_budget_groups: cap admissions per tick to this many prefill
+    groups (prefill_batch requests each); the rest stay queued for the
+    next tick. Interleaves large admission waves with decode ticks so a
+    cold burst of hundreds of requests does not stall running decodes
+    for the whole wave (TTFT tail control). None = admit everything.
     """
     self.cfg = cfg
     self.batch_slots = batch_slots
@@ -156,6 +163,7 @@ class DecodeServer:
           k: jax.device_put(v, w_shard[k])
           for k, v in self._executor._weights.items()
       }
+    self._admit_budget_groups = admit_budget_groups
     self._slots = [_Slot() for _ in range(batch_slots)]
     self._queue: collections.deque = collections.deque()
     self._next_id = 0
@@ -567,8 +575,10 @@ class DecodeServer:
     if not self._queue:
       return
     free = [i for i, s in enumerate(self._slots) if not s.active]
+    cap = (self._admit_budget_groups * self._prefill_batch
+           if self._admit_budget_groups else None)
     admissions = []
-    while free and self._queue:
+    while free and self._queue and (cap is None or len(admissions) < cap):
       admissions.append((free.pop(0), self._queue.popleft()))
     if not admissions:
       return

@@ -171,7 +171,7 @@ def bench_server():
   Measures what the static-batch decode number cannot (VERDICT round-2
   item 3): sustained continuous-batching tokens/s including admission +
   host control-plane overhead, and TTFT p50/p99 under queue pressure.
-  Writes SERVER_BENCH_r03.json next to this file.
+  Writes SERVER_BENCH_r04.json next to this file.
   """
   import jax
   if os.environ.get('JAX_PLATFORMS'):
@@ -216,9 +216,11 @@ def bench_server():
   import jax as _jax
   _jax.block_until_ready(list(weights.values()))
   log(f'server graph + weights: {time.time()-t0:.1f}s')
+  admit_budget = os.environ.get('AEQT_BENCH_ADMIT_BUDGET')
   server = batching.DecodeServer(
       graph, cfg, batch_slots=slots, weights=weights, pack_weights=on_tpu,
-      activation_dtype=os.environ.get('AEQT_BENCH_ACT_DTYPE', 'bfloat16'))
+      activation_dtype=os.environ.get('AEQT_BENCH_ACT_DTYPE', 'bfloat16'),
+      admit_budget_groups=int(admit_budget) if admit_budget else None)
   assert server._device_greedy, 'greedy head must engage device sampling'
 
   rng = np.random.default_rng(0)
@@ -242,6 +244,47 @@ def bench_server():
   submit_burst(2)
   server.run_to_completion()
   log(f'warmup (compiles): {time.time()-t0:.1f}s')
+
+  # Prefill MFU, measured on a warm full-batch pass (VERDICT r3 item 3:
+  # the serving story needs the prefill compute efficiency ON RECORD, not
+  # inferred from wall-time attribution).
+  import jax as _jx
+  import numpy as _np
+  from ai_edge_quantizer_tpu.utils import flops as _flops_lib
+  pf_inputs = {
+      'tokens': _np.ones((prefill_batch, prefill_len), _np.int32),
+      'positions': _np.broadcast_to(
+          _np.arange(prefill_len, dtype=_np.int32),
+          (prefill_batch, prefill_len)).copy(),
+      'cache_pos': _np.array([0, 0, 0, 0], _np.int32),
+  }
+  if graph.metadata.get('prefill_head_cols'):
+    pf_inputs['head_cols'] = _np.full((prefill_batch, 1), prefill_len - 1,
+                                      _np.int32)
+  if not server._prefill_device_masks:
+    pf_inputs['mask'] = server._host_prefill_mask([], 0)
+  if not hasattr(server, '_prefill_zero_caches'):
+    import jax.numpy as _jnp
+    server._prefill_zero_caches = {
+        key: _jnp.zeros((prefill_batch, cfg.num_kv_heads, cfg.max_seq_len,
+                         cfg.head_dim), dtype)
+        for key, dtype in server._cache_dtypes.items()
+    }
+  pf_inputs.update(server._prefill_zero_caches)
+  _jx.block_until_ready(server._prefill_fn(server._executor._weights,
+                                           pf_inputs)['next_tokens'])
+  t0 = time.time()
+  reps = 4
+  for _ in range(reps):
+    out_pf = server._prefill_fn(server._executor._weights, pf_inputs)
+  _jx.block_until_ready(out_pf['next_tokens'])
+  prefill_pass_s = (time.time() - t0) / reps
+  pf_flops = _flops_lib.graph_flops(graph, 'prefill')
+  prefill_mfu = pf_flops / (prefill_pass_s * _mxu_peak_flops())
+  log(f'prefill pass (warm, Bp={prefill_batch}, T={prefill_len}): '
+      f'{prefill_pass_s*1e3:.1f} ms, {pf_flops/1e9:.1f} GFLOP -> '
+      f'{prefill_mfu*100:.1f}% int8-peak MFU '
+      f'({prefill_pass_s/(prefill_batch*prefill_len)*1e6:.1f} us/token)')
 
   n_requests = int(os.environ.get('AEQT_BENCH_REQUESTS', str(3 * slots)))
   # Chunked ticks: n on-device decode steps per host sync (the per-tick
@@ -328,13 +371,18 @@ def bench_server():
       'vs_roofline_ceiling': round(vs, 4),
       'ceiling_wall_s': round(ceiling_wall, 2),
       'ideal_prompt_tokens': prompt_tokens,
+      'prefill_pass_ms': round(prefill_pass_s * 1e3, 2),
+      'prefill_mfu_int8_peak': round(prefill_mfu, 4),
+      'prefill_us_per_token': round(
+          prefill_pass_s / (prefill_batch * prefill_len) * 1e6, 2),
+      'admit_budget_groups': int(admit_budget) if admit_budget else None,
       'note': ('continuous batching incl. admission/prefill/host control '
                'plane; compare against the static-batch decode preset at '
                'the same batch for the admission-overhead gap'),
   }
   try:
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'SERVER_BENCH_r03.json')
+                            'SERVER_BENCH_r04.json')
     with open(out_path, 'w') as f:
       json.dump(artifact, f, indent=1)
     log(f'artifact written: {out_path}')

@@ -808,3 +808,28 @@ class TestInt4GroupAttention:
     err = np.abs(np.asarray(deq - x))
     bound = np.repeat(np.asarray(scale), 16, axis=-1) * 0.5 + 1e-6
     assert (err <= bound).all()
+
+
+class TestDrqKblock:
+  """K-blocked DRQ packed-int4 matmul (serves K > 8192 on the int8 MXU)."""
+
+  @pytest.mark.parametrize('m,n,k', [(64, 256, 1024), (33, 512, 4096),
+                                     (128, 256, 16384)])
+  def test_matches_drq_numerics(self, m, n, k):
+    import jax.numpy as jnp
+    from ai_edge_quantizer_tpu.kernels import pallas_qmatmul as pq
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.float32)
+    w_q = rng.integers(-7, 8, (n, k)).astype(np.int8)
+    scale = (rng.random(n) * 0.05 + 0.01).astype(np.float32)
+    wp = pq.pack_int4_split(jnp.asarray(w_q))
+    bias = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    y = pq.qmatmul_pallas_int4_packed_drq_kblock(
+        x, wp, jnp.asarray(scale), bias=bias, bk=2048, interpret=True)
+    absmax = np.max(np.abs(np.asarray(x)), axis=1, keepdims=True)
+    xs = np.maximum(absmax, 1e-9) / 127.0
+    xq = np.round(np.asarray(x) / xs).astype(np.int8)
+    ref = ((xq.astype(np.int32) @ w_q.T.astype(np.int32)).astype(np.float32)
+           * xs * scale[None, :] + np.asarray(bias)[None, :])
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               rtol=1e-5, atol=1e-2)
