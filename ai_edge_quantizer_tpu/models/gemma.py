@@ -106,8 +106,15 @@ def _build_signature(
     device_masks: bool = False,
     greedy_head: bool = False,
     head_cols: bool = False,
+    kv_int4_group: int = 0,
 ) -> None:
   """Build one decoder pass (prefill: seq_len=T, decode: seq_len=1).
+
+  kv_int4_group (decode + dus only): KV caches are int4-packed with
+  per-group sidecar scales of this group size; the whole
+  quantize-write-attend step is ONE custom op (INT4G_ATTENTION,
+  ops/impl.py) over uint8 caches + a bf16 sidecar — half the int8 cache
+  stream, the decode step's dominant HBM traffic.
 
   head_cols (prefill, T > 1): add a `head_cols` [B, 1] int32 input and
   run the vocab head on ONE gathered row per batch element (one-hot
@@ -226,13 +233,29 @@ def _build_signature(
   if cache_update != 'dus':
     one_const = b.constant(f'{sig}/one', np.array([1.0], np.float32))
 
+  if kv_int4_group:
+    if cache_update != 'dus' or T != 1:
+      raise ValueError('kv_int4_group requires decode (T=1) with dus '
+                       'cache update.')
+    if H % kv_int4_group:
+      raise ValueError(f'head_dim {H} must divide by group '
+                       f'{kv_int4_group}.')
   kv_outs = []
   for li in range(cfg.num_layers):
     p = f'{sig}/layer_{li}'
-    k_cache = b.input(f'{p}/k_cache', (B, NK, S, H), 'float32',
-                      user_name=f'layer_{li}_k_cache_in')
-    v_cache = b.input(f'{p}/v_cache', (B, NK, S, H), 'float32',
-                      user_name=f'layer_{li}_v_cache_in')
+    if kv_int4_group:
+      ng3 = 3 * (H // kv_int4_group)
+      k_cache = b.input(f'{p}/k_cache', (B, NK, S, H // 2), 'uint8',
+                        user_name=f'layer_{li}_k_cache_in')
+      v_cache = b.input(f'{p}/v_cache', (B, NK, S, H // 2), 'uint8',
+                        user_name=f'layer_{li}_v_cache_in')
+      kv_sidecar = b.input(f'{p}/kv_sidecar', (B, NK, ng3, S), 'bfloat16',
+                           user_name=f'layer_{li}_s_cache_in')
+    else:
+      k_cache = b.input(f'{p}/k_cache', (B, NK, S, H), 'float32',
+                        user_name=f'layer_{li}_k_cache_in')
+      v_cache = b.input(f'{p}/v_cache', (B, NK, S, H), 'float32',
+                        user_name=f'layer_{li}_v_cache_in')
 
     # -- attention block --
     gamma1 = store.tensor(b, f'{p}/pre_attn_norm/gamma', (D,), 0.1)
@@ -296,7 +319,22 @@ def _build_signature(
     vt = b.op('TRANSPOSE', [v4], [(B, NK, T, H)],
               output_names=[f'{p}/attn/v_t'], attrs={'perm': [0, 2, 1, 3]})
 
-    if cache_update == 'dus':
+    if kv_int4_group:
+      ng3 = 3 * (H // kv_int4_group)
+      attn_outs = b.op(
+          'INT4G_ATTENTION',
+          [qg, kt, vt, k_cache, v_cache, kv_sidecar, cache_pos],
+          [(B, NK, G * T, H), (B, NK, S, H // 2), (B, NK, S, H // 2),
+           (B, NK, ng3, S)],
+          output_names=[f'{p}/attn/ctx', f'{p}/k_cache_new',
+                        f'{p}/v_cache_new', f'{p}/kv_sidecar_new'],
+          attrs={'group': kv_int4_group},
+          output_dtypes=['float32', 'uint8', 'uint8', 'bfloat16'])
+      ctx, k_new, v_new, sidecar_new = attn_outs
+      kv_outs.append((f'layer_{li}_k_cache', k_new))
+      kv_outs.append((f'layer_{li}_v_cache', v_new))
+      kv_outs.append((f'layer_{li}_s_cache', sidecar_new))
+    elif cache_update == 'dus':
       k_new = b.op('DYNAMIC_UPDATE_SLICE', [k_cache, kt, cache_pos],
                    [(B, NK, S, H)], output_names=[f'{p}/k_cache_new'])
       v_new = b.op('DYNAMIC_UPDATE_SLICE', [v_cache, vt, cache_pos],
@@ -319,21 +357,23 @@ def _build_signature(
                    output_names=[f'{p}/v_put'])
       v_new = b.op('ADD', [v_keep, v_put], [(B, NK, S, H)],
                    output_names=[f'{p}/v_cache_new'])
-    kv_outs.append((f'layer_{li}_k_cache', k_new))
-    kv_outs.append((f'layer_{li}_v_cache', v_new))
+    if not kv_int4_group:
+      kv_outs.append((f'layer_{li}_k_cache', k_new))
+      kv_outs.append((f'layer_{li}_v_cache', v_new))
 
-    scores = b.op('BATCH_MATMUL', [qg, k_new], [(B, NK, G * T, S)],
-                  output_names=[f'{p}/attn/scores'], attrs={'adj_y': True})
-    ssc = b.constant(f'{p}/attn/score_scale',
-                     np.array([1.0 / math.sqrt(H)], np.float32))
-    scaled = b.op('MUL', [scores, ssc], [(B, NK, G * T, S)],
-                  output_names=[f'{p}/attn/scores_scaled'])
-    masked = b.op('ADD', [scaled, mask], [(B, NK, G * T, S)],
-                  output_names=[f'{p}/attn/scores_masked'])
-    probs = b.op('SOFTMAX', [masked], [(B, NK, G * T, S)],
-                 output_names=[f'{p}/attn/probs'])
-    ctx = b.op('BATCH_MATMUL', [probs, v_new], [(B, NK, G * T, H)],
-               output_names=[f'{p}/attn/ctx'], attrs={'adj_y': False})
+      scores = b.op('BATCH_MATMUL', [qg, k_new], [(B, NK, G * T, S)],
+                    output_names=[f'{p}/attn/scores'],
+                    attrs={'adj_y': True})
+      ssc = b.constant(f'{p}/attn/score_scale',
+                       np.array([1.0 / math.sqrt(H)], np.float32))
+      scaled = b.op('MUL', [scores, ssc], [(B, NK, G * T, S)],
+                    output_names=[f'{p}/attn/scores_scaled'])
+      masked = b.op('ADD', [scaled, mask], [(B, NK, G * T, S)],
+                    output_names=[f'{p}/attn/scores_masked'])
+      probs = b.op('SOFTMAX', [masked], [(B, NK, G * T, S)],
+                   output_names=[f'{p}/attn/probs'])
+      ctx = b.op('BATCH_MATMUL', [probs, v_new], [(B, NK, G * T, H)],
+                 output_names=[f'{p}/attn/ctx'], attrs={'adj_y': False})
     ctx4 = b.op('RESHAPE', [ctx], [(B, NQ, T, H)],
                 output_names=[f'{p}/attn/ctx_4d'],
                 attrs={'new_shape': [B, NQ, T, H]})
@@ -451,6 +491,7 @@ def build_decoder(
     fused_projections: bool = False,
     decode_device_masks: bool = False,
     greedy_head: bool = False,
+    kv_int4_group: int = 0,
 ) -> ir.Graph:
   """Multi-signature decoder graph over one shared weight store."""
   graph = ir.Graph()
@@ -463,7 +504,9 @@ def build_decoder(
                                    else 'dus'),
                      fused_projections=fused_projections,
                      device_masks=(decode_device_masks and sig == 'decode'),
-                     greedy_head=(greedy_head and sig == 'decode'))
+                     greedy_head=(greedy_head and sig == 'decode'),
+                     kv_int4_group=(kv_int4_group if sig == 'decode'
+                                    else 0))
     b.finalize(signature_key=sig)
   graph.metadata['weight_init_specs'] = store.init_specs
   if decode_device_masks:

@@ -510,3 +510,52 @@ def reduce_max(ctx: OpContext, x, axis=None):
   ax = tuple(np.asarray(ax).reshape(-1).tolist()) if ax is not None else None
   return jnp.max(x, axis=ax,
                  keepdims=bool(ctx.attrs.get('keep_dims', False)))
+
+
+@register('INT4G_ATTENTION')
+def int4g_attention(ctx: OpContext, q, k_rows, v_rows, k_cache, v_cache,
+                    sidecar, cache_pos):
+  """Fused int4-per-group KV-cache decode attention (serving custom op).
+
+  The builder (models/gemma.py, kv_int4_group) emits this single op in
+  place of the float DUS + BMM/softmax chain when the serving KV cache is
+  int4 with per-group-16 sidecar scales (asymmetric K, symmetric V):
+
+    q        [B, NK, G, H]   post-RoPE grouped queries (T == 1)
+    k_rows   [B, NK, 1, H]   this step's post-RoPE K row (float)
+    v_rows   [B, NK, 1, H]   this step's V row (float)
+    k_cache  [B, NK, S, H/2] packed unsigned K codes
+    v_cache  [B, NK, S, H/2] packed signed V codes
+    sidecar  [B, NK, 3*H/g, S] bf16 per-group stats
+    cache_pos [4]            DUS start vector; [2] is the write position
+
+  Outputs: (ctx [B, NK, G, H], k_cache', v_cache', sidecar').
+  Quantize-new-rows -> DUS write -> kernel read over lengths = pos + 1;
+  exact numerics of kernels/pallas_attention.decode_attention_int4_group.
+  """
+  from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+
+  group = int(ctx.attrs.get('group', 16))
+  b, nk, g, h = q.shape
+  assert k_rows.shape[2] == 1, 'int4g attention is decode-shaped (T=1)'
+  ng = h // group
+  pos = cache_pos[2].astype(jnp.int32)
+
+  kp_new, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
+  vp_new, vs = pa.quantize_v_rows_int4_group(v_rows, group)
+  zero = jnp.int32(0)
+  k_cache2 = jax.lax.dynamic_update_slice(
+      k_cache, kp_new.astype(k_cache.dtype), (zero, zero, pos, zero))
+  v_cache2 = jax.lax.dynamic_update_slice(
+      v_cache, vp_new.astype(v_cache.dtype), (zero, zero, pos, zero))
+  # Sidecar column update: stats for the new row land at [:, :, :, pos].
+  col = jnp.concatenate([ks, km, vs], axis=-1)        # [B, NK, 1, 3NG]
+  col = jnp.swapaxes(col, -1, -2).astype(sidecar.dtype)  # [B, NK, 3NG, 1]
+  sidecar2 = jax.lax.dynamic_update_slice(
+      sidecar, col, (zero, zero, zero, pos))
+  lengths = jnp.full((b,), pos + 1, jnp.int32)
+  out = pa.decode_attention_int4_group_lengths(
+      q.astype(jnp.float32), k_cache2, v_cache2, sidecar2, lengths,
+      group=group, out_dtype=q.dtype,
+      interpret=jax.default_backend() != 'tpu')
+  return out, k_cache2, v_cache2, sidecar2

@@ -479,14 +479,16 @@ def main():
   # Structure on host, weights generated + int4/int8-quantized ON DEVICE —
   # the host never materializes the fp32 weights.
   greedy = os.environ.get('AEQT_BENCH_GREEDY_HEAD', '1') == '1'
+  kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
   graph = gemma.build_decoder(cfg, batch=batch, prefill_len=8,
                               signatures=('decode',),
                               materialize_weights=False,
                               fused_projections=os.environ.get(
                                   'AEQT_BENCH_FUSED_PROJ', '1') == '1',
-                              greedy_head=greedy)
+                              greedy_head=greedy,
+                              kv_int4_group=(
+                                  16 if kv_mode == 'int4g' else 0))
   log(f'build graph: {time.time()-t0:.1f}s')
-  kv_mode = os.environ.get('AEQT_BENCH_KV', 'int8')
   if kv_mode == 'int8':
     # int8 KV cache: halves cache traffic; the executor engages the int8
     # DUS fast path and the fused attention kernel.
@@ -534,8 +536,9 @@ def main():
   run_sig = functools.partial(
       ex._run_signature, sig.subgraph_index, 'decode', False)
 
+  cache_kinds = ('k', 'v', 's') if kv_mode == 'int4g' else ('k', 'v')
   cache_keys = [f'layer_{li}_{kind}_cache_in'
-                for li in range(cfg.num_layers) for kind in ('k', 'v')]
+                for li in range(cfg.num_layers) for kind in cache_kinds]
 
   import jax.numpy as jnp
 
@@ -563,7 +566,7 @@ def main():
     out = run_sig(w, inp)
     new_caches = {
         f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
-        for li in range(cfg.num_layers) for kind in ('k', 'v')
+        for li in range(cfg.num_layers) for kind in cache_kinds
     }
     # Greedy sampling on device: the sampled token feeds the next step, so
     # the whole autoregressive loop is one XLA program — no host dispatch
@@ -594,11 +597,19 @@ def main():
   all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1,
                                  start_pos=start_pos)
   caches = {}
+  import ml_dtypes as _mld
   for k in cache_keys:
-    v = all_inputs.pop(k)
     t = quantized.subgraphs[sig.subgraph_index].tensors[sig.inputs[k]]
+    if k in all_inputs:
+      v = all_inputs.pop(k)
+    else:
+      v = None  # int4g sidecar/packed caches: not in make_inputs
     if t.dtype == 'int8':
       v = np.zeros(v.shape, np.int8)  # pre-quantized: no f32 pool on device
+    elif t.dtype == 'uint8':
+      v = np.zeros(t.shape, np.uint8)
+    elif t.dtype == 'bfloat16':
+      v = np.zeros(t.shape, _mld.bfloat16)
     caches[k] = jax.device_put(v)
   tokens = jax.device_put(all_inputs['tokens'])
   pos = jnp.int32(start_pos)

@@ -100,3 +100,67 @@ class TestFusedAttentionIntegration:
     lf = np.asarray(fused['logits'])
     lp = np.asarray(plain['logits'])
     assert np.corrcoef(lf.ravel(), lp.ravel())[0, 1] > 0.9999
+
+
+def test_int4_group_kv_graph_matches_float():
+  """kv_int4_group decode graphs (INT4G_ATTENTION custom op: packed uint8
+  caches + bf16 per-group sidecar) must track the float-cache graph's
+  decode trajectory (models/gemma.py kv_int4_group; ops/impl.py)."""
+  import functools
+  import numpy as np
+  import jax.numpy as jnp
+  from ai_edge_quantizer_tpu.execution import executor as executor_lib
+  from ai_edge_quantizer_tpu.models import gemma
+
+  cfg = gemma.TOY_DECODER
+  B = 2
+  logits_by_mode = {}
+  for mode in ('float', 'int4g'):
+    g = gemma.build_decoder(
+        cfg, batch=B, prefill_len=4, signatures=('decode',),
+        materialize_weights=True, seed=3,
+        kv_int4_group=(16 if mode == 'int4g' else 0))
+    ex = executor_lib.GraphExecutor(g)
+    sig = g.signature_by_key('decode')
+    run = functools.partial(
+        ex._run_signature, sig.subgraph_index, 'decode', False)
+    S, H, NK = cfg.max_seq_len, cfg.head_dim, cfg.num_kv_heads
+    G = cfg.num_query_heads // NK
+    caches = {}
+    for li in range(cfg.num_layers):
+      if mode == 'int4g':
+        caches[f'layer_{li}_k_cache_in'] = jnp.zeros((B, NK, S, H // 2),
+                                                     jnp.uint8)
+        caches[f'layer_{li}_v_cache_in'] = jnp.zeros((B, NK, S, H // 2),
+                                                     jnp.uint8)
+        caches[f'layer_{li}_s_cache_in'] = jnp.zeros(
+            (B, NK, 3 * (H // 16), S), jnp.bfloat16)
+      else:
+        caches[f'layer_{li}_k_cache_in'] = jnp.zeros((B, NK, S, H),
+                                                     jnp.float32)
+        caches[f'layer_{li}_v_cache_in'] = jnp.zeros((B, NK, S, H),
+                                                     jnp.float32)
+    tokens = jnp.array([[7], [13]], jnp.int32)
+    rows = []
+    kinds = ('k', 'v', 's') if mode == 'int4g' else ('k', 'v')
+    for pos in range(4):
+      iota = jnp.arange(S)
+      mask = jnp.where(iota[None, None, None, :] <= pos, 0.0, -1e9)
+      inp = {
+          'tokens': tokens,
+          'positions': jnp.full((B, 1), pos, jnp.int32),
+          'mask': jnp.broadcast_to(mask, (B, 1, G, S)).astype(jnp.float32),
+          'cache_pos': jnp.array([0, 0, pos, 0], jnp.int32),
+      }
+      inp.update(caches)
+      out = run(ex._weights, inp)
+      caches = {f'layer_{li}_{kd}_cache_in': out[f'layer_{li}_{kd}_cache']
+                for li in range(cfg.num_layers) for kd in kinds}
+      logits = np.asarray(out['logits'][:, -1, :])
+      tokens = jnp.asarray(np.argmax(logits, -1)[:, None].astype(np.int32))
+      rows.append(logits)
+    logits_by_mode[mode] = np.stack(rows)
+  diff = np.abs(logits_by_mode['float'] - logits_by_mode['int4g']).max()
+  assert diff < 5e-2, diff
+  assert (np.argmax(logits_by_mode['float'], -1)
+          == np.argmax(logits_by_mode['int4g'], -1)).all()
