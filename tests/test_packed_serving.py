@@ -313,3 +313,50 @@ class TestValidatorVisiblePackedServing:
     # Without fastpaths the norm intermediate IS captured.
     cap2 = ex.signature_runner(capture_all=True)(inp)
     assert 'norm/out' in cap2
+
+
+def test_kblock_drq_route_engages_for_large_k(monkeypatch):
+  """Packed-int4 FCs with K > 8192 route through the K-blocked int8 DRQ
+  kernel under AEQT_INT4_DRQ=1 (executor.py dispatch; VERDICT r3 item 3:
+  down projections previously fell back to the bf16 kernel)."""
+  import numpy as np
+  import jax.numpy as jnp
+  from ai_edge_quantizer_tpu import Quantizer
+  from ai_edge_quantizer_tpu.execution import executor as executor_lib
+  from ai_edge_quantizer_tpu.graph.builder import GraphBuilder
+
+  monkeypatch.setenv('AEQT_INT4_DRQ', '1')
+  rng = np.random.default_rng(0)
+  k, n = 9216, 256  # K > 8192: the non-blocked DRQ kernel refuses this
+  b = GraphBuilder('main')
+  x = b.input('x', (8, k))
+  w = b.constant('fc/w', (rng.standard_normal((n, k)) * 0.05).astype(
+      np.float32))
+  y = b.op('FULLY_CONNECTED', [x, w, -1], [(8, n)],
+           output_names=['fc/out'], attrs={'fused_activation': 'NONE'})
+  b.output(y)
+  g = b.finalize()
+  qt = Quantizer(g)
+  qt.add_dynamic_config('.*', 'FULLY_CONNECTED', 4)
+  quantized = qt.quantize().quantized_model
+
+  ex = executor_lib.GraphExecutor(quantized)
+  ex.prepare_serving_weights(min_weight_params=0)
+  assert ex._packed_int4_keys, 'FC must be packed for the serving path'
+  sig = quantized.signatures[0]
+  xv = rng.standard_normal((8, k)).astype(np.float32)
+  out = ex.signature_runner(sig.signature_key, serving_fastpaths=True)(
+      {'x': xv})
+  got = np.asarray(next(iter(out.values())), np.float32)
+
+  # Reference: DRQ numerics against the quantized weight.
+  sg = quantized.main_subgraph()
+  wt = sg.tensor_by_name('fc/w')
+  w_q = np.asarray(quantized.tensor_data(wt), np.int8)
+  scale = np.asarray(wt.quantization.scale, np.float32)
+  absmax = np.max(np.abs(xv), axis=1, keepdims=True)
+  xs = np.maximum(absmax, 1e-9) / 127.0
+  xq = np.round(xv / xs).astype(np.int8)
+  ref = (xq.astype(np.int32) @ w_q.T.astype(np.int32)).astype(
+      np.float32) * xs * scale[None, :]
+  np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-2)
