@@ -294,3 +294,118 @@ def test_float_execution_parity_sample():
         _random_inputs(g))
     for v in out.values():
       assert np.all(np.isfinite(np.asarray(v, dtype=np.float32)))
+
+
+class TestDequantizedWeightsFixtures:
+  """dequantized_weights/*.tflite — float models whose weights were
+  DEQUANTIZED from an int4 grid; DEQUANTIZED_WEIGHT_RECOVERY must get the
+  original grid back losslessly (ref fully_connected_test.py:46-96,
+  weight tolerance 1e-5)."""
+
+  @pytest.mark.parametrize('name,granularity', [
+      ('tensor_i4rangedvalues_fc.tflite', 'TENSORWISE'),
+      ('channel_i4rangedvalues_fc.tflite', 'CHANNELWISE'),
+  ])
+  def test_recovery_weight_mse(self, name, granularity):
+    path = _fixture(os.path.join('dequantized_weights', name))
+    qt = Quantizer(path)
+    qt.update_quantization_recipe(
+        regex='.*', operation_name=qtyping.OpName.FULLY_CONNECTED,
+        op_config=qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=4, symmetric=True,
+                granularity=qtyping.QuantGranularity(granularity)),
+            compute_precision=qtyping.ComputePrecision.FLOAT,
+            explicit_dequantize=True),
+        algorithm_key=AlgorithmName.DEQUANTIZED_WEIGHT_RECOVERY)
+    res = qt.quantize()
+    # Weight MSE vs the float original must be ~0 (exact grid recovery).
+    float_g = graph_serialize.load_model(path)
+    fsg = float_g.main_subgraph()
+    qsg = res.quantized_model.main_subgraph()
+    checked = 0
+    for t in qsg.tensors:
+      if not t.dtype.startswith('int') or t.quantization is None:
+        continue
+      orig = float_g.tensor_data(fsg.tensor_by_name(t.name))
+      if orig is None:
+        continue
+      from ai_edge_quantizer_tpu.algorithms.uniform import (
+          quant_numerics as qn)
+      params = qtyping.UniformQuantParams(
+          num_bits=t.quantization.num_bits,
+          quantized_dimension=t.quantization.quantized_dimension,
+          scale=np.asarray(t.quantization.scale),
+          zero_point=np.asarray(t.quantization.zero_point),
+          block_size=t.quantization.block_size)
+      deq = qn.dequantize_array(
+          np.asarray(res.quantized_model.tensor_data(t)), params)
+      mse = float(np.mean((deq - np.asarray(orig)) ** 2))
+      assert mse < 1e-5, (t.name, mse)
+      checked += 1
+    assert checked >= 1
+
+  def test_recovery_size_reduction(self):
+    """Ref asserts >= 80% size reduction for int4 weight-only."""
+    path = _fixture('dequantized_weights/channel_i4rangedvalues_fc.tflite')
+    qt = Quantizer(path)
+    qt.update_quantization_recipe(
+        regex='.*', operation_name=qtyping.OpName.FULLY_CONNECTED,
+        op_config=qtyping.OpQuantizationConfig(
+            weight_tensor_config=qtyping.TensorQuantizationConfig(
+                num_bits=4, symmetric=True,
+                granularity=qtyping.QuantGranularity.CHANNELWISE),
+            compute_precision=qtyping.ComputePrecision.FLOAT,
+            explicit_dequantize=True),
+        algorithm_key=AlgorithmName.DEQUANTIZED_WEIGHT_RECOVERY)
+    res = qt.quantize()
+    before = graph_serialize.model_size_bytes(qt.float_model)
+    after = graph_serialize.model_size_bytes(res.quantized_model)
+    assert after <= 0.25 * before, (before, after)
+
+
+class TestPreQuantizedAndErrorFixtures:
+
+  def test_mnist_quantized_loads_and_executes(self):
+    """A fully pre-quantized reference model imports with its params and
+    executes through the simulated-quant contract."""
+    path = _fixture('mnist_quantized.tflite')
+    g = graph_serialize.load_model(path)
+    quantized_tensors = [t for sg in g.subgraphs for t in sg.tensors
+                         if t.quantization is not None]
+    assert quantized_tensors
+    sig = g.signatures[0]
+    out = GraphExecutor(g).signature_runner(sig.signature_key)(
+        _random_inputs(g))
+    for v in out.values():
+      assert np.isfinite(np.asarray(v, np.float32)).all()
+
+  def test_partly_quantized_model_requantizes_with_warning(self):
+    """Ref params_generator.py:42-47: partially-quantized input models
+    re-quantize under a warning; pre-quantized tensors are untouched."""
+    path = _fixture('partly_quantized_mnist.tflite')
+    with pytest.warns(UserWarning, match='partially quantized'):
+      qt = Quantizer(path, 'dynamic_wi8_afp32')
+      res = qt.quantize()
+    assert res.quantized_model is not None
+
+  def test_duplicated_tensor_names_rejected(self):
+    """Ref params_generator._check_tensor_names_are_unique: duplicate
+    names are a hard error."""
+    path = _fixture('duplicated_tensor_names.tflite')
+    qt = Quantizer(path, 'dynamic_wi8_afp32')
+    with pytest.raises(ValueError, match='unique|duplicate|Duplicate'):
+      qt.quantize()
+
+  def test_composite_model_quantizes(self):
+    """sdpa_composite.tflite: STABLEHLO_COMPOSITE ops import with their
+    side-effect subgraphs and non-quantizable composites stay float
+    (ref default policy composite whitelist)."""
+    path = _fixture('sdpa_composite.tflite')
+    g = graph_serialize.load_model(path)
+    comps = [op for sg in g.subgraphs for op in sg.ops
+             if op.opcode == 'STABLEHLO_COMPOSITE']
+    assert comps
+    qt = Quantizer(g, 'dynamic_wi8_afp32')
+    res = qt.quantize()
+    assert res.quantized_model is not None
