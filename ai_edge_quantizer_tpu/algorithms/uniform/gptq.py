@@ -253,8 +253,20 @@ def get_tensor_quant_params(
     tensor_qsv: Optional[dict[str, Any]] = None,
 ) -> qtyping.UniformQuantParams:
   act_qsv = tensor_qsv.get('activation_tensor_qsv') if tensor_qsv else None
-  base = min_max.get_tensor_quant_params(
-      op_info, tensor_quant_config, tensor_content, tensor_qsv)
+  # Scale choice is orthogonal to GPTQ's Hessian-aware rounding, and the
+  # weight-quality study (WEIGHT_QUALITY_r04.json) showed it dominates end
+  # NLL: algorithm_params {"gptq": {"scale_algorithm": "octav"}} computes
+  # the grid with OCTAV's optimal clipping before the OBS column sweep.
+  # Default stays min-max (reference gptq.py parity).
+  ap = op_info.op_quant_config.algorithm_params or {}
+  scale_alg = (ap.get('gptq') or {}).get('scale_algorithm', 'min_max')
+  if scale_alg == 'octav' and tensor_content is not None:
+    from ai_edge_quantizer_tpu.algorithms.uniform import octav
+    base = octav.get_tensor_quant_params(
+        op_info, tensor_quant_config, tensor_content, tensor_qsv)
+  else:
+    base = min_max.get_tensor_quant_params(
+        op_info, tensor_quant_config, tensor_content, tensor_qsv)
   if tensor_content is None:
     return base
   if act_qsv is None or 'hessian' not in act_qsv:

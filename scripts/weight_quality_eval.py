@@ -79,6 +79,14 @@ def quantize_weights(params, scheme: str, hessians=None):
       base = dataclasses.replace(base, quantized_data=None)
       h = hessians[(layer, HESSIAN_SOURCE[name])]
       p = gptq.apply_gptq(w, base, h)
+    elif scheme in ('int4_gptq_octav', 'int4_gptq_octav_b32'):
+      # OCTAV's clipped scales + GPTQ's Hessian-aware rounding: the
+      # weight-quality study showed scale choice dominates the rounding
+      # objective; combine the winners.
+      base = octav.get_tensor_quant_params(info, wcfg, w)
+      base = dataclasses.replace(base, quantized_data=None)
+      h = hessians[(layer, HESSIAN_SOURCE[name])]
+      p = gptq.apply_gptq(w, base, h)
     else:
       raise ValueError(scheme)
     return qn.dequantize_array(p.quantized_data, p).astype(np.float32).T
@@ -202,7 +210,8 @@ def main():
   sl = slice(8, None)
 
   schemes = ['float', 'int8_minmax', 'int4_minmax', 'int4_octav',
-             'int4_mse', 'int4_gptq', 'int4_minmax_b32', 'int4_gptq_b32']
+             'int4_mse', 'int4_gptq', 'int4_gptq_octav',
+             'int4_minmax_b32', 'int4_gptq_b32', 'int4_gptq_octav_b32']
   results = {}
   for scheme in schemes:
     t0 = time.time()

@@ -340,3 +340,50 @@ class TestGptqOnDecoder:
         inp)['logits']
     corr = np.corrcoef(np.asarray(yf).ravel(), np.asarray(yq).ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+class TestGptqScaleAlgorithm:
+  """algorithm_params {"gptq": {"scale_algorithm": "octav"}}: OCTAV's
+  clipped grid + GPTQ's OBS rounding (gptq.get_tensor_quant_params)."""
+
+  def _params(self, scale_algorithm):
+    cfg = qtyping.OpQuantizationConfig.create(
+        weight_tensor_config=_wcfg(4),
+        algorithm_params={'gptq': {'scale_algorithm': scale_algorithm}})
+    return _fc_op_info(cfg)
+
+  def test_octav_scales_engage(self):
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(32, 128)).astype(np.float32)
+    w[0, 0] = 10.0  # outlier stretches the min-max grid
+    h = np.eye(128, dtype=np.float32) * 2.0
+    qsv = {'activation_tensor_qsv': {'hessian': h}}
+    p_mm = gptq.get_tensor_quant_params(
+        self._params('min_max'), _wcfg(4), w, qsv)
+    p_oc = gptq.get_tensor_quant_params(
+        self._params('octav'), _wcfg(4), w, qsv)
+    # Different grids: OCTAV clips the outlier row's scale.
+    assert not np.allclose(np.asarray(p_mm.scale), np.asarray(p_oc.scale))
+    assert float(np.asarray(p_oc.scale)[0]) < float(np.asarray(p_mm.scale)[0])
+    err_mm = np.mean((qn.dequantize_array(p_mm.quantized_data, p_mm) - w)
+                     ** 2)
+    err_oc = np.mean((qn.dequantize_array(p_oc.quantized_data, p_oc) - w)
+                     ** 2)
+    assert err_oc < err_mm  # identity Hessian: MSE objective, OCTAV wins
+
+  def test_e2e_pipeline_with_octav_scales(self):
+    """The option flows through calibrate->quantize on a real graph."""
+    from ai_edge_quantizer_tpu.utils import test_data as tdl
+    g = fixtures.two_layer_mlp()
+    qt = Quantizer(g)
+    qt.update_quantization_recipe(
+        '.*', qtyping.OpName.FULLY_CONNECTED,
+        qtyping.OpQuantizationConfig.create(
+            weight_tensor_config=_wcfg(4),
+            compute_precision=qtyping.ComputePrecision.INTEGER,
+            algorithm_params={'gptq': {'scale_algorithm': 'octav'}}),
+        algorithm_key='GPTQ')
+    cr = qt.calibrate(tdl.create_random_dataset(g, num_samples=4))
+    res = qt.quantize(cr)
+    sg = res.quantized_model.main_subgraph()
+    assert sg.tensor_by_name('dense1/w').dtype == 'int4'
