@@ -234,9 +234,8 @@ def _build_signature(
     one_const = b.constant(f'{sig}/one', np.array([1.0], np.float32))
 
   if kv_int4_group:
-    if cache_update != 'dus' or T != 1:
-      raise ValueError('kv_int4_group requires decode (T=1) with dus '
-                       'cache update.')
+    if T != 1:
+      raise ValueError('kv_int4_group requires decode (T=1).')
     if H % kv_int4_group:
       raise ValueError(f'head_dim {H} must divide by group '
                        f'{kv_int4_group}.')
@@ -321,9 +320,16 @@ def _build_signature(
 
     if kv_int4_group:
       ng3 = 3 * (H // kv_int4_group)
+      if cache_update == 'dus':
+        # Shared write position (static decode bench).
+        opcode, pos_in = 'INT4G_ATTENTION', cache_pos
+      else:
+        # Continuous batching: every slot writes its own row; the op
+        # scatters per-row from `positions` and masks per-row lengths.
+        opcode, pos_in = 'INT4G_ATTENTION_SCATTER', positions
       attn_outs = b.op(
-          'INT4G_ATTENTION',
-          [qg, kt, vt, k_cache, v_cache, kv_sidecar, cache_pos],
+          opcode,
+          [qg, kt, vt, k_cache, v_cache, kv_sidecar, pos_in],
           [(B, NK, G * T, H), (B, NK, S, H // 2), (B, NK, S, H // 2),
            (B, NK, ng3, S)],
           output_names=[f'{p}/attn/ctx', f'{p}/k_cache_new',
@@ -656,6 +662,7 @@ def build_serving_decoder(
     prefill_device_masks: bool = False,
     prefill_greedy: bool = False,
     prefill_head_cols: bool = False,
+    kv_int4_group: int = 0,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -706,7 +713,8 @@ def build_serving_decoder(
       _build_signature(b, store, f'decode_{s}', batch_slots, 1,
                        cache_update='onehot', device_masks=device_masks,
                        fused_projections=fused_projections,
-                       greedy_head=greedy_head)
+                       greedy_head=greedy_head,
+                       kv_int4_group=kv_int4_group)
       b.finalize(signature_key=f'decode_{s}')
     store.cfg = cfg
     graph.metadata['decode_buckets'] = buckets
@@ -715,7 +723,8 @@ def build_serving_decoder(
     _build_signature(b, store, 'decode', batch_slots, 1,
                      cache_update='onehot', device_masks=device_masks,
                      fused_projections=fused_projections,
-                     greedy_head=greedy_head)
+                     greedy_head=greedy_head,
+                     kv_int4_group=kv_int4_group)
     b.finalize(signature_key='decode')
   graph.metadata['weight_init_specs'] = store.init_specs
   if device_masks:
@@ -724,6 +733,8 @@ def build_serving_decoder(
     graph.metadata['prefill_device_masks'] = True
   if prefill_head_cols:
     graph.metadata['prefill_head_cols'] = True
+  if kv_int4_group:
+    graph.metadata['kv_int4_group'] = int(kv_int4_group)
   return graph
 
 

@@ -559,3 +559,39 @@ def int4g_attention(ctx: OpContext, q, k_rows, v_rows, k_cache, v_cache,
       group=group, out_dtype=q.dtype,
       interpret=jax.default_backend() != 'tpu')
   return out, k_cache2, v_cache2, sidecar2
+
+
+@register('INT4G_ATTENTION_SCATTER')
+def int4g_attention_scatter(ctx: OpContext, q, k_rows, v_rows, k_cache,
+                            v_cache, sidecar, positions):
+  """Continuous-batching variant of INT4G_ATTENTION: per-row positions.
+
+  positions [B, 1] int32 — each slot writes its new K/V row (and sidecar
+  column) at its OWN cache position, via a one-hot select over S (the
+  packed analog of the float onehot cache blend, models/gemma.py); the
+  kernel then masks per-row lengths = positions + 1.
+  """
+  from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+
+  group = int(ctx.attrs.get('group', 16))
+  b, nk, g, h = q.shape
+  s = k_cache.shape[2]
+  assert k_rows.shape[2] == 1, 'scatter attention is decode-shaped (T=1)'
+  pos = positions.reshape(b).astype(jnp.int32)                # [B]
+
+  kp_new, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
+  vp_new, vs = pa.quantize_v_rows_int4_group(v_rows, group)
+  hit = (jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+         == pos[:, None])                                     # [B, S]
+  hit_rows = hit[:, None, :, None]                            # [B,1,S,1]
+  k_cache2 = jnp.where(hit_rows, kp_new.astype(k_cache.dtype), k_cache)
+  v_cache2 = jnp.where(hit_rows, vp_new.astype(v_cache.dtype), v_cache)
+  col = jnp.concatenate([ks, km, vs], axis=-1)                # [B,NK,1,3NG]
+  col = jnp.swapaxes(col, -1, -2).astype(sidecar.dtype)       # [B,NK,3NG,1]
+  sidecar2 = jnp.where(hit[:, None, None, :], col, sidecar)
+  lengths = pos + 1
+  out = pa.decode_attention_int4_group_lengths(
+      q.astype(jnp.float32), k_cache2, v_cache2, sidecar2, lengths,
+      group=group, out_dtype=q.dtype,
+      interpret=jax.default_backend() != 'tpu')
+  return out, k_cache2, v_cache2, sidecar2

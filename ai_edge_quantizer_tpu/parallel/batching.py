@@ -259,14 +259,17 @@ class DecodeServer:
     self.ttft_log: list = []
 
     NK, H = cfg.num_kv_heads, cfg.head_dim
+    self._kv_group = int(graph.metadata.get('kv_int4_group', 0))
     dec_sg = graph.subgraphs[dec_sig.subgraph_index]
     self._cache_dtypes = {}
+    kinds = ('k', 'v', 's') if self._kv_group else ('k', 'v')
     for li in range(cfg.num_layers):
-      for kind in ('k', 'v'):
+      for kind in kinds:
         key = f'layer_{li}_{kind}_cache_in'
         t = dec_sg.tensors[dec_sig.inputs[key]]
-        self._cache_dtypes[key] = (
-            jnp.int8 if t.dtype == 'int8' else jnp.float32)
+        self._cache_dtypes[key] = {
+            'int8': jnp.int8, 'uint8': jnp.uint8,
+            'bfloat16': jnp.bfloat16}.get(t.dtype, jnp.float32)
     self._alloc_caches(self._bucket)
     self._last_tokens = np.zeros((batch_slots, 1), np.int32)
 
@@ -281,25 +284,63 @@ class DecodeServer:
       shape — and its compilation — is independent of the group size.
       Per-group recompiles (one per distinct size) cost tens of seconds
       each through the tunnel's compile path; separate un-jitted
-      per-layer writes cost 2L host round-trips per admission."""
+      per-layer writes cost 2L host round-trips per admission.
+
+      With an int4-group decode pool (kv_int4_group graphs), the float
+      prefill caches are quantized HERE — per-row per-group codes + the
+      bf16 sidecar — before the scatter; prefill itself stays float."""
+      from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
       written = {}
-      for key, cache in caches.items():
-        rows = new_rows[key][:slot_ids.shape[0]]
-        if rows.shape[2] > cache.shape[2]:
-          rows = rows[:, :, :cache.shape[2], :]
-        cur = cache[slot_ids]
-        rows = jnp.where(valid[:, None, None, None],
-                         rows.astype(cache.dtype), cur)
-        written[key] = cache.at[slot_ids].set(rows)
+      group = self._kv_group
+      for li in range(self.cfg.num_layers):
+        k_key = f'layer_{li}_k_cache_in'
+        v_key = f'layer_{li}_v_cache_in'
+        k_rows = new_rows[k_key][:slot_ids.shape[0]]
+        v_rows = new_rows[v_key][:slot_ids.shape[0]]
+        k_cache = caches[k_key]
+        v_cache = caches[v_key]
+        if not group:
+          for key, cache, rows in ((k_key, k_cache, k_rows),
+                                   (v_key, v_cache, v_rows)):
+            if rows.shape[2] > cache.shape[2]:
+              rows = rows[:, :, :cache.shape[2], :]
+            cur = cache[slot_ids]
+            rows = jnp.where(valid[:, None, None, None],
+                             rows.astype(cache.dtype), cur)
+            written[key] = cache.at[slot_ids].set(rows)
+          continue
+        s_key = f'layer_{li}_s_cache_in'
+        s_cache = caches[s_key]
+        sp = k_cache.shape[2]
+        k_rows = k_rows[:, :, :sp, :].astype(jnp.float32)
+        v_rows = v_rows[:, :, :sp, :].astype(jnp.float32)
+        kp, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
+        vp, vs = pa.quantize_v_rows_int4_group(v_rows, group)
+        sidecar = pa.build_kv_sidecar_group(ks, km, vs)  # [Bp,NK,3NG,S]
+        for key, cache, rows, vmask in (
+            (k_key, k_cache, kp, valid[:, None, None, None]),
+            (v_key, v_cache, vp, valid[:, None, None, None]),
+            (s_key, s_cache, sidecar, valid[:, None, None, None])):
+          cur = cache[slot_ids]
+          rows = jnp.where(vmask, rows.astype(cache.dtype), cur)
+          written[key] = cache.at[slot_ids].set(rows)
       return written
 
     self._slot_writer = _slot_writer
 
-  def _alloc_caches(self, bucket: int) -> None:
+  def _cache_shape(self, key: str, bucket: int):
     cfg = self.cfg
+    if self._kv_group:
+      if key.split('_')[2] == 's':  # sidecar: [B, NK, 3NG, S]
+        ng3 = 3 * (cfg.head_dim // self._kv_group)
+        return (self.batch_slots, cfg.num_kv_heads, ng3, bucket)
+      return (self.batch_slots, cfg.num_kv_heads, bucket,
+              cfg.head_dim // 2)
+    return (self.batch_slots, cfg.num_kv_heads, bucket, cfg.head_dim)
+
+  def _alloc_caches(self, bucket: int) -> None:
     self._caches = {
-        key: jnp.zeros((self.batch_slots, cfg.num_kv_heads, bucket,
-                        cfg.head_dim), dtype)
+        key: jnp.zeros(self._cache_shape(key, bucket), dtype)
         for key, dtype in self._cache_dtypes.items()
     }
     if self._cache_sharding is not None:
@@ -315,10 +356,12 @@ class DecodeServer:
                   self._buckets[-1])
     if target > self._bucket:
       pad = target - self._bucket
-      self._caches = {
-          key: jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-          for key, v in self._caches.items()
-      }
+      def _pad(key, v):
+        if self._kv_group and key.split('_')[2] == 's':
+          return jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        return jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+      self._caches = {key: _pad(key, v)
+                      for key, v in self._caches.items()}
       if self._cache_sharding is not None:
         self._caches = {k: jax.device_put(v, self._cache_sharding)
                         for k, v in self._caches.items()}
@@ -410,9 +453,8 @@ class DecodeServer:
                        for k, v in decode_inputs.items()}
     out = self._decode_fn_for(self._bucket)(
         self._executor._weights, decode_inputs, self._caches)
-    for li in range(self.cfg.num_layers):
-      self._caches[f'layer_{li}_k_cache_in'] = out[f'layer_{li}_k_cache']
-      self._caches[f'layer_{li}_v_cache_in'] = out[f'layer_{li}_v_cache']
+    for key in self._cache_dtypes:
+      self._caches[key] = out[key[:-3]]
     if self._device_greedy:
       tokens = np.asarray(out['next_tokens'])  # [B, 1] int32
       logits = None
@@ -621,11 +663,17 @@ class DecodeServer:
       # Device-resident zero caches reused by every first chunk: shipping
       # 2L host-built zero arrays per admission costs tens of MB over the
       # host link (measured ~1.8 s/request through the axon tunnel).
-      self._prefill_zero_caches = {
-          key: jnp.zeros((Bp, cfg.num_kv_heads, cfg.max_seq_len,
-                          cfg.head_dim), dtype)
-          for key, dtype in self._cache_dtypes.items()
-      }
+      # Shapes/dtypes come from the PREFILL signature (float/int8 [.., H]
+      # caches even when the decode pool is int4-packed).
+      pre_sig = self.graph.signature_by_key('prefill')
+      pre_sg = self.graph.subgraphs[pre_sig.subgraph_index]
+      self._prefill_zero_caches = {}
+      for li in range(cfg.num_layers):
+        for kind in ('k', 'v'):
+          key = f'layer_{li}_{kind}_cache_in'
+          t = pre_sg.tensors[pre_sig.inputs[key]]
+          dt = jnp.int8 if t.dtype == 'int8' else jnp.float32
+          self._prefill_zero_caches[key] = jnp.zeros(t.shape, dt)
     pos_row = np.arange(T, dtype=np.int32)
     chunk_caches = None
     out = None

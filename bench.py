@@ -188,16 +188,20 @@ def bench_server():
   prefill_len = int(os.environ.get('AEQT_BENCH_PREFILL_LEN', '128'))
   prefill_batch = int(os.environ.get('AEQT_BENCH_PREFILL_BATCH', '8'))
   on_tpu = jax.default_backend() == 'tpu'
+  server_kv = os.environ.get('AEQT_BENCH_SERVER_KV', 'int8')
   t0 = time.time()
   graph = gemma.build_serving_decoder(
       cfg, batch_slots=slots, prefill_len=prefill_len,
       materialize_weights=False, device_masks=True,
       fused_projections=True, greedy_head=True,
       prefill_batch=prefill_batch, prefill_device_masks=True,
-      prefill_greedy=True, prefill_head_cols=True)
-  gemma.stamp_int8_kv_cache(graph)
+      prefill_greedy=True, prefill_head_cols=True,
+      kv_int4_group=(16 if server_kv == 'int4g' else 0))
+  if server_kv != 'int4g':
+    gemma.stamp_int8_kv_cache(graph)
   cache_path = (f'/tmp/aeqt_server_weights_v3_{cfg.vocab_size}_'
-                f's{slots}_p{prefill_len}_pb{prefill_batch}.npz')
+                f's{slots}_p{prefill_len}_pb{prefill_batch}_'
+                f'{server_kv}.npz')
   weights = None
   if os.path.exists(cache_path) and cfg.vocab_size > 1024:
     try:

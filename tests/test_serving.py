@@ -460,3 +460,38 @@ def test_prefill_head_cols_tokens_identical():
     server.run_to_completion()
     outs[hc] = [list(r.generated) for r in reqs]
   assert outs[False] == outs[True], outs
+
+
+def test_serving_int4_group_kv_pool_matches_int8():
+  """The continuous-batching server with an int4-per-group KV pool
+  (kv_int4_group serving graphs: INT4G_ATTENTION_SCATTER + quantizing
+  slot writer) emits the same tokens as the int8 pool at toy scale,
+  through both per-tick and chunked-scan paths."""
+  import numpy as np
+  from ai_edge_quantizer_tpu.models import gemma
+  from ai_edge_quantizer_tpu.parallel import batching
+
+  cfg = gemma.TOY_DECODER
+  outs = {}
+  for kvg, chunked in ((0, False), (16, False), (16, True)):
+    g = gemma.build_serving_decoder(
+        cfg, batch_slots=4, prefill_len=8, materialize_weights=True,
+        device_masks=True, fused_projections=True, greedy_head=True,
+        prefill_batch=2, prefill_device_masks=True, prefill_greedy=True,
+        prefill_head_cols=True, kv_int4_group=kvg)
+    if not kvg:
+      gemma.stamp_int8_kv_cache(g)
+    server = batching.DecodeServer(g, cfg, batch_slots=4)
+    rng = np.random.default_rng(1)
+    for plen in (3, 8, 13):  # incl. a multi-chunk prompt
+      server.submit(rng.integers(1, cfg.vocab_size, plen).astype(np.int32),
+                    max_new_tokens=6)
+    reqs = list(server._queue)
+    if chunked:
+      while server.has_work():
+        server.step_chunk(4)
+    else:
+      server.run_to_completion()
+    outs[(kvg, chunked)] = [list(r.generated) for r in reqs]
+  assert outs[(16, False)] == outs[(0, False)], outs
+  assert outs[(16, True)] == outs[(0, False)], outs
