@@ -276,3 +276,45 @@ class TestPipelineParallel:
     got = np.asarray(fn(x, w_sharded))
     want = np.asarray(pl.pipeline_reference(x, weights, stage_fn))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_int4_group_kv_decode_dp_sharded():
+  """The int4-per-group KV decode (packed uint8 caches + bf16 sidecar)
+  compiles and runs with the slot pool sharded over 'dp', and the cache
+  outputs keep the sharding (serving pool scale-out)."""
+  import functools
+  import numpy as np
+  import jax
+  import jax.numpy as jnp
+  from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+  from ai_edge_quantizer_tpu.execution import executor as executor_lib
+  from ai_edge_quantizer_tpu.models import gemma
+
+  cfg = gemma.TOY_DECODER
+  B = 8
+  g = gemma.build_decoder(cfg, batch=B, prefill_len=4,
+                          signatures=('decode',),
+                          materialize_weights=True, kv_int4_group=16)
+  ex = executor_lib.GraphExecutor(g)
+  sig = g.signature_by_key('decode')
+  run = jax.jit(functools.partial(
+      ex._run_signature, sig.subgraph_index, 'decode', False))
+  mesh = Mesh(np.array(jax.devices()[:2]), ('dp',))
+  shard = NamedSharding(mesh, P('dp'))
+  S, H, NK = cfg.max_seq_len, cfg.head_dim, cfg.num_kv_heads
+  G = cfg.num_query_heads // NK
+  inp = {'tokens': jnp.ones((B, 1), jnp.int32),
+         'positions': jnp.zeros((B, 1), jnp.int32),
+         'mask': jnp.zeros((B, 1, G, S), jnp.float32),
+         'cache_pos': jnp.array([0, 0, 0, 0], jnp.int32)}
+  for li in range(cfg.num_layers):
+    inp[f'layer_{li}_k_cache_in'] = jax.device_put(
+        jnp.zeros((B, NK, S, H // 2), jnp.uint8), shard)
+    inp[f'layer_{li}_v_cache_in'] = jax.device_put(
+        jnp.zeros((B, NK, S, H // 2), jnp.uint8), shard)
+    inp[f'layer_{li}_s_cache_in'] = jax.device_put(
+        jnp.zeros((B, NK, 3 * (H // 16), S), jnp.bfloat16), shard)
+  out = run(ex._weights, inp)
+  assert out['logits'].shape == (B, 1, cfg.vocab_size)
+  assert np.isfinite(np.asarray(out['logits'], np.float32)).all()
+  assert 'dp' in str(out['layer_0_k_cache'].sharding)
