@@ -132,7 +132,10 @@ def main():
       'overlap_evidence': 'tests/test_scaling_evidence.py: compiled-HLO '
                           'dataflow independence of ring collective '
                           'permutes from the step matmuls + uint8 K/2 '
-                          'wire payload',
+                          'wire payload; the ACTUAL decode step compiled '
+                          'under dp=2 x tp=4 contains the tp-group '
+                          'all-reduce/all-gather collectives and '
+                          'executes on the virtual mesh',
       'modeled': results,
       'headline_modeled_efficiency_2_hosts': headline,
       'serving_recommendation': 'dp (request routing) across hosts + tp '
