@@ -554,9 +554,11 @@ def int4g_attention(ctx: OpContext, q, k_rows, v_rows, k_cache, v_cache,
   sidecar2 = jax.lax.dynamic_update_slice(
       sidecar, col, (zero, zero, zero, pos))
   lengths = jnp.full((b,), pos + 1, jnp.int32)
+  import os as _os
   out = pa.decode_attention_int4_group_lengths(
       q.astype(jnp.float32), k_cache2, v_cache2, sidecar2, lengths,
       group=group, out_dtype=q.dtype,
+      batch_block=int(_os.environ.get('AEQT_ATTN_BB', '4')),
       interpret=jax.default_backend() != 'tpu')
   return out, k_cache2, v_cache2, sidecar2
 
@@ -590,8 +592,10 @@ def int4g_attention_scatter(ctx: OpContext, q, k_rows, v_rows, k_cache,
   col = jnp.swapaxes(col, -1, -2).astype(sidecar.dtype)       # [B,NK,3NG,1]
   sidecar2 = jnp.where(hit[:, None, None, :], col, sidecar)
   lengths = pos + 1
+  import os as _os
   out = pa.decode_attention_int4_group_lengths(
       q.astype(jnp.float32), k_cache2, v_cache2, sidecar2, lengths,
       group=group, out_dtype=q.dtype,
+      batch_block=int(_os.environ.get('AEQT_ATTN_BB', '4')),
       interpret=jax.default_backend() != 'tpu')
   return out, k_cache2, v_cache2, sidecar2
