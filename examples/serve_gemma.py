@@ -23,6 +23,9 @@ def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--device', choices=['cpu', 'tpu'], default='cpu',
                       help='backend to run on (default cpu)')
+  parser.add_argument('--kv', choices=['int8', 'int4g'], default='int8',
+                      help='KV-cache pool: int8 per-tensor (default) or '
+                           'int4 per-group-16 packed codes + bf16 sidecar')
   args = parser.parse_args()
   import jax
   if args.device == 'cpu':
@@ -34,11 +37,14 @@ def main():
   # 1. Build the serving graph: prefill (batched admission: up to 2
   #    requests prefill per pass, causal mask derived in-graph) + decode
   #    (batch = slots, per-slot cache scatter), one shared weight store.
-  graph = gemma.build_serving_decoder(cfg, batch_slots=slots, prefill_len=8,
-                                      prefill_batch=2,
-                                      prefill_device_masks=True)
-  # int8 KV cache for the serving path.
-  gemma.stamp_int8_kv_cache(graph)
+  graph = gemma.build_serving_decoder(
+      cfg, batch_slots=slots, prefill_len=8, prefill_batch=2,
+      prefill_device_masks=True,
+      device_masks=(args.kv == 'int4g'),
+      kv_int4_group=(16 if args.kv == 'int4g' else 0))
+  if args.kv != 'int4g':
+    # int8 KV cache for the serving path (int4g carries its own pools).
+    gemma.stamp_int8_kv_cache(graph)
 
   # 2. Quantize: int4 weights on every FC.
   qt = Quantizer(graph)
