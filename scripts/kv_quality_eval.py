@@ -248,9 +248,12 @@ def make_qdq_fns(calib_absmax_k, calib_absmax_v, head_dim: int):
                                       qdq_rot(v, 7.0, g4)),
       'k8v4_had': lambda k, v: (qdq_row(k, 127.0), qdq_rot(v, 7.0)),
       # VERDICT r3 item 8 candidate: per-group-16 asymmetric K, per-group
-      # symmetric V — all int4 storage.
+      # symmetric V — all int4 storage. int4_g16_symk isolates the
+      # asymmetry effect at the SAME group size.
       'int4_g16_asymk': lambda k, v: (qdq_row_asym(k, g16),
                                       qdq_row(v, 7.0, g16)),
+      'int4_g16_symk': lambda k, v: (qdq_row(k, 7.0, g16),
+                                     qdq_row(v, 7.0, g16)),
       'k4asym_v8': lambda k, v: (qdq_row_asym(k, g16), qdq_row(v, 127.0)),
   }
 
