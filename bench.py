@@ -502,7 +502,12 @@ def main():
   cache_path = (f'/tmp/aeqt_bench_weights_{preset}_{kv_mode}_'
                 f'f{fused_tag}.npz')
   weights = None
-  if os.path.exists(cache_path):
+  # AEQT_BENCH_NO_WEIGHT_CACHE=1: skip the npz load/save — on-device
+  # generation avoids the tunnel's host->device bulk-transfer path
+  # entirely (observed wedging for multi-KB payloads in degraded phases
+  # while device-side programs keep running).
+  use_weight_cache = os.environ.get('AEQT_BENCH_NO_WEIGHT_CACHE') != '1'
+  if use_weight_cache and os.path.exists(cache_path):
     try:
       weights = gemma.load_materialized(graph, cache_path)
       jax.block_until_ready(list(weights.values()))
@@ -516,7 +521,7 @@ def main():
                                                  embedding_bits=8)
     jax.block_until_ready(list(weights.values()))
     log(f'device quantize: {time.time()-t0:.1f}s')
-    if preset != 'toy':
+    if preset != 'toy' and use_weight_cache:
       try:
         gemma.save_materialized(graph, weights, cache_path)
         log('weights cached for future runs')
@@ -601,20 +606,14 @@ def main():
   all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1,
                                  start_pos=start_pos)
   caches = {}
-  import ml_dtypes as _mld
   for k in cache_keys:
     t = quantized.subgraphs[sig.subgraph_index].tensors[sig.inputs[k]]
-    if k in all_inputs:
-      v = all_inputs.pop(k)
-    else:
-      v = None  # int4g sidecar/packed caches: not in make_inputs
-    if t.dtype == 'int8':
-      v = np.zeros(v.shape, np.int8)  # pre-quantized: no f32 pool on device
-    elif t.dtype == 'uint8':
-      v = np.zeros(t.shape, np.uint8)
-    elif t.dtype == 'bfloat16':
-      v = np.zeros(t.shape, _mld.bfloat16)
-    caches[k] = jax.device_put(v)
+    all_inputs.pop(k, None)
+    # Zero pools allocated ON DEVICE: a host transfer of the 4 GiB pool
+    # is pointless (and wedges the tunnel's degraded phases).
+    dt = {'int8': jnp.int8, 'uint8': jnp.uint8,
+          'bfloat16': jnp.bfloat16}.get(t.dtype, jnp.float32)
+    caches[k] = jnp.zeros(tuple(t.shape), dt)
   tokens = jax.device_put(all_inputs['tokens'])
   pos = jnp.int32(start_pos)
 

@@ -53,11 +53,14 @@ def main():
   log(f'attn A/B: B={B} NK={NK} G={G} H={H} S={S} L={L} '
       f'backend={jax.default_backend()}')
 
-  rng = np.random.default_rng(0)
-  q = jnp.asarray(rng.standard_normal((B, NK, G, H)), jnp.float32)
-  k = jnp.asarray(rng.standard_normal((B, NK, S, H)) * 0.3 + 0.4,
-                  jnp.float32)
-  v = jnp.asarray(rng.standard_normal((B, NK, S, H)) * 0.3, jnp.float32)
+  # Operands generated ON DEVICE (jax.random): the tunnel's host->device
+  # transfer path wedges for multi-KB payloads in its degraded phases,
+  # while device-side programs keep running.
+  key = jax.random.PRNGKey(0)
+  kq_, kk_, kv_ = jax.random.split(key, 3)
+  q = jax.random.normal(kq_, (B, NK, G, H), jnp.float32)
+  k = jax.random.normal(kk_, (B, NK, S, H), jnp.float32) * 0.3 + 0.4
+  v = jax.random.normal(kv_, (B, NK, S, H), jnp.float32) * 0.3
   lengths = jnp.full((B,), S - 2, jnp.int32)
 
   # int8 operands (calibrated per-tensor scales, the serving recipe flow)
