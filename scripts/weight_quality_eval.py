@@ -161,9 +161,17 @@ def main():
     updates, s = opt.update(grads, s, p)
     return optax.apply_updates(p, updates), s, l
 
+  # Corpus lives on device; batches are gathered there (one small host
+  # transfer total — the tunnel's bulk host->device path is unreliable).
+  dev_src = {}
+
   def sample_batch(src, n, seq, g):
-    starts = g.integers(0, len(src) - seq - 1, n)
-    return np.stack([src[st:st + seq + 1] for st in starts]).astype(np.int32)
+    key = id(src)
+    if key not in dev_src:
+      dev_src[key] = jnp.asarray(src.astype(np.int32))
+    starts = jnp.asarray(g.integers(0, len(src) - seq - 1, n), jnp.int32)
+    idx = starts[:, None] + jnp.arange(seq + 1, dtype=jnp.int32)[None, :]
+    return jnp.take(dev_src[key], idx, axis=0)
 
   t0 = time.time()
   g = np.random.default_rng(1)
