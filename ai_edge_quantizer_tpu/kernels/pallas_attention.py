@@ -1339,9 +1339,11 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   h2 = h // 2
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
-  k32 = kp_ref[:].astype(jnp.int32)
-  klo = (((k32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)   # [S, H/2]
-  khi = (((k32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  ku8 = kp_ref[:]
+  klo = (((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)           # [S, H/2]
+  khi = (((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)
   scores = jax.lax.dot_general(
       qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1356,9 +1358,11 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   probs = probs / jnp.sum(probs, axis=1, keepdims=True)
   vscale = sc_ref[1:2, :].astype(jnp.float32)
   pv = (probs * vscale).astype(jnp.bfloat16)           # [G, S]
-  v32 = vp_ref[:].astype(jnp.int32)
-  vlo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
-  vhi = (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  vu8 = vp_ref[:]
+  vlo = (((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)
+  vhi = (((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)
   ctx_lo = jax.lax.dot_general(
       pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1545,10 +1549,12 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
 
-  k32 = kp_ref[:].astype(jnp.int32)
+  ku8 = kp_ref[:]
   # Asym K codes are UNSIGNED nibbles (0..15): no sign fix on unpack.
-  kcodes = jnp.concatenate([(k32 & 0xF), (k32 >> 4)],
-                           axis=-1).astype(jnp.bfloat16)       # [S, H]
+  # 8-bit-domain ops: int32 widening on [S, H/2] costs 4x the VPU lanes.
+  kcodes = jnp.concatenate(
+      [(ku8 & jnp.uint8(0xF)), (ku8 >> jnp.uint8(4))],
+      axis=-1).astype(jnp.bfloat16)                            # [S, H]
   scores = jnp.zeros((g, s), jnp.float32)
   for gi in range(ng):
     sl = slice(gi * group, (gi + 1) * group)
@@ -1558,7 +1564,12 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
         preferred_element_type=jnp.float32)                    # [G, S]
     scores += part * sc_ref[gi:gi + 1, :].astype(jnp.float32)
   # Offset term: one [G, NG] x [NG, S] dot covers every group's min.
-  qsums = jnp.sum(qb.astype(jnp.float32).reshape(g, ng, group), axis=-1)
+  # (Per-group sliced sums: a [G, NG, group] reshape inside Mosaic hits
+  # 'infer-vector-layout: unsupported shape cast'.)
+  qf = qb.astype(jnp.float32)
+  qsums = jnp.concatenate(
+      [jnp.sum(qf[:, gi * group:(gi + 1) * group], axis=1, keepdims=True)
+       for gi in range(ng)], axis=1)                           # [G, NG]
   kmins = sc_ref[ng:2 * ng, :].astype(jnp.float32)             # [NG, S]
   scores += jax.lax.dot_general(
       qsums, kmins, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1569,9 +1580,11 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   probs = jnp.exp(scores)
   probs = probs / jnp.sum(probs, axis=1, keepdims=True)        # [G, S] f32
 
-  v32 = vp_ref[:].astype(jnp.int32)
-  vlo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
-  vhi = (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  vu8 = vp_ref[:]
+  vlo = (((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)
+  vhi = (((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
+         - jnp.int8(8)).astype(jnp.bfloat16)
   vcodes = jnp.concatenate([vlo, vhi], axis=-1)                # [S, H]
   ctx_parts = []
   for gi in range(ng):
