@@ -1551,15 +1551,24 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
 
   ku8 = kp_ref[:]
   # Asym K codes are UNSIGNED nibbles (0..15): no sign fix on unpack.
-  # 8-bit-domain ops: int32 widening on [S, H/2] costs 4x the VPU lanes.
-  kcodes = jnp.concatenate(
-      [(ku8 & jnp.uint8(0xF)), (ku8 >> jnp.uint8(4))],
-      axis=-1).astype(jnp.bfloat16)                            # [S, H]
+  # Split-half packing puts each 16-col group wholly in the low or high
+  # nibbles, so unpack happens lazily PER GROUP in uint8 arithmetic — no
+  # full-width [S, H] concat, no int32 widening.
+  assert ng % 2 == 0, 'split-half packing needs an even group count'
+  hgroups = ng // 2
+
+  def k_group_codes(gi):
+    if gi < hgroups:
+      gb = ku8[:, gi * group:(gi + 1) * group]
+      return (gb & jnp.uint8(0xF)).astype(jnp.bfloat16)
+    gb = ku8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
+    return (gb >> jnp.uint8(4)).astype(jnp.bfloat16)
+
   scores = jnp.zeros((g, s), jnp.float32)
   for gi in range(ng):
     sl = slice(gi * group, (gi + 1) * group)
     part = jax.lax.dot_general(
-        qb[:, sl], kcodes[:, sl],
+        qb[:, sl], k_group_codes(gi),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [G, S]
     scores += part * sc_ref[gi:gi + 1, :].astype(jnp.float32)
@@ -1581,18 +1590,23 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   probs = probs / jnp.sum(probs, axis=1, keepdims=True)        # [G, S] f32
 
   vu8 = vp_ref[:]
-  vlo = (((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)
-  vhi = (((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)
-  vcodes = jnp.concatenate([vlo, vhi], axis=-1)                # [S, H]
+
+  def v_group_codes(gi):
+    if gi < hgroups:
+      gb = vu8[:, gi * group:(gi + 1) * group]
+      nib = gb & jnp.uint8(0xF)
+    else:
+      gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
+      nib = gb >> jnp.uint8(4)
+    return ((nib ^ jnp.uint8(8)).astype(jnp.int8)
+            - jnp.int8(8)).astype(jnp.bfloat16)
+
   ctx_parts = []
   for gi in range(ng):
-    sl = slice(gi * group, (gi + 1) * group)
     vscale = sc_ref[2 * ng + gi:2 * ng + gi + 1, :].astype(jnp.float32)
     pv = (probs * vscale).astype(jnp.bfloat16)                 # [G, S]
     ctx_parts.append(jax.lax.dot_general(
-        pv, vcodes[:, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+        pv, v_group_codes(gi), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32))                   # [G, group]
   return jnp.concatenate(ctx_parts, axis=1)                    # [G, H]
 
