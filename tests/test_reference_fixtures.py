@@ -409,3 +409,21 @@ class TestPreQuantizedAndErrorFixtures:
     qt = Quantizer(g, 'dynamic_wi8_afp32')
     res = qt.quantize()
     assert res.quantized_model is not None
+
+
+def test_cli_quantizes_reference_tflite(tmp_path):
+  """The aeqt CLI ingests the reference's .tflite directly (.tflite in,
+  .aeqg + recipe JSON out) — the one-command migration path."""
+  import subprocess
+  import sys
+  path = _fixture('conv_fc_mnist.tflite')
+  r = subprocess.run(
+      [sys.executable, '-m', 'ai_edge_quantizer_tpu.cli',
+       '--model_file', path, '--recipe', 'dynamic_wi8_afp32',
+       '--output_dir', str(tmp_path)],
+      capture_output=True, text=True, timeout=240,
+      env={**os.environ, 'PYTHONPATH': os.path.dirname(os.path.dirname(
+          os.path.abspath(__file__))), 'JAX_PLATFORMS': 'cpu'})
+  assert r.returncode == 0, r.stderr[-2000:]
+  assert (tmp_path / 'conv_fc_mnist.aeqg').exists()
+  assert (tmp_path / 'conv_fc_mnist_recipe.json').exists()
