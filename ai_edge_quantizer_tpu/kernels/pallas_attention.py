@@ -1340,10 +1340,12 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
   ku8 = kp_ref[:]
-  klo = (((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)           # [S, H/2]
-  khi = (((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)
+  # Nibble -> signed value with the subtract in bf16: Mosaic legalizes
+  # xor on i8 vectors but not sub ('failed to legalize arith.subi').
+  klo = ((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(
+      jnp.bfloat16) - jnp.bfloat16(8.0)                # [S, H/2]
+  khi = ((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(
+      jnp.bfloat16) - jnp.bfloat16(8.0)
   scores = jax.lax.dot_general(
       qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1359,10 +1361,10 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   vscale = sc_ref[1:2, :].astype(jnp.float32)
   pv = (probs * vscale).astype(jnp.bfloat16)           # [G, S]
   vu8 = vp_ref[:]
-  vlo = (((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)
-  vhi = (((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8)
-         - jnp.int8(8)).astype(jnp.bfloat16)
+  vlo = ((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(
+      jnp.bfloat16) - jnp.bfloat16(8.0)
+  vhi = ((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(
+      jnp.bfloat16) - jnp.bfloat16(8.0)
   ctx_lo = jax.lax.dot_general(
       pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1598,8 +1600,7 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
     else:
       gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
       nib = gb >> jnp.uint8(4)
-    return ((nib ^ jnp.uint8(8)).astype(jnp.int8)
-            - jnp.int8(8)).astype(jnp.bfloat16)
+    return (nib ^ jnp.uint8(8)).astype(jnp.bfloat16) - jnp.bfloat16(8.0)
 
   ctx_parts = []
   for gi in range(ng):
