@@ -1342,9 +1342,9 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   ku8 = kp_ref[:]
   # Nibble -> signed value with the subtract in bf16: Mosaic legalizes
   # xor on i8 vectors but not sub ('failed to legalize arith.subi').
-  klo = ((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(
+  klo = ((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)                # [S, H/2]
-  khi = ((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(
+  khi = ((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)
   scores = jax.lax.dot_general(
       qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1361,9 +1361,9 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   vscale = sc_ref[1:2, :].astype(jnp.float32)
   pv = (probs * vscale).astype(jnp.bfloat16)           # [G, S]
   vu8 = vp_ref[:]
-  vlo = ((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(
+  vlo = ((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)
-  vhi = ((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(
+  vhi = ((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)
   ctx_lo = jax.lax.dot_general(
       pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1562,9 +1562,9 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   def k_group_codes(gi):
     if gi < hgroups:
       gb = ku8[:, gi * group:(gi + 1) * group]
-      return (gb & jnp.uint8(0xF)).astype(jnp.bfloat16)
+      return (gb & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
     gb = ku8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
-    return (gb >> jnp.uint8(4)).astype(jnp.bfloat16)
+    return (gb >> jnp.uint8(4)).astype(jnp.int8).astype(jnp.bfloat16)
 
   scores = jnp.zeros((g, s), jnp.float32)
   for gi in range(ng):
@@ -1600,7 +1600,8 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
     else:
       gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
       nib = gb >> jnp.uint8(4)
-    return (nib ^ jnp.uint8(8)).astype(jnp.bfloat16) - jnp.bfloat16(8.0)
+    return ((nib ^ jnp.uint8(8)).astype(jnp.int8).astype(jnp.bfloat16)
+            - jnp.bfloat16(8.0))
 
   ctx_parts = []
   for gi in range(ng):
