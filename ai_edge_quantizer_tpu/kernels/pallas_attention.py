@@ -1340,12 +1340,12 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
   ku8 = kp_ref[:]
-  # Nibble -> signed value with the subtract in bf16: Mosaic legalizes
-  # xor on i8 vectors but not sub ('failed to legalize arith.subi').
+  # Mosaic i8-vector support: and/xor legalize; sub and shifts do NOT.
+  # Low nibble stays in 8-bit ops (bf16 subtract); the high nibble's
+  # shift runs through i32 (the only legal vector shift width).
   klo = ((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)                # [S, H/2]
-  khi = ((ku8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
-      jnp.bfloat16) - jnp.bfloat16(8.0)
+  khi = (((ku8.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
   scores = jax.lax.dot_general(
       qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1363,8 +1363,7 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   vu8 = vp_ref[:]
   vlo = ((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
       jnp.bfloat16) - jnp.bfloat16(8.0)
-  vhi = ((vu8 >> jnp.uint8(4)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
-      jnp.bfloat16) - jnp.bfloat16(8.0)
+  vhi = (((vu8.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
   ctx_lo = jax.lax.dot_general(
       pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1564,7 +1563,7 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
       gb = ku8[:, gi * group:(gi + 1) * group]
       return (gb & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
     gb = ku8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
-    return (gb >> jnp.uint8(4)).astype(jnp.int8).astype(jnp.bfloat16)
+    return (gb.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
 
   scores = jnp.zeros((g, s), jnp.float32)
   for gi in range(ng):
@@ -1597,11 +1596,10 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
     if gi < hgroups:
       gb = vu8[:, gi * group:(gi + 1) * group]
       nib = gb & jnp.uint8(0xF)
-    else:
-      gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
-      nib = gb >> jnp.uint8(4)
-    return ((nib ^ jnp.uint8(8)).astype(jnp.int8).astype(jnp.bfloat16)
-            - jnp.bfloat16(8.0))
+      return ((nib ^ jnp.uint8(8)).astype(jnp.int8).astype(jnp.bfloat16)
+              - jnp.bfloat16(8.0))
+    gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
+    return (((gb.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
 
   ctx_parts = []
   for gi in range(ng):
