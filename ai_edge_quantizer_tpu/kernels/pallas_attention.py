@@ -1339,13 +1339,12 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   h2 = h // 2
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
-  ku8 = kp_ref[:]
-  # Mosaic i8-vector support: and/xor legalize; sub and shifts do NOT.
-  # Low nibble stays in 8-bit ops (bf16 subtract); the high nibble's
-  # shift runs through i32 (the only legal vector shift width).
-  klo = ((ku8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
-      jnp.bfloat16) - jnp.bfloat16(8.0)                # [S, H/2]
-  khi = (((ku8.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  # Pure-i32 unpack: measured FASTER than mixed 8-bit/i32 on TPU (4.83
+  # vs 5.51 ms chained x18) — Mosaic schedules the widened ops better,
+  # and i8 vector sub/shift don't legalize at all.
+  k32 = kp_ref[:].astype(jnp.int32)
+  klo = (((k32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)   # [S, H/2]
+  khi = (((k32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
   scores = jax.lax.dot_general(
       qb[:, :h2], klo, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1360,10 +1359,9 @@ def _ctx_prefix_len_int4(q, kp_ref, vp_ref, sc_ref, length):
   probs = probs / jnp.sum(probs, axis=1, keepdims=True)
   vscale = sc_ref[1:2, :].astype(jnp.float32)
   pv = (probs * vscale).astype(jnp.bfloat16)           # [G, S]
-  vu8 = vp_ref[:]
-  vlo = ((vu8 & jnp.uint8(0xF)) ^ jnp.uint8(8)).astype(jnp.int8).astype(
-      jnp.bfloat16) - jnp.bfloat16(8.0)
-  vhi = (((vu8.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+  v32 = vp_ref[:].astype(jnp.int32)
+  vlo = (((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)
+  vhi = (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
   ctx_lo = jax.lax.dot_general(
       pv, vlo, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -1528,87 +1526,89 @@ def quantize_v_rows_int4_group(x: jax.Array, group: int = 16):
 
 
 def build_kv_sidecar_group(k_scale, k_min, v_scale):
-  """Stack per-group stats into the kernel sidecar [..., 3*NG, S] bf16.
+  """Stack per-group stats into the kernel sidecar [..., S, 3*NG] bf16.
 
   Inputs are [..., S, NG] f32 (trailing group axis, matching the
-  quantizers above applied to [..., S, H] caches).
+  quantizers above applied to [..., S, H] caches). S-major layout: the
+  kernel expands [S, NG] -> [S, H] with one small MXU dot against a
+  constant expansion matrix — no transposes in VMEM.
   """
   stats = jnp.concatenate([k_scale, k_min, v_scale], axis=-1)  # [..., S, 3NG]
-  return jnp.swapaxes(stats, -1, -2).astype(jnp.bfloat16)     # [..., 3NG, S]
+  return stats.astype(jnp.bfloat16)
 
 
 def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
                                group: int):
   """Per-row context over [0, length): per-group asym-K / sym-V int4.
 
-  q: [G, H] f32. kp_ref/vp_ref: [S, H/2] uint8. sc_ref: [3*NG, S] bf16.
+  q: [G, H] f32. kp_ref/vp_ref: [S, H/2] uint8. sc_ref: [S, 3*NG] bf16
+  (K scales | K mins | V scales, S-major). Per-group scales fold INTO
+  the unpacked code matrices via one [S, NG] x [NG, H] expansion dot
+  each, so the score/context contractions stay single large MXU dots.
   """
   g, h = q.shape
   s = kp_ref.shape[0]
-  h2 = h // 2
   ng = h // group
+  assert ng % 2 == 0, 'split-half packing needs an even group count'
+  assert group & (group - 1) == 0, 'group must be a power of two'
+  shift = group.bit_length() - 1
   pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
   qb = q.astype(jnp.bfloat16)
 
-  ku8 = kp_ref[:]
-  # Asym K codes are UNSIGNED nibbles (0..15): no sign fix on unpack.
-  # Split-half packing puts each 16-col group wholly in the low or high
-  # nibbles, so unpack happens lazily PER GROUP in uint8 arithmetic — no
-  # full-width [S, H] concat, no int32 widening.
-  assert ng % 2 == 0, 'split-half packing needs an even group count'
-  hgroups = ng // 2
+  # E[g, h] = 1 iff column h belongs to group g — the UNPACKED column
+  # order is split-half (lo nibbles = h < H/2), so map h -> group via
+  # the packed byte index.
+  iota_g = jax.lax.broadcasted_iota(jnp.int32, (ng, h), 0)
+  iota_h = jax.lax.broadcasted_iota(jnp.int32, (ng, h), 1)
+  byte_col = jnp.where(iota_h < h // 2, iota_h, iota_h - h // 2)
+  grp_of_h = jnp.where(iota_h < h // 2,
+                       byte_col >> shift,
+                       (byte_col >> shift) + ng // 2)
+  expand = (iota_g == grp_of_h).astype(jnp.bfloat16)   # [NG, H]
 
-  def k_group_codes(gi):
-    if gi < hgroups:
-      gb = ku8[:, gi * group:(gi + 1) * group]
-      return (gb & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.bfloat16)
-    gb = ku8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
-    return (gb.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
-
-  scores = jnp.zeros((g, s), jnp.float32)
-  for gi in range(ng):
-    sl = slice(gi * group, (gi + 1) * group)
-    part = jax.lax.dot_general(
-        qb[:, sl], k_group_codes(gi),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [G, S]
-    scores += part * sc_ref[gi:gi + 1, :].astype(jnp.float32)
-  # Offset term: one [G, NG] x [NG, S] dot covers every group's min.
-  # (Per-group sliced sums: a [G, NG, group] reshape inside Mosaic hits
-  # 'infer-vector-layout: unsupported shape cast'.)
+  k32 = kp_ref[:].astype(jnp.int32)
+  kcodes = jnp.concatenate([(k32 & 0xF).astype(jnp.bfloat16),
+                            (k32 >> 4).astype(jnp.bfloat16)],
+                           axis=-1)                    # [S, H] in [0, 15]
+  kscale_cols = jax.lax.dot_general(
+      sc_ref[:, :ng].astype(jnp.bfloat16), expand,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.bfloat16)             # [S, H]
+  scores = jax.lax.dot_general(
+      qb, kcodes * kscale_cols,
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)              # [G, S]
+  # Offset term: qsums [G, NG] x kmin [S, NG] -> [G, S], one dot.
   qf = qb.astype(jnp.float32)
   qsums = jnp.concatenate(
       [jnp.sum(qf[:, gi * group:(gi + 1) * group], axis=1, keepdims=True)
-       for gi in range(ng)], axis=1)                           # [G, NG]
-  kmins = sc_ref[ng:2 * ng, :].astype(jnp.float32)             # [NG, S]
+       for gi in range(ng)], axis=1)                   # [G, NG]
+  # q columns are unpacked-order; regroup sums to match grp_of_h: the
+  # concat above follows unpacked order already (group gi spans columns
+  # [gi*group, (gi+1)*group) of the unpacked matrix).
   scores += jax.lax.dot_general(
-      qsums, kmins, dimension_numbers=(((1,), (0,)), ((), ())),
+      qsums, sc_ref[:, ng:2 * ng].astype(jnp.float32),
+      dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
   scores *= 1.0 / (h ** 0.5)
   scores = jnp.where(pos < length, scores, -1e30)
   scores = scores - jnp.max(scores, axis=1, keepdims=True)
   probs = jnp.exp(scores)
-  probs = probs / jnp.sum(probs, axis=1, keepdims=True)        # [G, S] f32
+  probs = probs / jnp.sum(probs, axis=1, keepdims=True)
 
-  vu8 = vp_ref[:]
-
-  def v_group_codes(gi):
-    if gi < hgroups:
-      gb = vu8[:, gi * group:(gi + 1) * group]
-      nib = gb & jnp.uint8(0xF)
-      return ((nib ^ jnp.uint8(8)).astype(jnp.int8).astype(jnp.bfloat16)
-              - jnp.bfloat16(8.0))
-    gb = vu8[:, (gi - hgroups) * group:(gi - hgroups + 1) * group]
-    return (((gb.astype(jnp.int32) >> 4) ^ 8) - 8).astype(jnp.bfloat16)
-
-  ctx_parts = []
-  for gi in range(ng):
-    vscale = sc_ref[2 * ng + gi:2 * ng + gi + 1, :].astype(jnp.float32)
-    pv = (probs * vscale).astype(jnp.bfloat16)                 # [G, S]
-    ctx_parts.append(jax.lax.dot_general(
-        pv, v_group_codes(gi), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))                   # [G, group]
-  return jnp.concatenate(ctx_parts, axis=1)                    # [G, H]
+  v32 = vp_ref[:].astype(jnp.int32)
+  vcodes = jnp.concatenate([(((v32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16),
+                            (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)],
+                           axis=-1)                    # [S, H]
+  vscale_cols = jax.lax.dot_general(
+      sc_ref[:, 2 * ng:].astype(jnp.bfloat16), expand,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.bfloat16)             # [S, H]
+  ctx = jax.lax.dot_general(
+      probs.astype(jnp.bfloat16), vcodes * vscale_cols,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)              # [G, H]
+  return ctx
 
 
 @functools.partial(
@@ -1628,9 +1628,9 @@ def decode_attention_int4_group_lengths(
   """Decode attention over per-group asym-K / sym-V int4 KV caches.
 
   q [B, NK, G, H]; k_packed/v_packed [B, NK, S, H//2] uint8 (K codes
-  unsigned, V codes signed split-half); sidecar [B, NK, 3*(H//group), S]
-  bf16 (build_kv_sidecar_group); lengths [B] int32. Streams the int8
-  path's cache bytes halved plus 6*H/group bytes of sidecar per row
+  unsigned, V codes signed split-half); sidecar [B, NK, S, 3*(H//group)]
+  bf16 (build_kv_sidecar_group, S-major); lengths [B] int32. Streams the
+  int8 path's cache bytes halved plus 6*H/group bytes of sidecar per row
   (~9% of the int8 row at H=256, group=16).
   """
   b, nk, g, h = q.shape
@@ -1641,12 +1641,12 @@ def decode_attention_int4_group_lengths(
   bb = max(1, batch_block)
   while bn_rows % bb:
     bb //= 2
-  while bb > 1 and 2 * (2 * bb * s * h2) + 2 * bb * ng3 * s > 14 * 2**20:
+  while bb > 1 and 2 * (2 * bb * s * h2) + 2 * bb * s * ng3 > 14 * 2**20:
     bb //= 2
   q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
   k2 = k_packed.reshape(bn_rows, s, h2)
   v2 = v_packed.reshape(bn_rows, s, h2)
-  sc2 = sidecar.reshape(bn_rows, ng3, s).astype(jnp.bfloat16)
+  sc2 = sidecar.reshape(bn_rows, s, ng3).astype(jnp.bfloat16)
   lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
 
   def kernel(lens_ref, q_ref, kp_ref, vp_ref, sc_ref, o_ref):
@@ -1667,7 +1667,7 @@ def decode_attention_int4_group_lengths(
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, ng3, s), lambda i, lens_ref: (i, 0, 0),
+          pl.BlockSpec((bb, s, ng3), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
@@ -1698,7 +1698,7 @@ def decode_attention_int4_group_ref(q, k_packed, v_packed, sidecar,
   kcodes = jnp.concatenate([(k32 & 0xF), (k32 >> 4)],
                            axis=-1).astype(jnp.float32)        # [B,NK,S,H]
   vq = unpack_int4_rows(v_packed).astype(jnp.float32)
-  sc = jnp.swapaxes(sidecar.astype(jnp.float32), -1, -2)       # [B,NK,S,3NG]
+  sc = sidecar.astype(jnp.float32)                             # [B,NK,S,3NG]
   kscale, kmin, vscale = sc[..., :ng], sc[..., ng:2 * ng], sc[..., 2 * ng:]
   k = (kcodes.reshape(b, nk, s, ng, group) * kscale[..., None]
        + kmin[..., None]).reshape(b, nk, s, h)
