@@ -110,8 +110,7 @@ def main():
     if name.endswith('_cache_in') and dec_sg.tensors[tid].dtype == 'int8':
       inputs[name] = np.zeros(inputs[name].shape, np.int8)
   inputs = {k: jnp.asarray(np.asarray(v)) if np.asarray(v).nbytes < 16384
-            else jnp.zeros(np.asarray(v).shape,
-                           jnp.asarray(np.asarray(v).dtype))
+            else jnp.zeros(np.asarray(v).shape, np.asarray(v).dtype)
             for k, v in inputs.items()}
 
   NK, H = cfg.num_kv_heads, cfg.head_dim
