@@ -1573,7 +1573,7 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   kscale_cols = jax.lax.dot_general(
       sc_ref[:, :ng].astype(jnp.bfloat16), expand,
       dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.bfloat16)             # [S, H]
+      preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [S, H]
   scores = jax.lax.dot_general(
       qb, kcodes * kscale_cols,
       dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1603,7 +1603,7 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   vscale_cols = jax.lax.dot_general(
       sc_ref[:, 2 * ng:].astype(jnp.bfloat16), expand,
       dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.bfloat16)             # [S, H]
+      preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [S, H]
   ctx = jax.lax.dot_general(
       probs.astype(jnp.bfloat16), vcodes * vscale_cols,
       dimension_numbers=(((1,), (0,)), ((), ())),
