@@ -306,12 +306,17 @@ def main():
   seg_bytes['cache_dus'] = 2 * L * batch * NK * H  # int8 writes
   log(f"cache DUS x{L}x2: {results['cache_dus']*1e3:.3f} ms")
 
-  known = results['attention'] + results['fc_sweep'] + results['cache_dus']
+  # cache_dus is EXCLUDED from the accounting: even with donated inputs
+  # the standalone scan pays a carry copy of the 4.3 GiB pool per
+  # iteration (the real step's writes are in-place inside one program),
+  # so the segment measures the copy, not the write.
+  known = results['attention'] + results['fc_sweep']
   residual = results['full'] - known
-  log(f"accounted: {known*1e3:.3f} of {results['full']*1e3:.3f} ms "
+  log(f"accounted (attention+fc): {known*1e3:.3f} of "
+      f"{results['full']*1e3:.3f} ms "
       f"({100*known/max(results['full'],1e-12):.0f}%); residual "
-      f"{residual*1e3:.3f} ms = XLA glue "
-      f"(rope/norm/residual/reshape/embed + non-FC matmuls)")
+      f"{residual*1e3:.3f} ms = XLA glue + cache writes "
+      f"(negative => the step overlaps the FC and attention streams)")
 
   artifact = {
       'preset': preset, 'batch': batch, 'iters': iters,
@@ -327,6 +332,9 @@ def main():
       'accounted_ms': round(known * 1e3, 3),
       'residual_ms': round(residual * 1e3, 3),
       'accounted_frac': round(known / max(results['full'], 1e-12), 4),
+      'cache_dus_note': 'standalone DUS segment measures a scan-carry '
+                        'copy of the pool, not the in-step write; '
+                        'excluded from accounted_ms',
       'step_sustained_gbs': round(
           seg_bytes['full'] / results['full'] / 1e9, 1),
   }
