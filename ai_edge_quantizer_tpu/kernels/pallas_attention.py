@@ -1526,25 +1526,26 @@ def quantize_v_rows_int4_group(x: jax.Array, group: int = 16):
 
 
 def build_kv_sidecar_group(k_scale, k_min, v_scale):
-  """Stack per-group stats into the kernel sidecar [..., S, 3*NG] bf16.
+  """Stack per-group stats into the kernel sidecar [..., 3*NG, S] bf16.
 
   Inputs are [..., S, NG] f32 (trailing group axis, matching the
-  quantizers above applied to [..., S, H] caches). S-major layout: the
-  kernel expands [S, NG] -> [S, H] with one small MXU dot against a
-  constant expansion matrix — no transposes in VMEM.
+  quantizers above applied to [..., S, H] caches). S stays the minor
+  storage dim (bf16 VMEM refs need a 128-multiple minor); the kernel
+  expands [NG, S] -> [S, H] transpose-free with one dot contracting NG.
   """
   stats = jnp.concatenate([k_scale, k_min, v_scale], axis=-1)  # [..., S, 3NG]
-  return stats.astype(jnp.bfloat16)
+  return jnp.swapaxes(stats, -1, -2).astype(jnp.bfloat16)     # [..., 3NG, S]
 
 
 def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
                                group: int):
   """Per-row context over [0, length): per-group asym-K / sym-V int4.
 
-  q: [G, H] f32. kp_ref/vp_ref: [S, H/2] uint8. sc_ref: [S, 3*NG] bf16
-  (K scales | K mins | V scales, S-major). Per-group scales fold INTO
-  the unpacked code matrices via one [S, NG] x [NG, H] expansion dot
-  each, so the score/context contractions stay single large MXU dots.
+  q: [G, H] f32. kp_ref/vp_ref: [S, H/2] uint8. sc_ref: [3*NG, S] bf16
+  (K scales | K mins | V scales rows). Per-group scales fold INTO the
+  unpacked code matrices via one expansion dot each — dot_general
+  contracting NG on BOTH sides maps [NG, S] x [NG, H] -> [S, H] with no
+  transpose — so the score/context contractions stay single large dots.
   """
   g, h = q.shape
   s = kp_ref.shape[0]
@@ -1571,8 +1572,8 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
                             (k32 >> 4).astype(jnp.bfloat16)],
                            axis=-1)                    # [S, H] in [0, 15]
   kscale_cols = jax.lax.dot_general(
-      sc_ref[:, :ng].astype(jnp.bfloat16), expand,
-      dimension_numbers=(((1,), (0,)), ((), ())),
+      sc_ref[:ng, :].astype(jnp.bfloat16), expand,
+      dimension_numbers=(((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [S, H]
   scores = jax.lax.dot_general(
       qb, kcodes * kscale_cols,
@@ -1587,8 +1588,8 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
   # concat above follows unpacked order already (group gi spans columns
   # [gi*group, (gi+1)*group) of the unpacked matrix).
   scores += jax.lax.dot_general(
-      qsums, sc_ref[:, ng:2 * ng].astype(jnp.float32),
-      dimension_numbers=(((1,), (1,)), ((), ())),
+      qsums, sc_ref[ng:2 * ng, :].astype(jnp.float32),
+      dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
   scores *= 1.0 / (h ** 0.5)
   scores = jnp.where(pos < length, scores, -1e30)
@@ -1601,8 +1602,8 @@ def _ctx_prefix_len_int4_group(q, kp_ref, vp_ref, sc_ref, length,
                             (((v32 >> 4) ^ 8) - 8).astype(jnp.bfloat16)],
                            axis=-1)                    # [S, H]
   vscale_cols = jax.lax.dot_general(
-      sc_ref[:, 2 * ng:].astype(jnp.bfloat16), expand,
-      dimension_numbers=(((1,), (0,)), ((), ())),
+      sc_ref[2 * ng:, :].astype(jnp.bfloat16), expand,
+      dimension_numbers=(((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [S, H]
   ctx = jax.lax.dot_general(
       probs.astype(jnp.bfloat16), vcodes * vscale_cols,
@@ -1628,9 +1629,9 @@ def decode_attention_int4_group_lengths(
   """Decode attention over per-group asym-K / sym-V int4 KV caches.
 
   q [B, NK, G, H]; k_packed/v_packed [B, NK, S, H//2] uint8 (K codes
-  unsigned, V codes signed split-half); sidecar [B, NK, S, 3*(H//group)]
-  bf16 (build_kv_sidecar_group, S-major); lengths [B] int32. Streams the
-  int8 path's cache bytes halved plus 6*H/group bytes of sidecar per row
+  unsigned, V codes signed split-half); sidecar [B, NK, 3*(H//group), S]
+  bf16 (build_kv_sidecar_group); lengths [B] int32. Streams the int8
+  path's cache bytes halved plus 6*H/group bytes of sidecar per row
   (~9% of the int8 row at H=256, group=16).
   """
   b, nk, g, h = q.shape
@@ -1646,7 +1647,7 @@ def decode_attention_int4_group_lengths(
   q2 = q.reshape(bn_rows, g, h).astype(jnp.float32)
   k2 = k_packed.reshape(bn_rows, s, h2)
   v2 = v_packed.reshape(bn_rows, s, h2)
-  sc2 = sidecar.reshape(bn_rows, s, ng3).astype(jnp.bfloat16)
+  sc2 = sidecar.reshape(bn_rows, ng3, s).astype(jnp.bfloat16)
   lens = jnp.repeat(lengths.astype(jnp.int32), nk).reshape(bn_rows)
 
   def kernel(lens_ref, q_ref, kp_ref, vp_ref, sc_ref, o_ref):
@@ -1667,7 +1668,7 @@ def decode_attention_int4_group_lengths(
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((bb, s, h2), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((bb, s, ng3), lambda i, lens_ref: (i, 0, 0),
+          pl.BlockSpec((bb, ng3, s), lambda i, lens_ref: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((bb, g, h), lambda i, lens_ref: (i, 0, 0),
@@ -1698,7 +1699,7 @@ def decode_attention_int4_group_ref(q, k_packed, v_packed, sidecar,
   kcodes = jnp.concatenate([(k32 & 0xF), (k32 >> 4)],
                            axis=-1).astype(jnp.float32)        # [B,NK,S,H]
   vq = unpack_int4_rows(v_packed).astype(jnp.float32)
-  sc = sidecar.astype(jnp.float32)                             # [B,NK,S,3NG]
+  sc = jnp.swapaxes(sidecar.astype(jnp.float32), -1, -2)      # [B,NK,S,3NG]
   kscale, kmin, vscale = sc[..., :ng], sc[..., ng:2 * ng], sc[..., 2 * ng:]
   k = (kcodes.reshape(b, nk, s, ng, group) * kscale[..., None]
        + kmin[..., None]).reshape(b, nk, s, h)

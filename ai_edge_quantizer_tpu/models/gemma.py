@@ -248,7 +248,7 @@ def _build_signature(
                         user_name=f'layer_{li}_k_cache_in')
       v_cache = b.input(f'{p}/v_cache', (B, NK, S, H // 2), 'uint8',
                         user_name=f'layer_{li}_v_cache_in')
-      kv_sidecar = b.input(f'{p}/kv_sidecar', (B, NK, S, ng3), 'bfloat16',
+      kv_sidecar = b.input(f'{p}/kv_sidecar', (B, NK, ng3, S), 'bfloat16',
                            user_name=f'layer_{li}_s_cache_in')
     else:
       k_cache = b.input(f'{p}/k_cache', (B, NK, S, H), 'float32',
@@ -331,7 +331,7 @@ def _build_signature(
           opcode,
           [qg, kt, vt, k_cache, v_cache, kv_sidecar, pos_in],
           [(B, NK, G * T, H), (B, NK, S, H // 2), (B, NK, S, H // 2),
-           (B, NK, S, ng3)],
+           (B, NK, ng3, S)],
           output_names=[f'{p}/attn/ctx', f'{p}/k_cache_new',
                         f'{p}/v_cache_new', f'{p}/kv_sidecar_new'],
           attrs={'group': kv_int4_group},

@@ -526,7 +526,7 @@ def int4g_attention(ctx: OpContext, q, k_rows, v_rows, k_cache, v_cache,
     v_rows   [B, NK, 1, H]   this step's V row (float)
     k_cache  [B, NK, S, H/2] packed unsigned K codes
     v_cache  [B, NK, S, H/2] packed signed V codes
-    sidecar  [B, NK, S, 3*H/g] bf16 per-group stats (S-major)
+    sidecar  [B, NK, 3*H/g, S] bf16 per-group stats (S minor)
     cache_pos [4]            DUS start vector; [2] is the write position
 
   Outputs: (ctx [B, NK, G, H], k_cache', v_cache', sidecar').
@@ -548,11 +548,11 @@ def int4g_attention(ctx: OpContext, q, k_rows, v_rows, k_cache, v_cache,
       k_cache, kp_new.astype(k_cache.dtype), (zero, zero, pos, zero))
   v_cache2 = jax.lax.dynamic_update_slice(
       v_cache, vp_new.astype(v_cache.dtype), (zero, zero, pos, zero))
-  # Sidecar row update (S-major): stats land at [:, :, pos, :].
-  col = jnp.concatenate([ks, km, vs], axis=-1).astype(
-      sidecar.dtype)                                  # [B, NK, 1, 3NG]
+  # Sidecar column update: stats for the new row land at [:, :, :, pos].
+  col = jnp.concatenate([ks, km, vs], axis=-1)        # [B, NK, 1, 3NG]
+  col = jnp.swapaxes(col, -1, -2).astype(sidecar.dtype)  # [B, NK, 3NG, 1]
   sidecar2 = jax.lax.dynamic_update_slice(
-      sidecar, col, (zero, zero, pos, zero))
+      sidecar, col, (zero, zero, zero, pos))
   lengths = jnp.full((b,), pos + 1, jnp.int32)
   import os as _os
   out = pa.decode_attention_int4_group_lengths(
@@ -588,9 +588,9 @@ def int4g_attention_scatter(ctx: OpContext, q, k_rows, v_rows, k_cache,
   hit_rows = hit[:, None, :, None]                            # [B,1,S,1]
   k_cache2 = jnp.where(hit_rows, kp_new.astype(k_cache.dtype), k_cache)
   v_cache2 = jnp.where(hit_rows, vp_new.astype(v_cache.dtype), v_cache)
-  col = jnp.concatenate([ks, km, vs], axis=-1).astype(
-      sidecar.dtype)                                          # [B,NK,1,3NG]
-  sidecar2 = jnp.where(hit_rows, col, sidecar)
+  col = jnp.concatenate([ks, km, vs], axis=-1)                # [B,NK,1,3NG]
+  col = jnp.swapaxes(col, -1, -2).astype(sidecar.dtype)       # [B,NK,3NG,1]
+  sidecar2 = jnp.where(hit[:, None, None, :], col, sidecar)
   lengths = pos + 1
   import os as _os
   out = pa.decode_attention_int4_group_lengths(

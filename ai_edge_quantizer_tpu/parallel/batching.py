@@ -316,7 +316,7 @@ class DecodeServer:
         v_rows = v_rows[:, :, :sp, :].astype(jnp.float32)
         kp, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
         vp, vs = pa.quantize_v_rows_int4_group(v_rows, group)
-        sidecar = pa.build_kv_sidecar_group(ks, km, vs)  # [Bp,NK,S,3NG]
+        sidecar = pa.build_kv_sidecar_group(ks, km, vs)  # [Bp,NK,3NG,S]
         for key, cache, rows, vmask in (
             (k_key, k_cache, kp, valid[:, None, None, None]),
             (v_key, v_cache, vp, valid[:, None, None, None]),
@@ -331,9 +331,9 @@ class DecodeServer:
   def _cache_shape(self, key: str, bucket: int):
     cfg = self.cfg
     if self._kv_group:
-      if key.split('_')[2] == 's':  # sidecar: [B, NK, S, 3NG] (S-major)
+      if key.split('_')[2] == 's':  # sidecar: [B, NK, 3NG, S]
         ng3 = 3 * (cfg.head_dim // self._kv_group)
-        return (self.batch_slots, cfg.num_kv_heads, bucket, ng3)
+        return (self.batch_slots, cfg.num_kv_heads, ng3, bucket)
       return (self.batch_slots, cfg.num_kv_heads, bucket,
               cfg.head_dim // 2)
     return (self.batch_slots, cfg.num_kv_heads, bucket, cfg.head_dim)
@@ -356,10 +356,12 @@ class DecodeServer:
                   self._buckets[-1])
     if target > self._bucket:
       pad = target - self._bucket
-      self._caches = {
-          key: jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-          for key, v in self._caches.items()
-      }
+      def _pad(key, v):
+        if self._kv_group and key.split('_')[2] == 's':
+          return jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        return jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+      self._caches = {key: _pad(key, v)
+                      for key, v in self._caches.items()}
       if self._cache_sharding is not None:
         self._caches = {k: jax.device_put(v, self._cache_sharding)
                         for k, v in self._caches.items()}

@@ -134,7 +134,7 @@ def test_int4_group_kv_graph_matches_float():
         caches[f'layer_{li}_v_cache_in'] = jnp.zeros((B, NK, S, H // 2),
                                                      jnp.uint8)
         caches[f'layer_{li}_s_cache_in'] = jnp.zeros(
-            (B, NK, S, 3 * (H // 16)), jnp.bfloat16)
+            (B, NK, 3 * (H // 16), S), jnp.bfloat16)
       else:
         caches[f'layer_{li}_k_cache_in'] = jnp.zeros((B, NK, S, H),
                                                      jnp.float32)

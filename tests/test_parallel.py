@@ -313,7 +313,7 @@ def test_int4_group_kv_decode_dp_sharded():
     inp[f'layer_{li}_v_cache_in'] = jax.device_put(
         jnp.zeros((B, NK, S, H // 2), jnp.uint8), shard)
     inp[f'layer_{li}_s_cache_in'] = jax.device_put(
-        jnp.zeros((B, NK, S, 3 * (H // 16)), jnp.bfloat16), shard)
+        jnp.zeros((B, NK, 3 * (H // 16), S), jnp.bfloat16), shard)
   out = run(ex._weights, inp)
   assert out['logits'].shape == (B, 1, cfg.vocab_size)
   assert np.isfinite(np.asarray(out['logits'], np.float32)).all()
