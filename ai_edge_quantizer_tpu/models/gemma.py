@@ -57,6 +57,14 @@ GEMMA_2B_LITE = DecoderConfig(
     vocab_size=32000, embed_dim=2048, num_layers=18, num_query_heads=8,
     num_kv_heads=1, head_dim=256, ffn_dim=16384, max_seq_len=1024)
 
+# Gemma-7B-shaped configuration (Gemma 1 7B: MHA, 16 heads x 256).
+# int4 weights ~3.9 GiB + int8 embedding 0.5 GiB fit a single 16 GiB
+# chip with int8 KV caches at B=16, S=512 (28 layers x 2 x 16 x 256 B
+# = 229 KB/token-slot); larger batches/contexts shard over a mesh.
+GEMMA_7B = DecoderConfig(
+    vocab_size=256128, embed_dim=3072, num_layers=28, num_query_heads=16,
+    num_kv_heads=16, head_dim=256, ffn_dim=24576, max_seq_len=512)
+
 
 class _WeightStore:
   """Creates each weight buffer once; later subgraphs alias it.

@@ -465,6 +465,10 @@ def main():
     cfg = gemma.TOY_DECODER
   elif preset == 'gemma2b':
     cfg = gemma.GEMMA_2B  # full 256k vocab
+  elif preset == 'gemma7b':
+    # Single-chip 7B: int4 weights + int8 KV fit 16 GiB at B<=16, S=512.
+    cfg = gemma.GEMMA_7B
+    batch = int(os.environ.get('AEQT_BENCH_BATCH_7B', '16'))
   else:
     cfg = gemma.GEMMA_2B_LITE
   seq = int(os.environ.get('AEQT_BENCH_SEQ', '0'))
