@@ -671,6 +671,7 @@ def build_serving_decoder(
     prefill_greedy: bool = False,
     prefill_head_cols: bool = False,
     kv_int4_group: int = 0,
+    prefill_tail_len: int = 0,
 ) -> ir.Graph:
   """Serving-shaped graph: prefill at batch=1 (per-request admission) +
   decode at batch=batch_slots with per-slot one-hot cache updates, one
@@ -708,6 +709,22 @@ def build_serving_decoder(
                    greedy_head=prefill_greedy,
                    head_cols=prefill_head_cols)
   b.finalize(signature_key='prefill')
+  if prefill_tail_len:
+    # Short tail-chunk program: a prompt's final partial chunk pads to
+    # prefill_tail_len instead of prefill_len (admission groups short
+    # prompts here — chunk padding was ~16% of prefill compute at the
+    # bench's mixed lengths).
+    if prefill_tail_len >= prefill_len:
+      raise ValueError('prefill_tail_len must be < prefill_len')
+    b = builder_lib.GraphBuilder('prefill_tail', graph=graph)
+    _build_signature(b, store, 'prefill_tail', prefill_batch,
+                     prefill_tail_len, cache_update='dus',
+                     fused_projections=fused_projections,
+                     device_masks=prefill_device_masks,
+                     greedy_head=prefill_greedy,
+                     head_cols=prefill_head_cols)
+    b.finalize(signature_key='prefill_tail')
+    graph.metadata['prefill_tail_len'] = int(prefill_tail_len)
   if cache_buckets:
     buckets = sorted({min(int(s), cfg.max_seq_len) for s in cache_buckets}
                      | {cfg.max_seq_len})

@@ -248,6 +248,16 @@ class DecodeServer:
           'prefill_batch <= batch_slots.')
     self._prefill_device_masks = bool(
         graph.metadata.get('prefill_device_masks'))
+    self._prefill_tail_len = int(graph.metadata.get('prefill_tail_len', 0))
+    if self._prefill_tail_len and not graph.metadata.get(
+        'prefill_device_masks'):
+      raise ValueError('prefill_tail_len requires prefill_device_masks '
+                       '(the host mask builder is fixed-T).')
+    if self._prefill_tail_len:
+      tail_sig = graph.signature_by_key('prefill_tail')
+      self._prefill_tail_fn = jax.jit(functools.partial(
+          self._executor._run_signature, tail_sig.subgraph_index,
+          'prefill_tail', False))
     self._prefill_greedy = 'next_tokens' in pre_sig.outputs
     if self._prefill_greedy and sample_fn is not None:
       raise ValueError(
@@ -625,39 +635,54 @@ class DecodeServer:
     if not admissions:
       return
     T, Bp = self._prefill_len, self._prefill_batch
-    by_chunks: dict = {}
+    Tt = self._prefill_tail_len
+    by_plan: dict = {}
     for si, req in admissions:
-      nc = max(1, -(-req.prompt.size // T))
-      by_chunks.setdefault(nc, []).append((si, req))
+      full, rem = divmod(req.prompt.size, T)
+      if rem == 0 and full > 0:
+        plan = (full, False)
+      elif Tt and 0 < rem <= Tt:
+        # The final partial chunk pads only to the short tail program.
+        plan = (full, True)
+      else:
+        plan = (full + 1, False)
+      by_plan.setdefault(plan, []).append((si, req))
     pending = []
-    for nc in sorted(by_chunks):
-      group = by_chunks[nc]
+    for plan in sorted(by_plan):
+      group = by_plan[plan]
       for g0 in range(0, len(group), Bp):
         part = group[g0:g0 + Bp]
-        pending.append((part, self._prefill_group(part, nc)))
+        pending.append((part, self._prefill_group(part, *plan)))
     self._finalize_admissions(pending)
 
-  def _prefill_group(self, slot_reqs, num_chunks: int):
+  def _prefill_group(self, slot_reqs, num_chunks: int,
+                     tail: bool = False):
     """Prefill up to prefill_batch requests in one batched pass per chunk.
 
-    All rows share the chunk start (requests are grouped by chunk count),
+    All rows share the chunk start (requests are grouped by chunk plan),
     so the DUS cache write position is one (4,) vector for the group.
     Chunked prompts thread each pass's output caches into the next pass,
-    so any prompt up to max_prompt_len() prefills losslessly. Returns the
-    group's first tokens (greedy-head graphs) or last-row logits as a
-    DEVICE array — the host sync happens once per admission wave, in
-    _finalize_admissions.
+    so any prompt up to max_prompt_len() prefills losslessly. With
+    `tail`, the final partial chunk runs the short 'prefill_tail'
+    program (prefill_tail_len positions) instead of a full-T pass.
+    Returns the group's first tokens (greedy-head graphs) or last-row
+    logits as a DEVICE array — the host sync happens once per admission
+    wave, in _finalize_admissions.
     """
     cfg, T, Bp = self.cfg, self._prefill_len, self._prefill_batch
+    Tt = self._prefill_tail_len
+    tail_len = Tt if tail else 0
     n = len(slot_reqs)
-    tok_mat = np.zeros((Bp, num_chunks * T), np.int32)
+    total_cap = num_chunks * T + tail_len
+    tok_mat = np.zeros((Bp, total_cap), np.int32)
     for r, (_, req) in enumerate(slot_reqs):
       tok_mat[r, :req.prompt.size] = req.prompt
     # Each row's first-token position within the FINAL chunk (the only
     # head output admission consumes).
+    last_start = num_chunks * T if tail else (num_chunks - 1) * T
     cols = np.zeros(Bp, np.int32)
     for r, (_, req) in enumerate(slot_reqs):
-      cols[r] = (req.prompt.size - 1) - (num_chunks - 1) * T
+      cols[r] = (req.prompt.size - 1) - last_start
     head_cols_mode = bool(self.graph.metadata.get('prefill_head_cols'))
     if not hasattr(self, '_prefill_zero_caches'):
       # Device-resident zero caches reused by every first chunk: shipping
@@ -674,26 +699,28 @@ class DecodeServer:
           t = pre_sg.tensors[pre_sig.inputs[key]]
           dt = jnp.int8 if t.dtype == 'int8' else jnp.float32
           self._prefill_zero_caches[key] = jnp.zeros(t.shape, dt)
-    pos_row = np.arange(T, dtype=np.int32)
     chunk_caches = None
     out = None
-    for c in range(num_chunks):
-      start = c * T
+    passes = [(c * T, T, self._prefill_fn) for c in range(num_chunks)]
+    if tail:
+      passes.append((num_chunks * T, Tt, self._prefill_tail_fn))
+    for pi, (start, span, fn) in enumerate(passes):
+      pos_row = np.arange(span, dtype=np.int32)
       inputs = {
-          'tokens': tok_mat[:, start:start + T],
-          'positions': np.broadcast_to(pos_row + start, (Bp, T)).copy(),
+          'tokens': tok_mat[:, start:start + span],
+          'positions': np.broadcast_to(pos_row + start, (Bp, span)).copy(),
           'cache_pos': np.array([0, 0, start, 0], np.int32),
       }
       if head_cols_mode:
         # The in-graph head gathers ONE row per request; intermediate
         # chunks compute a 1-row head on garbage and it is ignored.
-        inputs['head_cols'] = np.clip(cols, 0, T - 1).reshape(Bp, 1)
+        inputs['head_cols'] = np.clip(cols, 0, span - 1).reshape(Bp, 1)
       if not self._prefill_device_masks:
         inputs['mask'] = self._host_prefill_mask(slot_reqs, start)
       inputs.update(chunk_caches if chunk_caches is not None
                     else self._prefill_zero_caches)
-      out = self._prefill_fn(self._executor._weights, inputs)
-      if c + 1 < num_chunks:
+      out = fn(self._executor._weights, inputs)
+      if pi + 1 < len(passes):
         chunk_caches = {
             f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
             for li in range(cfg.num_layers) for kind in ('k', 'v')

@@ -187,6 +187,7 @@ def bench_server():
          else gemma.GEMMA_2B_LITE)
   prefill_len = int(os.environ.get('AEQT_BENCH_PREFILL_LEN', '128'))
   prefill_batch = int(os.environ.get('AEQT_BENCH_PREFILL_BATCH', '8'))
+  prefill_tail = int(os.environ.get('AEQT_BENCH_PREFILL_TAIL', '64'))
   on_tpu = jax.default_backend() == 'tpu'
   server_kv = os.environ.get('AEQT_BENCH_SERVER_KV', 'int8')
   t0 = time.time()
@@ -196,7 +197,8 @@ def bench_server():
       fused_projections=True, greedy_head=True,
       prefill_batch=prefill_batch, prefill_device_masks=True,
       prefill_greedy=True, prefill_head_cols=True,
-      kv_int4_group=(16 if server_kv == 'int4g' else 0))
+      kv_int4_group=(16 if server_kv == 'int4g' else 0),
+      prefill_tail_len=prefill_tail)
   if server_kv != 'int4g':
     gemma.stamp_int8_kv_cache(graph)
   cache_path = (f'/tmp/aeqt_server_weights_v3_{cfg.vocab_size}_'

@@ -495,3 +495,32 @@ def test_serving_int4_group_kv_pool_matches_int8():
     outs[(kvg, chunked)] = [list(r.generated) for r in reqs]
   assert outs[(16, False)] == outs[(0, False)], outs
   assert outs[(16, True)] == outs[(0, False)], outs
+
+
+def test_prefill_tail_chunks_token_identical():
+  """prefill_tail_len: short tail program for final partial chunks (cuts
+  chunk-padding waste) must emit identical tokens across tail-only,
+  exact-tail, full-chunk, full+tail, padded, and multi-chunk+tail
+  prompts (models/gemma.py prefill_tail_len; batching plan grouping)."""
+  import numpy as np
+  from ai_edge_quantizer_tpu.models import gemma
+  from ai_edge_quantizer_tpu.parallel import batching
+
+  cfg = gemma.TOY_DECODER
+  outs = {}
+  for tail in (0, 4):
+    g = gemma.build_serving_decoder(
+        cfg, batch_slots=4, prefill_len=8, materialize_weights=True,
+        device_masks=True, fused_projections=True, greedy_head=True,
+        prefill_batch=2, prefill_device_masks=True, prefill_greedy=True,
+        prefill_head_cols=True, prefill_tail_len=tail)
+    gemma.stamp_int8_kv_cache(g)
+    server = batching.DecodeServer(g, cfg, batch_slots=4)
+    rng = np.random.default_rng(1)
+    for plen in (3, 4, 8, 11, 13, 20):
+      server.submit(rng.integers(1, cfg.vocab_size, plen).astype(np.int32),
+                    max_new_tokens=5)
+    reqs = list(server._queue)
+    server.run_to_completion()
+    outs[tail] = [list(r.generated) for r in reqs]
+  assert outs[0] == outs[4], outs
