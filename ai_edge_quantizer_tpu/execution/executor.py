@@ -280,6 +280,11 @@ class GraphExecutor:
     under `min_weight_params` stay on the XLA path — per-kernel launch
     overhead outweighs the bandwidth saving for small matrices.
     """
+    # Buffer-shared packing: multi-signature graphs alias one weight
+    # store, so each BUFFER packs once and every (sg, tid) view shares
+    # the packed array (a per-key pack held one HBM copy per signature —
+    # 3x the weight footprint on prefill+tail+decode serving graphs).
+    packed_by_buffer: dict = {}
     for sg_idx, sg in enumerate(self.graph.subgraphs):
       fc_weight_tids = {
           op.inputs[1] for op in sg.ops
@@ -290,6 +295,16 @@ class GraphExecutor:
         key = (sg_idx, tid)
         t = sg.tensors[tid]
         if key not in self._weights or key in self._packed_int4_keys:
+          continue
+        if t.buffer >= 0 and t.buffer in packed_by_buffer:
+          packed, scale_arr, pad_n, bs = packed_by_buffer[t.buffer]
+          self._weights[key] = packed
+          self._packed_scale[key] = scale_arr
+          if pad_n is not None:
+            self._packed_pad_n[key] = pad_n
+          if bs:
+            self._packed_block_size[key] = bs
+          self._packed_int4_keys.add(key)
           continue
         q = t.quantization
         # Packed blockwise needs lane-aligned byte blocks: byte columns
@@ -337,6 +352,11 @@ class GraphExecutor:
         self._weights[key] = packed
         self._packed_scale[key] = jnp.asarray(scale)
         self._packed_int4_keys.add(key)
+        if t.buffer >= 0:
+          packed_by_buffer[t.buffer] = (
+              packed, self._packed_scale[key],
+              self._packed_pad_n.get(key),
+              self._packed_block_size.get(key, 0))
     self._find_norm_fusions()
     self._find_mlp_fusions()
     self._find_head_fusions()

@@ -335,8 +335,11 @@ def bench_server():
                       for i in range(n_requests))
   mxu_peak = _mxu_peak_flops()
   hbm_spec_gbs = float(os.environ.get('AEQT_BENCH_HBM_SPEC_GBS', '819'))
-  weight_bytes = sum(int(v.nbytes) for v in server._executor._weights
-                     .values())
+  # Dedup by array identity: per-signature tensor views alias ONE buffer
+  # (three signatures would otherwise triple-count the shared store).
+  weight_bytes = sum(int(v.nbytes) for v in
+                     {id(v): v for v in
+                      server._executor._weights.values()}.values())
   cache_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                     for v in server._caches.values())
   prefill_s = prompt_tokens * fpt / mxu_peak
