@@ -437,6 +437,12 @@ class GraphExecutor:
       return
     from ai_edge_quantizer_tpu.kernels import pallas_mlp, pallas_qmatmul
     bf = int(os.environ.get('AEQT_MLP_BF', '512'))
+    # Synthetic fused arrays shared across signatures: with buffer-shared
+    # base packing, each signature's source views alias one array, so
+    # the concat/grouped repacks key on those identities (per-signature
+    # copies held ~0.8 GiB of duplicate HBM on three-signature graphs).
+    grouped_cache: dict = {}
+    concat_cache: dict = {}
     sig_out_tids = {
         (s.subgraph_index, tid)
         for s in self.graph.signatures for tid in s.outputs.values()
@@ -535,8 +541,11 @@ class GraphExecutor:
           # The grouped layout REPLACES the canonical packed form (no
           # duplicate HBM copy); capture mode rebuilds the canonical
           # view on the fly in _run_signature.
-          self._weights[grouped_key] = pallas_mlp.pack_int4_split_grouped(
-              pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          gk = (id(wd_packed), bf)
+          if gk not in grouped_cache:
+            grouped_cache[gk] = pallas_mlp.pack_int4_split_grouped(
+                pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          self._weights[grouped_key] = grouped_cache[gk]
           del self._weights[wd_key]
         self._mlp_fusions[(sg_idx, gu_idx)] = {
             'x': gu_op.inputs[0],
@@ -625,14 +634,22 @@ class GraphExecutor:
           # Row-concat [gate; up] of the canonical packed forms IS the
           # canonical packed gate_up layout the kernel expects; the two
           # originals are dropped (capture mode re-slices the concat).
-          self._weights[synth_key] = jnp.concatenate([gw, uw], axis=0)
-          self._packed_scale[synth_key] = jnp.concatenate(
-              [self._packed_scale[gw_key], self._packed_scale[uw_key]])
+          ck = (id(gw), id(uw))
+          if ck not in concat_cache:
+            concat_cache[ck] = (
+                jnp.concatenate([gw, uw], axis=0),
+                jnp.concatenate([self._packed_scale[gw_key],
+                                 self._packed_scale[uw_key]]))
+          self._weights[synth_key], self._packed_scale[synth_key] = (
+              concat_cache[ck])
           del self._weights[gw_key]
           del self._weights[uw_key]
         if grouped_key not in self._weights:
-          self._weights[grouped_key] = pallas_mlp.pack_int4_split_grouped(
-              pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          gk = (id(wd_packed), bf)
+          if gk not in grouped_cache:
+            grouped_cache[gk] = pallas_mlp.pack_int4_split_grouped(
+                pallas_qmatmul.unpack_int4_split(wd_packed), bf)
+          self._weights[grouped_key] = grouped_cache[gk]
           del self._weights[wd_key]
         first_idx = min(gate_idx, up_idx)
         self._mlp_fusions[(sg_idx, first_idx)] = {
