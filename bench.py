@@ -390,8 +390,8 @@ def bench_server():
                'the same batch for the admission-overhead gap'),
   }
   try:
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'SERVER_BENCH_r04.json')
+    out_path = os.environ.get('AEQT_BENCH_SERVER_OUT') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'SERVER_BENCH_r04.json')
     with open(out_path, 'w') as f:
       json.dump(artifact, f, indent=1)
     log(f'artifact written: {out_path}')
