@@ -178,6 +178,8 @@ class DecodeServer:
         'requests_timeout': 0,
         'decode_ticks': 0,
         'prefills': 0,
+        'prefill_groups': 0,
+        'prefill_pad_rows': 0,  # padded (wasted) rows across all groups
         'ttft_sum_s': 0.0,        # time-to-first-token accumulator
         'latency_sum_s': 0.0,     # request end-to-end accumulator
     }
@@ -299,44 +301,119 @@ class DecodeServer:
       With an int4-group decode pool (kv_int4_group graphs), the float
       prefill caches are quantized HERE — per-row per-group codes + the
       bf16 sidecar — before the scatter; prefill itself stays float."""
-      from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
-      written = {}
-      group = self._kv_group
-      for li in range(self.cfg.num_layers):
-        k_key = f'layer_{li}_k_cache_in'
-        v_key = f'layer_{li}_v_cache_in'
-        k_rows = new_rows[k_key][:slot_ids.shape[0]]
-        v_rows = new_rows[v_key][:slot_ids.shape[0]]
-        k_cache = caches[k_key]
-        v_cache = caches[v_key]
-        if not group:
-          for key, cache, rows in ((k_key, k_cache, k_rows),
-                                   (v_key, v_cache, v_rows)):
-            if rows.shape[2] > cache.shape[2]:
-              rows = rows[:, :, :cache.shape[2], :]
-            cur = cache[slot_ids]
-            rows = jnp.where(valid[:, None, None, None],
-                             rows.astype(cache.dtype), cur)
-            written[key] = cache.at[slot_ids].set(rows)
-          continue
-        s_key = f'layer_{li}_s_cache_in'
-        s_cache = caches[s_key]
-        sp = k_cache.shape[2]
-        k_rows = k_rows[:, :, :sp, :].astype(jnp.float32)
-        v_rows = v_rows[:, :, :sp, :].astype(jnp.float32)
-        kp, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
-        vp, vs = pa.quantize_v_rows_int4_group(v_rows, group)
-        sidecar = pa.build_kv_sidecar_group(ks, km, vs)  # [Bp,NK,3NG,S]
-        for key, cache, rows, vmask in (
-            (k_key, k_cache, kp, valid[:, None, None, None]),
-            (v_key, v_cache, vp, valid[:, None, None, None]),
-            (s_key, s_cache, sidecar, valid[:, None, None, None])):
-          cur = cache[slot_ids]
-          rows = jnp.where(vmask, rows.astype(cache.dtype), cur)
-          written[key] = cache.at[slot_ids].set(rows)
-      return written
+      return self._scatter_body(caches, new_rows, slot_ids, valid)
 
     self._slot_writer = _slot_writer
+
+  def _scatter_body(self, caches, new_rows, slot_ids, valid):
+    """Traceable scatter of a prefilled group into the slot pool — shared
+    by the standalone _slot_writer and the single-dispatch prefill chain
+    (_prefill_chain_for). Returns only the written cache entries."""
+    from ai_edge_quantizer_tpu.kernels import pallas_attention as pa
+    written = {}
+    group = self._kv_group
+    for li in range(self.cfg.num_layers):
+      k_key = f'layer_{li}_k_cache_in'
+      v_key = f'layer_{li}_v_cache_in'
+      k_rows = new_rows[k_key][:slot_ids.shape[0]]
+      v_rows = new_rows[v_key][:slot_ids.shape[0]]
+      k_cache = caches[k_key]
+      v_cache = caches[v_key]
+      if not group:
+        for key, cache, rows in ((k_key, k_cache, k_rows),
+                                 (v_key, v_cache, v_rows)):
+          if rows.shape[2] > cache.shape[2]:
+            rows = rows[:, :, :cache.shape[2], :]
+          cur = cache[slot_ids]
+          rows = jnp.where(valid[:, None, None, None],
+                           rows.astype(cache.dtype), cur)
+          written[key] = cache.at[slot_ids].set(rows)
+        continue
+      s_key = f'layer_{li}_s_cache_in'
+      s_cache = caches[s_key]
+      sp = k_cache.shape[2]
+      k_rows = k_rows[:, :, :sp, :].astype(jnp.float32)
+      v_rows = v_rows[:, :, :sp, :].astype(jnp.float32)
+      kp, ks, km = pa.quantize_k_rows_int4_asym(k_rows, group)
+      vp, vs = pa.quantize_v_rows_int4_group(v_rows, group)
+      sidecar = pa.build_kv_sidecar_group(ks, km, vs)  # [Bp,NK,3NG,S]
+      for key, cache, rows, vmask in (
+          (k_key, k_cache, kp, valid[:, None, None, None]),
+          (v_key, v_cache, vp, valid[:, None, None, None]),
+          (s_key, s_cache, sidecar, valid[:, None, None, None])):
+        cur = cache[slot_ids]
+        rows = jnp.where(vmask, rows.astype(cache.dtype), cur)
+        written[key] = cache.at[slot_ids].set(rows)
+    return written
+
+  def _prefill_chain_for(self, num_chunks: int, tail: bool):
+    """One jitted program for a whole admission group: every chunk pass,
+    the slot-pool scatter, and the first-token gather, in ONE dispatch.
+
+    The legacy path dispatches each chunk pass, the slot writer, and the
+    token gather separately — 3-6 host dispatches per group, each paying
+    the tunnel's per-call submission cost (measured ~5 ms/request of
+    admission wall in SERVER_BENCH_r04). Chaining them server-side keeps
+    per-plan program identity (one compile per (num_chunks, tail) plan,
+    persistent-cache friendly) and donates the cache pool end to end.
+    Zero first-chunk caches are materialized in-graph instead of being
+    passed in. Engages only for prefill_device_masks graphs (the host
+    mask builder is per-pass by construction)."""
+    if not hasattr(self, '_prefill_chain_fns'):
+      self._prefill_chain_fns = {}
+    key = (num_chunks, tail)
+    if key in self._prefill_chain_fns:
+      return self._prefill_chain_fns[key]
+    cfg, T, Bp = self.cfg, self._prefill_len, self._prefill_batch
+    Tt = self._prefill_tail_len
+    pre_sig = self.graph.signature_by_key('prefill')
+    pre_sg = self.graph.subgraphs[pre_sig.subgraph_index]
+    head_cols_mode = bool(self.graph.metadata.get('prefill_head_cols'))
+    zero_specs = {}
+    for li in range(cfg.num_layers):
+      for kind in ('k', 'v'):
+        ck = f'layer_{li}_{kind}_cache_in'
+        t = pre_sg.tensors[pre_sig.inputs[ck]]
+        zero_specs[ck] = (tuple(t.shape),
+                          jnp.int8 if t.dtype == 'int8' else jnp.float32)
+    passes = [(c * T, T, pre_sig.subgraph_index, 'prefill')
+              for c in range(num_chunks)]
+    if tail:
+      tail_sig = self.graph.signature_by_key('prefill_tail')
+      passes.append((num_chunks * T, Tt, tail_sig.subgraph_index,
+                     'prefill_tail'))
+
+    def chain(weights, caches, tok_mat, cols, slot_ids, valid):
+      chunk_caches = {ck: jnp.zeros(shape, dt)
+                      for ck, (shape, dt) in zero_specs.items()}
+      out = None
+      for start, span, idx, sig_key in passes:
+        inputs = {
+            'tokens': tok_mat[:, start:start + span],
+            'positions': jnp.broadcast_to(
+                jnp.arange(span, dtype=jnp.int32) + start, (Bp, span)),
+            'cache_pos': jnp.array([0, 0, start, 0], jnp.int32),
+        }
+        if head_cols_mode:
+          inputs['head_cols'] = jnp.clip(cols, 0, span - 1).reshape(Bp, 1)
+        inputs.update(chunk_caches)
+        out = self._executor._run_signature(idx, sig_key, False, weights,
+                                            inputs)
+        chunk_caches = {
+            f'layer_{li}_{kind}_cache_in': out[f'layer_{li}_{kind}_cache']
+            for li in range(cfg.num_layers) for kind in ('k', 'v')
+        }
+      written = self._scatter_body(caches, chunk_caches, slot_ids, valid)
+      out_key = 'next_tokens' if self._prefill_greedy else 'logits'
+      if head_cols_mode:
+        first = out[out_key][:, 0]
+      else:
+        first = out[out_key][jnp.arange(Bp), cols]
+      return first, written
+
+    fn = jax.jit(chain, donate_argnums=(1,))
+    self._prefill_chain_fns[key] = fn
+    return fn
 
   def _cache_shape(self, key: str, bucket: int):
     cfg = self.cfg
@@ -627,26 +704,60 @@ class DecodeServer:
     if not self._queue:
       return
     free = [i for i, s in enumerate(self._slots) if not s.active]
-    cap = (self._admit_budget_groups * self._prefill_batch
-           if self._admit_budget_groups else None)
-    admissions = []
-    while free and self._queue and (cap is None or len(admissions) < cap):
-      admissions.append((free.pop(0), self._queue.popleft()))
-    if not admissions:
+    if not free:
       return
+    cap = len(free)
+    if self._admit_budget_groups:
+      cap = min(cap, self._admit_budget_groups * self._prefill_batch)
     T, Bp = self._prefill_len, self._prefill_batch
     Tt = self._prefill_tail_len
-    by_plan: dict = {}
-    for si, req in admissions:
+
+    def plan_of(req):
       full, rem = divmod(req.prompt.size, T)
       if rem == 0 and full > 0:
-        plan = (full, False)
-      elif Tt and 0 < rem <= Tt:
+        return (full, False)
+      if Tt and 0 < rem <= Tt:
         # The final partial chunk pads only to the short tail program.
-        plan = (full, True)
-      else:
-        plan = (full + 1, False)
-      by_plan.setdefault(plan, []).append((si, req))
+        return (full, True)
+      return (full + 1, False)
+
+    # Plan-aware selection: draw admissions from the queue so groups are
+    # FULL wherever the queue allows. Raw FIFO draws a mid-flight wave of
+    # N free slots from a mixed-length queue and splits it into
+    # ~len(plans) partial groups — each padded to Bp rows of full prefill
+    # compute (the "~16% padded tokens" residual in ROUND4_NOTES). Full
+    # groups are taken oldest-plan first; remaining capacity is filled
+    # with as few partial groups as possible, the oldest waiter's plan
+    # first (starvation guard), then largest-leftover first.
+    buckets: dict = {}
+    for req in self._queue:  # deque iteration preserves FIFO order
+      buckets.setdefault(plan_of(req), []).append(req)
+    chosen: list = []
+    for plan in sorted(buckets, key=lambda p: buckets[p][0].request_id):
+      b = buckets[plan]
+      while len(b) >= Bp and len(chosen) + Bp <= cap:
+        chosen.extend(b[:Bp])
+        del b[:Bp]
+    oldest_id = min(r.request_id for r in self._queue)
+    leftover = sorted(
+        (p for p in buckets if buckets[p]),
+        key=lambda p: (buckets[p][0].request_id != oldest_id,
+                       -len(buckets[p])))
+    for plan in leftover:
+      if len(chosen) >= cap:
+        break
+      b = buckets[plan]
+      take = min(len(b), cap - len(chosen))
+      chosen.extend(b[:take])
+      del b[:take]
+    if not chosen:
+      return
+    chosen_ids = set(id(r) for r in chosen)
+    self._queue = collections.deque(
+        r for r in self._queue if id(r) not in chosen_ids)
+    by_plan: dict = {}
+    for si, req in zip(free, chosen):
+      by_plan.setdefault(plan_of(req), []).append((si, req))
     pending = []
     for plan in sorted(by_plan):
       group = by_plan[plan]
@@ -673,6 +784,8 @@ class DecodeServer:
     Tt = self._prefill_tail_len
     tail_len = Tt if tail else 0
     n = len(slot_reqs)
+    self.metrics['prefill_groups'] += 1
+    self.metrics['prefill_pad_rows'] += Bp - n
     total_cap = num_chunks * T + tail_len
     tok_mat = np.zeros((Bp, total_cap), np.int32)
     for r, (_, req) in enumerate(slot_reqs):
@@ -684,6 +797,21 @@ class DecodeServer:
     for r, (_, req) in enumerate(slot_reqs):
       cols[r] = (req.prompt.size - 1) - last_start
     head_cols_mode = bool(self.graph.metadata.get('prefill_head_cols'))
+    if self._prefill_device_masks:
+      # Production path: the whole group — chunk passes, pool scatter,
+      # first-token gather — is ONE dispatch (_prefill_chain_for).
+      group_ids = [si for si, _ in slot_reqs]
+      if n < Bp:
+        spares = [i for i in range(self.batch_slots) if i not in group_ids]
+        group_ids = group_ids + spares[:Bp - n]
+      valid = np.zeros(Bp, bool)
+      valid[:n] = True
+      fn = self._prefill_chain_for(num_chunks, tail)
+      first, self._caches = fn(
+          self._executor._weights, self._caches, tok_mat,
+          jnp.asarray(cols), jnp.asarray(group_ids, jnp.int32),
+          jnp.asarray(valid))
+      return first
     if not hasattr(self, '_prefill_zero_caches'):
       # Device-resident zero caches reused by every first chunk: shipping
       # 2L host-built zero arrays per admission costs tens of MB over the

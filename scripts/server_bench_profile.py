@@ -89,8 +89,14 @@ def main():
   }
   if not server._prefill_device_masks:
     inputs['mask'] = server._host_prefill_mask([], 0)
-  server._prefill_group([(0, batching.Request(
-      10**6, np.ones(4, np.int32), 1))], 1)  # ensure zero caches exist
+  if not hasattr(server, '_prefill_zero_caches'):
+    # The single-dispatch chain path materializes zero caches in-graph;
+    # build host-side ones for the standalone warm-pass segment.
+    server._prefill_zero_caches = {
+        key: jnp.zeros((prefill_batch, cfg.num_kv_heads, cfg.max_seq_len,
+                        cfg.head_dim), dtype)
+        for key, dtype in server._cache_dtypes.items()
+        if not key.startswith('layer_') or key.split('_')[2] != 's'}
   inputs.update(server._prefill_zero_caches)
   w = server._executor._weights
 
