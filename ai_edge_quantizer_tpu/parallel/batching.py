@@ -597,7 +597,10 @@ class DecodeServer:
         and self._bucket != self._buckets[0]):
       self._alloc_caches(self._buckets[0])
       self.metrics['bucket_switches'] += 1
-    self._admit()
+    # Deferred-fetch admission: newly admitted slots join THIS chunk; the
+    # wave's first tokens stay on device (merged into the token input
+    # below) and resolve with the chunk fetch — one round-trip for both.
+    pending = self._admit(defer_fetch=True) or []
     active = [i for i, s in enumerate(self._slots) if s.active]
     if not active:
       return {}
@@ -605,10 +608,21 @@ class DecodeServer:
     inputs = self._decode_inputs()
     tokens0 = jnp.asarray(inputs['tokens'])
     positions0 = jnp.asarray(inputs['positions'])
+    if pending:
+      merge = self._merge_first_fn()
+      for _, (first, ids, valid) in pending:
+        tokens0 = merge(tokens0, first, jnp.asarray(ids),
+                        jnp.asarray(valid))
     fn = self._chunk_fn_for(self._bucket, n)
     toks, self._caches = fn(self._executor._weights, self._caches,
                             tokens0, positions0)
-    toks = np.asarray(toks)  # [n, B, 1] int32
+    if pending:
+      fetched = jax.device_get(
+          [toks] + [arr for _, (arr, _, _) in pending])
+      toks = fetched[0]
+      self._resolve_admissions(pending, fetched[1:])
+    else:
+      toks = np.asarray(toks)  # [n, B, 1] int32
     self.metrics['decode_ticks'] += n
     emitted: dict = {}
     for i in active:
@@ -690,7 +704,7 @@ class DecodeServer:
         self._finish(slot.request, 'timeout')
         slot.request = None
 
-  def _admit(self) -> None:
+  def _admit(self, defer_fetch: bool = False):
     """Admit queued requests into free slots.
 
     Admissions are grouped by prefill chunk count and prefilled up to
@@ -764,7 +778,22 @@ class DecodeServer:
       for g0 in range(0, len(group), Bp):
         part = group[g0:g0 + Bp]
         pending.append((part, self._prefill_group(part, *plan)))
+    if defer_fetch and self._prefill_greedy and self._mesh is None:
+      # Deferred resolution (step_chunk): mark the slots occupied now so
+      # they join this chunk's decode; the first-token VALUES stay on
+      # device (merged into the chunk's token input by _merge_first_fn)
+      # and resolve with the chunk fetch — no dedicated admission
+      # round-trip (measured ~36 ms/wave through the tunnel).
+      for slot_reqs, _ in pending:
+        for slot_idx, req in slot_reqs:
+          slot = self._slots[slot_idx]
+          slot.request = req
+          slot.pos = req.prompt.size
+          req.status = 'running'
+          self._last_tokens[slot_idx, 0] = 0  # value arrives at resolve
+      return pending
     self._finalize_admissions(pending)
+    return []
 
   def _prefill_group(self, slot_reqs, num_chunks: int,
                      tail: bool = False):
@@ -811,7 +840,7 @@ class DecodeServer:
           self._executor._weights, self._caches, tok_mat,
           jnp.asarray(cols), jnp.asarray(group_ids, jnp.int32),
           jnp.asarray(valid))
-      return first
+      return first, np.asarray(group_ids, np.int32), valid
     if not hasattr(self, '_prefill_zero_caches'):
       # Device-resident zero caches reused by every first chunk: shipping
       # 2L host-built zero arrays per admission costs tens of MB over the
@@ -874,14 +903,15 @@ class DecodeServer:
     # prefill batch — one gather program); the wave-end fetch then carries
     # prefill_batch ids (greedy head) or vocab rows (host samplers). With
     # head_cols graphs the gather already happened in-graph.
+    ids_arr = np.asarray(group_ids, np.int32)
     if head_cols_mode:
-      if self._prefill_greedy:
-        return out['next_tokens'][:, 0]
-      return out['logits'][:, 0]
+      first = (out['next_tokens'][:, 0] if self._prefill_greedy
+               else out['logits'][:, 0])
+      return first, ids_arr, valid
     rows_idx = jnp.arange(Bp)
     if self._prefill_greedy:
-      return out['next_tokens'][rows_idx, jnp.asarray(cols)]
-    return out['logits'][rows_idx, jnp.asarray(cols)]
+      return out['next_tokens'][rows_idx, jnp.asarray(cols)], ids_arr, valid
+    return out['logits'][rows_idx, jnp.asarray(cols)], ids_arr, valid
 
   def _host_prefill_mask(self, slot_reqs, start: int) -> np.ndarray:
     """Host-built additive mask for graphs without prefill device masks:
@@ -901,11 +931,52 @@ class DecodeServer:
         mask[r, :, :, req.prompt.size:start + T] = -1e9
     return mask
 
+  def _merge_first_fn(self):
+    """Jitted scatter of one admission group's first tokens into the
+    chunk's [B, 1] token input — all on device (deferred-fetch path).
+    Padded rows carry DISTINCT spare slot ids with valid=False and write
+    the slot's current token back, so one fixed-shape program covers any
+    group size."""
+    if not hasattr(self, '_merge_first_jit'):
+      @jax.jit
+      def merge(tokens, first, slot_ids, valid):
+        cur = tokens[slot_ids, 0]
+        vals = jnp.where(valid, first.astype(jnp.int32), cur)
+        return tokens.at[slot_ids, 0].set(vals)
+      self._merge_first_jit = merge
+    return self._merge_first_jit
+
+  def _resolve_admissions(self, pending, fetched) -> None:
+    """Deferred-fetch bookkeeping: the admitted slots already decoded in
+    the chunk that just ran; record their (piggybacked) first tokens.
+    Done-at-prefill requests discard the chunk's surplus tokens exactly
+    like mid-chunk completions."""
+    for (slot_reqs, _), arr in zip(pending, fetched):
+      for r, (slot_idx, req) in enumerate(slot_reqs):
+        slot = self._slots[slot_idx]
+        if slot.request is not req:  # cancelled/expired before resolve
+          continue
+        first_token = int(arr[r])
+        req.generated.append(first_token)
+        req.first_token_at = time.monotonic()
+        ttft = req.first_token_at - req.submitted_at
+        self.metrics['ttft_sum_s'] += ttft
+        self.ttft_log.append(ttft)
+        self.metrics['prefills'] += 1
+        self.metrics['tokens_generated'] += 1
+        self._last_tokens[slot_idx, 0] = first_token
+        if (len(req.generated) >= req.max_new_tokens
+            or req.prompt.size >= self.cfg.max_seq_len
+            or (self._eos is not None and first_token == self._eos)):
+          self._finish(req, 'done')
+          slot.request = None
+          self.metrics['requests_completed'] += 1
+
   def _finalize_admissions(self, pending) -> None:
     """One host sync for the whole admission wave, then bookkeeping."""
     if not pending:
       return
-    fetched = jax.device_get([arr for _, arr in pending])
+    fetched = jax.device_get([arr for _, (arr, _, _) in pending])
     for (slot_reqs, _), arr in zip(pending, fetched):
       for r, (slot_idx, req) in enumerate(slot_reqs):
         first_token = (int(arr[r]) if self._prefill_greedy

@@ -246,8 +246,13 @@ def bench_server():
     return reqs
 
   # Warmup: compile prefill + decode programs, fill the pipeline once.
+  # One request per distinct prompt length so EVERY per-plan prefill
+  # chain program is compiled/loaded before the measured window (the
+  # single-dispatch chains are per-(num_chunks, tail) programs; a
+  # plan first touched mid-measurement would charge its program load —
+  # a cold-start cost — against steady-state throughput).
   t0 = time.time()
-  submit_burst(2)
+  submit_burst(len(prompt_lens))
   server.run_to_completion()
   log(f'warmup (compiles): {time.time()-t0:.1f}s')
 
@@ -385,6 +390,9 @@ def bench_server():
       'prefill_us_per_token': round(
           prefill_pass_s / (prefill_batch * prefill_len) * 1e6, 2),
       'admit_budget_groups': int(admit_budget) if admit_budget else None,
+      'prefill_groups': m['prefill_groups'] - base.get('prefill_groups', 0),
+      'prefill_pad_rows': (m['prefill_pad_rows']
+                           - base.get('prefill_pad_rows', 0)),
       'note': ('continuous batching incl. admission/prefill/host control '
                'plane; compare against the static-batch decode preset at '
                'the same batch for the admission-overhead gap'),

@@ -87,6 +87,8 @@ def main():
                                    (Bp, T)).copy(),
       'cache_pos': np.array([0, 0, 0, 0], np.int32),
   }
+  if server.graph.metadata.get('prefill_head_cols'):
+    inputs['head_cols'] = np.full((Bp, 1), T - 1, np.int32)
   if not server._prefill_device_masks:
     inputs['mask'] = server._host_prefill_mask([], 0)
   if not hasattr(server, '_prefill_zero_caches'):
