@@ -1795,11 +1795,16 @@ class GraphExecutor:
     else:
       scale = fusion['scale']
       drq = True  # int8 DRQ semantics (reference dynamic-range runtime)
+    # Vocab-tile sweep on the 256128x2048 int8 Gemma head (chained-scan
+    # microbench, scripts/kernel_tune.py): bn=512 0.987 ms / 69% int8
+    # peak, bn=1024 0.784 ms / 87%, bn=2048 0.790 ms — wider tiles halve
+    # the per-grid-step overhead until the 2 MB block DMA saturates.
     ids = pallas_head.head_argmax_pallas(
         x, w, scale,
         packed=fusion['packed'],
         true_n=fusion['true_n'],
-        bn=512 if w.shape[0] >= 65536 else 256,
+        bn=(int(os.environ.get('AEQT_HEAD_BN', '1024'))
+            if w.shape[0] >= 65536 else 256),
         drq=drq,
         interpret=jax.default_backend() != 'tpu')
     out_op = ir.Op(opcode='ARG_MAX', inputs=[], outputs=[fusion['out']])

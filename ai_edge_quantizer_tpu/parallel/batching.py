@@ -113,6 +113,7 @@ class DecodeServer:
       mesh=None,
       activation_dtype: str = 'float32',
       admit_budget_groups: Optional[int] = None,
+      starvation_age_s: float = 2.0,
   ):
     """graph must have 'decode' (batch=batch_slots, onehot cache update)
     and 'prefill' (batch=1) signatures.
@@ -164,8 +165,18 @@ class DecodeServer:
           for k, v in self._executor._weights.items()
       }
     self._admit_budget_groups = admit_budget_groups
+    # Aging override for plan-aware admission: once the oldest queued
+    # request has waited this long, its plan's (possibly partial) group
+    # jumps ahead of full groups — full-group preference must not starve
+    # rare chunk-count plans under sustained load (ADVICE r4).
+    self._starvation_age_s = starvation_age_s
     self._slots = [_Slot() for _ in range(batch_slots)]
     self._queue: collections.deque = collections.deque()
+    # Per-plan FIFO buckets, rebuilt lazily when the queue has been
+    # mutated outside _admit (submit/cancel/expire); _admit itself keeps
+    # them consistent, so steady-state admission skips the O(queue)
+    # rebuild per tick (ADVICE r4).
+    self._plan_buckets: Optional[dict] = None
     self._next_id = 0
     self._sample = sample_fn or (lambda logits: int(np.argmax(logits)))
     self._eos = eos_token_id
@@ -425,6 +436,26 @@ class DecodeServer:
               cfg.head_dim // 2)
     return (self.batch_slots, cfg.num_kv_heads, bucket, cfg.head_dim)
 
+  def prefill_zero_caches(self) -> dict:
+    """Zero cache inputs shaped/typed from the PREFILL signature tensors.
+
+    The prefill program's cache signature differs from the decode pool's
+    in kv_int4_group mode (float [.., H] prefill caches vs packed int8 +
+    's' sidecar decode pools) — deriving warm-pass inputs from
+    `_cache_dtypes` silently mismatches there (ADVICE r4). Benches and
+    profilers should use this instead.
+    """
+    sig = self.graph.signature_by_key('prefill')
+    sg = self.graph.subgraphs[sig.subgraph_index]
+    out = {}
+    for name, tid in sig.inputs.items():
+      if not name.endswith('_cache_in'):
+        continue
+      t = sg.tensors[tid]
+      dt = jnp.int8 if t.dtype == 'int8' else jnp.float32
+      out[name] = jnp.zeros(tuple(t.shape), dt)
+    return out
+
   def _alloc_caches(self, bucket: int) -> None:
     self._caches = {
         key: jnp.zeros(self._cache_shape(key, bucket), dtype)
@@ -485,6 +516,7 @@ class DecodeServer:
                   deadline=(now + timeout_s) if timeout_s is not None else None)
     self._next_id += 1
     self._queue.append(req)
+    self._plan_buckets = None
     return req.request_id
 
   def cancel(self, request_id: int) -> bool:
@@ -492,6 +524,7 @@ class DecodeServer:
     for req in list(self._queue):
       if req.request_id == request_id:
         self._queue.remove(req)
+        self._plan_buckets = None
         self._finish(req, 'cancelled')
         return True
     for slot in self._slots:
@@ -697,6 +730,7 @@ class DecodeServer:
     for req in [r for r in self._queue
                 if r.deadline is not None and now > r.deadline]:
       self._queue.remove(req)
+      self._plan_buckets = None
       self._finish(req, 'timeout')
     for slot in self._slots:
       if (slot.active and slot.request.deadline is not None
@@ -742,12 +776,28 @@ class DecodeServer:
     # compute (the "~16% padded tokens" residual in ROUND4_NOTES). Full
     # groups are taken oldest-plan first; remaining capacity is filled
     # with as few partial groups as possible, the oldest waiter's plan
-    # first (starvation guard), then largest-leftover first.
-    buckets: dict = {}
-    for req in self._queue:  # deque iteration preserves FIFO order
-      buckets.setdefault(plan_of(req), []).append(req)
+    # first, then largest-leftover first. An AGED request (waited past
+    # starvation_age_s) overrides all of it: its plan's group — partial
+    # or not — goes first, so full-group preference can never starve a
+    # rare chunk-count plan indefinitely.
+    if self._plan_buckets is None:
+      buckets: dict = {}
+      for req in self._queue:  # deque iteration preserves FIFO order
+        buckets.setdefault(plan_of(req), []).append(req)
+      self._plan_buckets = buckets
+    buckets = self._plan_buckets
     chosen: list = []
-    for plan in sorted(buckets, key=lambda p: buckets[p][0].request_id):
+    oldest = self._queue[0]
+    if (self._starvation_age_s is not None
+        and time.monotonic() - oldest.submitted_at
+        > self._starvation_age_s):
+      b = buckets[plan_of(oldest)]
+      take = min(len(b), Bp, cap)
+      chosen.extend(b[:take])
+      del b[:take]
+    for plan in sorted(
+        (p for p in buckets if buckets[p]),
+        key=lambda p: buckets[p][0].request_id):
       b = buckets[plan]
       while len(b) >= Bp and len(chosen) + Bp <= cap:
         chosen.extend(b[:Bp])
@@ -766,6 +816,8 @@ class DecodeServer:
       del b[:take]
     if not chosen:
       return
+    for plan in [p for p, b in buckets.items() if not b]:
+      del buckets[plan]
     chosen_ids = set(id(r) for r in chosen)
     self._queue = collections.deque(
         r for r in self._queue if id(r) not in chosen_ids)

@@ -275,12 +275,10 @@ def bench_server():
   if not server._prefill_device_masks:
     pf_inputs['mask'] = server._host_prefill_mask([], 0)
   if not hasattr(server, '_prefill_zero_caches'):
-    import jax.numpy as _jnp
-    server._prefill_zero_caches = {
-        key: _jnp.zeros((prefill_batch, cfg.num_kv_heads, cfg.max_seq_len,
-                         cfg.head_dim), dtype)
-        for key, dtype in server._cache_dtypes.items()
-    }
+    # Derive from the PREFILL signature (not the decode pool dtypes):
+    # in kv_int4g mode the decode pool is packed int8 + 's' sidecars
+    # while prefill expects float [.., H] caches (ADVICE r4).
+    server._prefill_zero_caches = server.prefill_zero_caches()
   pf_inputs.update(server._prefill_zero_caches)
   _jx.block_until_ready(server._prefill_fn(server._executor._weights,
                                            pf_inputs)['next_tokens'])
@@ -449,6 +447,11 @@ def main():
   # `pos` right below), so the lengths-based attention kernel is an exact
   # twin that skips the per-layer mask stream. AEQT_ATTN_LENGTHS=0 reverts.
   os.environ.setdefault('AEQT_ATTN_LENGTHS', '1')
+  # MLP F-tile 2048 (97% int8-MXU peak vs 82% at 512 — kernel_tune.py
+  # chained-scan sweep) requires the scoped-VMEM limit raised past the
+  # 16 MiB default; the tunnel forwards `compiler_options` per compile.
+  os.environ.setdefault('AEQT_MLP_BF', '2048')
+  os.environ.setdefault('AEQT_VMEM_LIMIT_KIB', '65536')
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer
@@ -618,7 +621,11 @@ def main():
         body, (caches, tokens, pos), None, length=inner)
     return caches, tokens, pos
 
-  jitted = jax.jit(decode_chunk, donate_argnums=(1,))
+  vmem_kib = int(os.environ.get('AEQT_VMEM_LIMIT_KIB', '0'))
+  jitted = jax.jit(
+      decode_chunk, donate_argnums=(1,),
+      compiler_options=(
+          {'xla_tpu_scoped_vmem_limit_kib': vmem_kib} if vmem_kib else None))
 
   all_inputs = gemma.make_inputs(cfg, 'decode', batch, 1,
                                  start_pos=start_pos)

@@ -93,12 +93,9 @@ def main():
     inputs['mask'] = server._host_prefill_mask([], 0)
   if not hasattr(server, '_prefill_zero_caches'):
     # The single-dispatch chain path materializes zero caches in-graph;
-    # build host-side ones for the standalone warm-pass segment.
-    server._prefill_zero_caches = {
-        key: jnp.zeros((prefill_batch, cfg.num_kv_heads, cfg.max_seq_len,
-                        cfg.head_dim), dtype)
-        for key, dtype in server._cache_dtypes.items()
-        if not key.startswith('layer_') or key.split('_')[2] != 's'}
+    # build host-side ones for the standalone warm-pass segment, shaped
+    # from the PREFILL signature so any KV mode matches (ADVICE r4).
+    server._prefill_zero_caches = server.prefill_zero_caches()
   inputs.update(server._prefill_zero_caches)
   w = server._executor._weights
 
