@@ -101,6 +101,12 @@ class GraphExecutor:
     # prologue and attention out-proj+residual epilogue.
     self._qkv_fusions: dict = {}
     self._qkv_skip: set = set()
+    # MoE expert-parallel fusion: whole routed-FFN groups (built by
+    # models/gemma.py with 'moe_group' op attrs) dispatch to
+    # parallel/moe.py over an 'ep' mesh axis. Engaged by set_mesh().
+    self._moe_fusions: dict = {}
+    self._moe_skip: set = set()
+    self._mesh = None
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -362,6 +368,93 @@ class GraphExecutor:
     self._find_head_fusions()
     self._find_qkv_fusions()
     self._find_attn_epilogues()
+
+  def set_mesh(self, mesh) -> None:
+    """Enable expert-parallel dispatch of MoE FFN groups over `mesh`.
+
+    When the mesh has an 'ep' axis, every MoE group emitted by
+    models/gemma.py (ops tagged with 'moe_group' attrs) is replaced by
+    one parallel/moe.py call: the quantized per-expert weights stack
+    into [E, ...] arrays placed P('ep') (each device holds E/ep experts'
+    int weights + scales), gating runs replicated, and one psum over
+    'ep' combines — activations move once, expert weights never do.
+    """
+    self._mesh = mesh
+    self._find_moe_fusions()
+
+  def _find_moe_fusions(self) -> None:
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    self._moe_fusions = {}
+    self._moe_skip = set()
+    if self._mesh is None or 'ep' not in self._mesh.shape:
+      return
+    ep = self._mesh.shape['ep']
+    for sg_idx, sg in enumerate(self.graph.subgraphs):
+      groups: dict = {}
+      for op_idx, op in enumerate(sg.ops):
+        grp = (op.attrs or {}).get('moe_group')
+        if grp is not None:
+          groups.setdefault(grp, []).append((op_idx, op))
+      for grp, ops in groups.items():
+        roles = {}
+        for op_idx, op in ops:
+          role = (op.attrs or {}).get('moe_role')
+          if role:
+            roles[role] = (op_idx, op)
+        if 'router' not in roles or 'gates' not in roles \
+            or 'combine' not in roles:
+          continue
+        n_experts = sum(1 for r in roles if r.startswith('expert_gate_'))
+        if n_experts == 0 or n_experts % ep:
+          continue
+        router_op = roles['router'][1]
+
+        def stack(kind):
+          tids = [roles[f'expert_{kind}_{e}'][1].inputs[1]
+                  for e in range(n_experts)]
+          qs = [sg.tensors[t].quantization for t in tids]
+          if any(q is None for q in qs):
+            return None
+          w = jnp.stack([jnp.asarray(
+              self._weights[(sg_idx, t)]) for t in tids])
+          s = jnp.stack([jnp.asarray(_np.asarray(q.scale).reshape(-1),
+                                     jnp.float32) for q in qs])
+          shard = NamedSharding(self._mesh, P('ep'))
+          return (jax.device_put(w, shard), jax.device_put(s, shard))
+
+        stacked = {kind: stack(kind) for kind in ('gate', 'up', 'down')}
+        if any(v is None for v in stacked.values()):
+          continue  # engaged only for quantized expert banks
+        skip_idx = [op_idx for op_idx, op in ops if op is not router_op]
+        fusion = {
+            'fn': router_op.inputs[0],
+            'logits': router_op.outputs[0],
+            'out': roles['combine'][1].outputs[0],
+            'k': int((roles['gates'][1].attrs or {}).get('moe_top_k', 2)),
+            'stacked': stacked,
+        }
+        self._moe_fusions[(sg_idx, min(skip_idx))] = fusion
+        for oi in skip_idx:
+          self._moe_skip.add((sg_idx, oi))
+
+  def _eval_fused_moe(self, sg_idx: int, sg: ir.Subgraph,
+                      fusion: dict, env: dict) -> None:
+    """One parallel/moe.py dispatch for a matched routed-FFN group."""
+    from ai_edge_quantizer_tpu.parallel import moe
+    x = self._dequant_view(sg, fusion['fn'], env)
+    logits = self._dequant_view(sg, fusion['logits'], env)
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    l2 = logits.reshape(-1, logits.shape[-1])
+    st = fusion['stacked']
+    fn = moe.make_moe_ffn(self._mesh, k=fusion['k'])
+    y2 = fn(x2, l2, st['gate'][0], st['gate'][1], st['up'][0],
+            st['up'][1], st['down'][0], st['down'][1])
+    y = y2.reshape(lead + (d,)).astype(x.dtype)
+    out_op = ir.Op(opcode='ADD', inputs=[], outputs=[fusion['out']])
+    self._store_outputs(sg, out_op, (y,), env)
 
   def _find_norm_fusions(self) -> None:
     """RMS_NORM ops whose output feeds ONLY packed channelwise FCs fold
@@ -1122,6 +1215,12 @@ class GraphExecutor:
         qkv = self._qkv_fusions.get((sg_idx, op_idx))
         if qkv is not None:
           self._eval_fused_qkv(sg_idx, sg, qkv, env)
+          continue
+        moe = self._moe_fusions.get((sg_idx, op_idx))
+        if moe is not None:
+          self._eval_fused_moe(sg_idx, sg, moe, env)
+          continue
+        if (sg_idx, op_idx) in self._moe_skip:
           continue
         if (sg_idx, op_idx) in self._attn_skip:
           continue

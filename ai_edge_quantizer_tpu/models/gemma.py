@@ -40,11 +40,26 @@ class DecoderConfig:
   rope_base: float = 10000.0
   norm_eps: float = 1e-6
   tie_embedding: bool = True
+  # Mixture-of-Experts FFN: num_experts > 0 replaces the dense GeGLU FFN
+  # with a top-k routed expert bank (per-expert gate/up/down FCs emitted
+  # as regular FULLY_CONNECTED ops so the quantizer pipeline quantizes
+  # expert weights like any weight op; routing is built from stock ops).
+  # The executor's EP fusion stacks the quantized experts and shards them
+  # over an 'ep' mesh axis (parallel/moe.py).
+  num_experts: int = 0
+  moe_top_k: int = 2
 
 
 TOY_DECODER = DecoderConfig(
     vocab_size=512, embed_dim=128, num_layers=2, num_query_heads=4,
     num_kv_heads=2, head_dim=32, ffn_dim=256, max_seq_len=64)
+
+# Toy MoE variant: 4 experts, top-2 routing (EP integration tests +
+# dryrun stage 5 run this through the quantizer + executor).
+TOY_MOE = DecoderConfig(
+    vocab_size=512, embed_dim=128, num_layers=2, num_query_heads=4,
+    num_kv_heads=2, head_dim=32, ffn_dim=128, max_seq_len=64,
+    num_experts=4, moe_top_k=2)
 
 # Gemma-2B-shaped configuration (Gemma 1 2B: MQA with 1 KV head).
 GEMMA_2B = DecoderConfig(
@@ -404,11 +419,98 @@ def _build_signature(
     x = b.op('ADD', [x, attn_out], [(B, T, D)],
              output_names=[f'{p}/attn_residual'])
 
-    # -- ffn block (GeGLU) --
+    # -- ffn block (GeGLU / MoE) --
     gamma2 = store.tensor(b, f'{p}/pre_ffn_norm/gamma', (D,), 0.1)
     fn = b.op('RMS_NORM', [x, gamma2], [(B, T, D)],
               output_names=[f'{p}/pre_ffn_norm/out'],
               attrs={'epsilon': cfg.norm_eps})
+    if cfg.num_experts > 0:
+      # Top-k routed expert bank. Routing is stock ops (FC -> k-th-max
+      # threshold -> GREATER_EQUAL mask -> SELECT_V2 -> SOFTMAX), gating
+      # semantics identical to parallel/moe.topk_gates (ties included by
+      # >= threshold). Expert FFNs are plain FCs — the quantizer treats
+      # them exactly like dense weights; the executor's EP fusion
+      # (AEQT moe fusion) stacks them and dispatches parallel/moe.
+      E, K = cfg.num_experts, cfg.moe_top_k
+      mp = f'{p}/moe'
+      w_router = store.tensor(b, f'{mp}/router/w', (E, D), 0.05)
+      logits = b.op('FULLY_CONNECTED', [fn, w_router, -1], [(B, T, E)],
+                    output_names=[f'{mp}/router/out'],
+                    attrs={'fused_activation': 'NONE',
+                           'moe_group': mp, 'moe_role': 'router'})
+      neg1 = b.constant(f'{mp}/neg1', np.full((1,), -1.0, np.float32))
+      ninf = b.constant(f'{mp}/ninf', np.full((1,), -1e30, np.float32))
+      cur = logits
+      thresh = None
+      for ki in range(K):
+        negv = b.op('MUL', [cur, neg1], [(B, T, E)],
+                    output_names=[f'{mp}/neg_{ki}'],
+                    attrs={'moe_group': mp})
+        nmin = b.op('REDUCE_MIN', [negv], [(B, T, 1)],
+                    output_names=[f'{mp}/negmin_{ki}'],
+                    attrs={'axis': [2], 'keep_dims': True,
+                           'moe_group': mp})
+        thresh = b.op('MUL', [nmin, neg1], [(B, T, 1)],
+                      output_names=[f'{mp}/kmax_{ki}'],
+                      attrs={'moe_group': mp})
+        if ki < K - 1:
+          is_max = b.op('GREATER_EQUAL', [cur, thresh], [(B, T, E)],
+                        output_names=[f'{mp}/ismax_{ki}'],
+                        output_dtypes=['bool'],
+                        attrs={'moe_group': mp})
+          cur = b.op('SELECT_V2', [is_max, ninf, cur], [(B, T, E)],
+                     output_names=[f'{mp}/masked_{ki}'],
+                     attrs={'moe_group': mp})
+      keep = b.op('GREATER_EQUAL', [logits, thresh], [(B, T, E)],
+                  output_names=[f'{mp}/topk_mask'],
+                  output_dtypes=['bool'],
+                  attrs={'moe_group': mp})
+      gated = b.op('SELECT_V2', [keep, logits, ninf], [(B, T, E)],
+                   output_names=[f'{mp}/gated_logits'],
+                   attrs={'moe_group': mp})
+      gates = b.op('SOFTMAX', [gated], [(B, T, E)],
+                   output_names=[f'{mp}/gates'],
+                   attrs={'moe_group': mp, 'moe_role': 'gates',
+                          'moe_top_k': K})
+      moe_out = None
+      for e in range(E):
+        ep = f'{mp}/expert_{e}'
+        wg_e = store.tensor(b, f'{ep}/gate/w', (F, D), 0.02)
+        wu_e = store.tensor(b, f'{ep}/up/w', (F, D), 0.02)
+        wd_e = store.tensor(b, f'{ep}/down/w', (D, F), 0.02)
+        g_e = b.op('FULLY_CONNECTED', [fn, wg_e, -1], [(B, T, F)],
+                   output_names=[f'{ep}/gate/out'],
+                   attrs={'fused_activation': 'NONE', 'moe_group': mp,
+                          'moe_role': f'expert_gate_{e}'})
+        u_e = b.op('FULLY_CONNECTED', [fn, wu_e, -1], [(B, T, F)],
+                   output_names=[f'{ep}/up/out'],
+                   attrs={'fused_activation': 'NONE', 'moe_group': mp,
+                          'moe_role': f'expert_up_{e}'})
+        ga_e = b.op('GELU', [g_e], [(B, T, F)],
+                    output_names=[f'{ep}/gelu'], attrs={'moe_group': mp})
+        h_e = b.op('MUL', [ga_e, u_e], [(B, T, F)],
+                   output_names=[f'{ep}/prod'], attrs={'moe_group': mp})
+        d_e = b.op('FULLY_CONNECTED', [h_e, wd_e, -1], [(B, T, D)],
+                   output_names=[f'{ep}/down/out'],
+                   attrs={'fused_activation': 'NONE', 'moe_group': mp,
+                          'moe_role': f'expert_down_{e}'})
+        gate_col = b.op('SLICE', [gates], [(B, T, 1)],
+                        output_names=[f'{ep}/gate_col'],
+                        attrs={'begin': [0, 0, e], 'moe_group': mp})
+        contrib = b.op('MUL', [d_e, gate_col], [(B, T, D)],
+                       output_names=[f'{ep}/contrib'],
+                       attrs={'moe_group': mp})
+        if moe_out is None:
+          moe_out = contrib
+        else:
+          moe_out = b.op('ADD', [moe_out, contrib], [(B, T, D)],
+                         output_names=[f'{mp}/sum_{e}'],
+                         attrs={'moe_group': mp,
+                                'moe_role': ('combine'
+                                             if e == E - 1 else None)})
+      x = b.op('ADD', [x, moe_out], [(B, T, D)],
+               output_names=[f'{p}/ffn_residual'])
+      continue
     wd = store.tensor(b, f'{p}/ffw/down/w', (D, F), 0.02)
     if fused_projections:
       wgu = store.tensor(b, f'{p}/ffw/gate_up/w', (2 * F, D), 0.02)

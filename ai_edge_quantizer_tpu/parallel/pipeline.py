@@ -101,3 +101,155 @@ def pipeline_reference(x_micro, stage_weights, stage_fn):
       y = stage_fn(y, w_s)
     outs.append(y)
   return jnp.stack(outs)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-model integration: stage a gemma decoder's LAYER STACK over the
+# 'pp' axis. Weights come from a quantized Graph (the quantizer pipeline's
+# output) — int weight arrays stay int on device, per-channel scales ride as
+# data (the reason the stage function takes scales explicitly: per-layer
+# quantization params cannot be baked into a shared stage trace).
+# ---------------------------------------------------------------------------
+
+
+def extract_layer_stack(graph, signature_key: str = 'prefill'):
+  """Stack per-layer constants of a (quantized) gemma graph.
+
+  Returns {suffix: {'w': [L, ...], ('s': [L, n])}} — every constant
+  tensor named '<sig>/layer_<li>/<suffix>' stacked over the layer dim,
+  with per-channel quantization scales stacked alongside for integer
+  weights. All layers must be structurally identical (the gemma builder
+  guarantees it).
+  """
+  import numpy as np
+  sig = graph.signature_by_key(signature_key)
+  sg = graph.subgraphs[sig.subgraph_index]
+  per_layer: dict = {}
+  for t in sg.tensors:
+    if not t.is_constant or '/layer_' not in t.name:
+      continue
+    rest = t.name.split('/layer_', 1)[1]
+    li_s, suffix = rest.split('/', 1)
+    data = np.asarray(graph.tensor_data(t))
+    scale = None
+    if t.quantization is not None:
+      scale = np.asarray(t.quantization.scale, np.float32).reshape(-1)
+    per_layer.setdefault(int(li_s), {})[suffix] = (data, scale)
+  n_layers = max(per_layer) + 1
+  stacked = {}
+  for suffix, (w0, s0) in per_layer[0].items():
+    entry = {'w': jnp.asarray(
+        np.stack([per_layer[li][suffix][0] for li in range(n_layers)]))}
+    if s0 is not None:
+      entry['s'] = jnp.asarray(
+          np.stack([per_layer[li][suffix][1] for li in range(n_layers)]))
+    stacked[suffix] = entry
+  return stacked
+
+
+def make_gemma_layer_fn(cfg, positions, mask):
+  """stage_fn factory: applies a contiguous run of decoder layers.
+
+  Pure-jax twin of the gemma builder's layer block (models/gemma.py
+  _build_signature: RMS_NORM -> q/k/v (or fused qkv) FC -> ROPE ->
+  grouped attention over the chunk -> o-proj -> residual -> RMS_NORM ->
+  GeGLU FFN -> residual) for PREFILL FROM EMPTY CACHES — the zero-cache
+  rows beyond the chunk are masked to exp(-1e9) = 0 in both
+  formulations, so attending over [T] here equals the graph's DUS-into-
+  [S]-window attention exactly.
+
+  positions [B, T] int32; mask [B, 1, G*T, S] additive (make_inputs
+  layout: grouped score row g*T + t).
+  """
+  import math
+  nq, nk, h = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+  g = nq // nk
+  eps = cfg.norm_eps
+
+  def deq(entry):
+    w = entry['w'].astype(jnp.float32)
+    if 's' in entry:
+      w = w * entry['s'][:, None]
+    return w
+
+  def rms_norm(x, gamma):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    return x * jax.lax.rsqrt(var + eps).astype(x.dtype) * gamma
+
+  def rope(x, pos):
+    half = h // 2
+    import numpy as np
+    freqs = cfg.rope_base ** (-np.arange(0, half, dtype=np.float32) / half)
+    angles = pos[..., None].astype(jnp.float32) * freqs
+    sin, cos = jnp.sin(angles)[..., None, :], jnp.cos(angles)[..., None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+  def apply_layer(x, lw):
+    b, t, d = x.shape
+    xn = rms_norm(x, lw['pre_attn_norm/gamma']['w'])
+    if 'attn/qkv/w' in lw:
+      qkv = xn @ deq(lw['attn/qkv/w']).T
+      q = qkv[..., : nq * h]
+      k = qkv[..., nq * h: (nq + nk) * h]
+      v = qkv[..., (nq + nk) * h:]
+    else:
+      q = xn @ deq(lw['attn/q/w']).T
+      k = xn @ deq(lw['attn/k/w']).T
+      v = xn @ deq(lw['attn/v/w']).T
+    qr = rope(q.reshape(b, t, nq, h), positions)
+    kr = rope(k.reshape(b, t, nk, h), positions)
+    qt = qr.transpose(0, 2, 1, 3).reshape(b, nk, g * t, h)
+    kt = kr.transpose(0, 2, 1, 3)
+    vt = v.reshape(b, t, nk, h).transpose(0, 2, 1, 3)
+    scores = jnp.einsum('bnrh,bnsh->bnrs', qt, kt) / math.sqrt(h)
+    scores = scores + mask[..., :t]
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum('bnrs,bnsh->bnrh', probs, vt)
+    ctx2 = ctx.reshape(b, nq, t, h).transpose(0, 2, 1, 3).reshape(
+        b, t, nq * h)
+    x = x + ctx2 @ deq(lw['attn/o/w']).T
+    fn = rms_norm(x, lw['pre_ffn_norm/gamma']['w'])
+    if 'ffw/gate_up/w' in lw:
+      gu = fn @ deq(lw['ffw/gate_up/w']).T
+      f = gu.shape[-1] // 2
+      gate, up = gu[..., :f], gu[..., f:]
+    else:
+      gate = fn @ deq(lw['ffw/gate/w']).T
+      up = fn @ deq(lw['ffw/up/w']).T
+    hh = jax.nn.gelu(gate, approximate=True) * up
+    return x + hh @ deq(lw['ffw/down/w']).T
+
+  def stage_fn(x, stage_weights):
+    n_local = jax.tree_util.tree_leaves(stage_weights)[0].shape[0]
+    for j in range(n_local):
+      lw = jax.tree_util.tree_map(lambda a, j=j: a[j], stage_weights)
+      x = apply_layer(x, lw)
+    return x
+
+  return stage_fn
+
+
+def staged_layers_from_graph(graph, cfg, mesh: Mesh, positions, mask,
+                             signature_key: str = 'prefill',
+                             axis_name: str = 'pp'):
+  """Build the pipelined layer-stack runner for a quantized gemma graph.
+
+  Returns (run, stage_weights): run(x_micro [n_micro, Bm, T, D]) executes
+  the full layer stack as a GPipe schedule over the mesh's `axis_name`
+  axis (each device holds num_layers/pp layers' INT weights + scales);
+  stage_weights is the pp-leading stacked pytree (already shaped for
+  make_pipeline).
+  """
+  stacked = extract_layer_stack(graph, signature_key)
+  pp = mesh.shape[axis_name]
+  n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+  if n_layers % pp:
+    raise ValueError(f'{n_layers} layers do not divide over pp={pp}.')
+  stage_weights = jax.tree_util.tree_map(
+      lambda a: a.reshape((pp, n_layers // pp) + a.shape[1:]), stacked)
+  stage_fn = make_gemma_layer_fn(cfg, positions, mask)
+  run = make_pipeline(mesh, stage_fn, axis_name)
+  return run, stage_weights
