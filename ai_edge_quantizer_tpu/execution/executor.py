@@ -107,6 +107,10 @@ class GraphExecutor:
     self._moe_fusions: dict = {}
     self._moe_skip: set = set()
     self._mesh = None
+    # Fused decode-block units (AEQT_DECODE_BLOCK=1; see
+    # _find_block_fusions): MLP(l-1)+QKV(l)+attention(l) megakernel.
+    self._block_fusions: dict = {}
+    self._block_skip: set = set()
     # Weight-only fusion: '<dequantized tensor id>' -> source int tensor id,
     # per subgraph. A FULLY_CONNECTED consuming the DEQUANTIZE of a constant
     # integer weight reads the integer tensor through the fused kernel
@@ -368,6 +372,227 @@ class GraphExecutor:
     self._find_head_fusions()
     self._find_qkv_fusions()
     self._find_attn_epilogues()
+    self._find_block_fusions()
+
+  def _find_block_fusions(self) -> None:
+    """Merge MLP(l-1)+norms+QKV(l)+RoPE+attention(l) units into ONE
+    pallas_call (kernels/pallas_block.py) per layer.
+
+    Opt-in via AEQT_DECODE_BLOCK=1 (requires AEQT_ATTN_WRITEBACK-matched
+    attention fusions so the cache DUS already sits off the attention
+    path). The merged kernel ring-buffers the layer's cache DMA during
+    the MLP MXU phase — the overlap neither kernel can get alone, since
+    TPU kernels serialize (DECODE_PROFILE r04: attention DMA-bound at
+    ~745 GB/s while MLP holds the MXU at 82% peak). Decode shape only:
+    NK == 1, T == 1, fused qkv projection, packed int4 weights.
+    """
+    self._block_fusions: dict = {}
+    self._block_skip: set = set()
+    if os.environ.get('AEQT_DECODE_BLOCK', '0') != '1':
+      return
+
+    for (sg_idx, bmm2_idx), attn in list(self._attn_fusions.items()):
+      wb = attn.get('writeback')
+      if wb is None or attn.get('epilogue') is not None:
+        continue
+      sg = self.graph.subgraphs[sg_idx]
+      ops = sg.ops
+      q_tid = attn['q']
+      if sg.tensors[q_tid].shape[1] != 1:  # NK == 1 only
+        continue
+
+      def producer(tid):
+        p = ir.tensor_producer(sg, tid)
+        return (p, ops[p]) if p is not None and p >= 0 else (None, None)
+
+      def walk(tid, opcodes):
+        """Walk producers back through `opcodes`; returns (ops, final)."""
+        seen = []
+        for code in opcodes:
+          p, op = producer(tid)
+          if op is None or op.opcode != code:
+            return None, None
+          seen.append(p)
+          tid = op.inputs[0]
+        return seen, tid
+
+      # q chain: q_grouped <- RESHAPE <- TRANSPOSE <- ROPE <- RESHAPE <-
+      # SLICE(qkv) <- FC(xn2, wqkv).
+      q_ops, q4_tid = walk(q_tid, ('RESHAPE', 'TRANSPOSE'))
+      if q_ops is None:
+        continue
+      rope_idx, rope_op = producer(q4_tid)
+      if rope_op is None or rope_op.opcode != 'ROPE':
+        continue
+      positions_tid = rope_op.inputs[1]
+      rope_base = float((rope_op.attrs or {}).get('rope_base', 10000.0))
+      slice_ops, qkv_tid = walk(rope_op.inputs[0], ('RESHAPE', 'SLICE'))
+      if slice_ops is None:
+        continue
+      fc_idx, fc_op = producer(qkv_tid)
+      if fc_op is None or fc_op.opcode != 'FULLY_CONNECTED':
+        continue
+      wqkv_key = (sg_idx, fc_op.inputs[1])
+      if wqkv_key not in self._packed_int4_keys:
+        continue
+      norm_idx, norm_op = producer(fc_op.inputs[0])
+      if norm_op is None or norm_op.opcode != 'RMS_NORM':
+        continue
+      g2_tid = norm_op.inputs[1]
+      eps2 = float((norm_op.attrs or {}).get('epsilon', 1e-6))
+      x_ffn_tid = norm_op.inputs[0]
+
+      # k chain: wb update <- TRANSPOSE <- ROPE <- RESHAPE <- SLICE(qkv)
+      k_ops, k4_tid = walk(wb['k']['update'], ('TRANSPOSE',))
+      if k_ops is None:
+        continue
+      krope_idx, krope_op = producer(k4_tid)
+      if krope_op is None or krope_op.opcode != 'ROPE':
+        continue
+      kslice_ops, k_src = walk(krope_op.inputs[0], ('RESHAPE', 'SLICE'))
+      if kslice_ops is None or k_src != qkv_tid:
+        continue
+      # v chain: TRANSPOSE <- RESHAPE <- SLICE(qkv)
+      v_ops, v_src = walk(wb['v']['update'],
+                          ('TRANSPOSE', 'RESHAPE', 'SLICE'))
+      if v_ops is None or v_src != qkv_tid:
+        continue
+
+      # The FFN residual of l-1: x_ffn = ADD(x_res, mlp_down_out).
+      add_idx, add_op = producer(x_ffn_tid)
+      if add_op is None or add_op.opcode != 'ADD':
+        continue
+      mlp = None
+      mlp_key = None
+      x_res_tid = None
+      for cand_res, cand_down in (add_op.inputs[:2],
+                                  add_op.inputs[:2][::-1]):
+        for key, info in self._mlp_fusions.items():
+          if key[0] == sg_idx and info['out'] == cand_down:
+            mlp, mlp_key, x_res_tid = info, key, cand_res
+            break
+        if mlp is not None:
+          break
+      if mlp is None or mlp.get('wgu_split') is not None:
+        continue
+      # mlp['x'] is the pre-FFN-norm OUTPUT; fold the norm in.
+      n1_idx, n1_op = producer(mlp['x'])
+      if n1_op is None or n1_op.opcode != 'RMS_NORM' \
+          or n1_op.inputs[0] != x_res_tid:
+        continue
+      g1_tid = n1_op.inputs[1]
+      eps1 = float((n1_op.attrs or {}).get('epsilon', 1e-6))
+
+      k_info = sg.tensors[attn['k']].quantization
+      v_info = sg.tensors[attn['v']].quantization
+      ku_info = sg.tensors[wb['k']['update']].quantization
+      vu_info = sg.tensors[wb['v']['update']].quantization
+      if any(i is None for i in (k_info, v_info, ku_info, vu_info)):
+        continue
+
+      first_idx = min(n1_idx, mlp_key[1])
+      record = {
+          'x_res': x_res_tid,
+          'g1': g1_tid, 'eps': eps1,
+          'mlp': mlp,
+          'g2': g2_tid,
+          'wqkv_key': wqkv_key,
+          'positions': positions_tid,
+          'rope_base': rope_base,
+          'nq': sg.tensors[q_tid].shape[2],
+          'head_dim': sg.tensors[q_tid].shape[3],
+          'x_ffn_out': x_ffn_tid,
+          'ctx_out': attn['out'],
+          'mask': attn['mask'],
+          'wb': wb,
+          'k_scale_eff': float(np.asarray(k_info.scale).reshape(()))
+          * attn['k_scale_factor'],
+          'v_scale': float(np.asarray(v_info.scale).reshape(())),
+          'zp_k': float(np.asarray(k_info.zero_point).reshape(())),
+          'zp_v': float(np.asarray(v_info.zero_point).reshape(())),
+          'kq_scale': float(np.asarray(ku_info.scale).reshape(())),
+          'vq_scale': float(np.asarray(vu_info.scale).reshape(())),
+      }
+      # Ops absorbed into the unit (the attention chain's skip set was
+      # already registered by _find_attention_fusions).
+      # (the MLP chain's interior ops stay in _mlp_skip; only the
+      # gate_up FC — the absorbed fusion's key op — needs skipping here)
+      unit_ops = ([n1_idx, add_idx, norm_idx, fc_idx, rope_idx,
+                   krope_idx, bmm2_idx]
+                  + q_ops + slice_ops + k_ops + kslice_ops + v_ops)
+      self._block_fusions[(sg_idx, first_idx)] = record
+      for oi in unit_ops:
+        self._block_skip.add((sg_idx, oi))
+      self._block_skip.add(mlp_key)
+      del self._mlp_fusions[mlp_key]
+      del self._attn_fusions[(sg_idx, bmm2_idx)]
+      # The folded norms must not re-engage their own fusions.
+      self._norm_skip.discard((sg_idx, n1_idx))
+      self._norm_skip.discard((sg_idx, norm_idx))
+      self._norm_fusions.pop((sg_idx, fc_op.inputs[0]), None)
+      self._norm_fusions.pop((sg_idx, mlp['x']), None)
+
+  def _eval_fused_block(self, sg_idx: int, sg: ir.Subgraph,
+                        fusion: dict, env: dict) -> None:
+    """One fused MLP+QKV+attention dispatch for a matched unit."""
+    from ai_edge_quantizer_tpu.kernels import pallas_block
+    x_res = self._dequant_view(sg, fusion['x_res'], env)
+    b = x_res.shape[0]
+    h = fusion['head_dim']
+    nq = fusion['nq']
+    mask = self._dequant_view(sg, fusion['mask'], env)
+    lengths = jnp.sum((mask[:, 0, 0, :] > -1e8).astype(jnp.int32),
+                      axis=-1)
+    positions = env[fusion['positions']]
+    half = h // 2
+    freqs = jnp.asarray(
+        fusion['rope_base']
+        ** (-np.arange(0, half, dtype=np.float32) / half))
+    ang = positions[:, 0, None].astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    mlp = fusion['mlp']
+    wb = fusion['wb']
+    k_pool = env[wb['k']['operand']]
+    v_pool = env[wb['v']['operand']]
+    s = k_pool.shape[2]
+    ctx, x_ffn, k_new, v_new = pallas_block.fused_mlp_qkv_attention(
+        x_res.reshape(b, -1).astype(jnp.float32),
+        self._dequant_view(sg, fusion['g1'], env).reshape(-1),
+        env[mlp['wgu_key'][1]],
+        self._packed_scale[mlp['wgu_key']],
+        env[mlp['wd_grouped_tid']],
+        self._packed_scale[mlp['wd_key']],
+        self._dequant_view(sg, fusion['g2'], env).reshape(-1),
+        env[fusion['wqkv_key'][1]],
+        self._packed_scale[fusion['wqkv_key']],
+        cos, sin,
+        k_pool.reshape(b, s, h), v_pool.reshape(b, s, h), lengths,
+        fusion['k_scale_eff'], fusion['v_scale'],
+        fusion['kq_scale'], fusion['vq_scale'], nq,
+        k_zero_point=fusion['zp_k'], v_zero_point=fusion['zp_v'],
+        act=mlp['act'], eps=fusion['eps'],
+        compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+        bf=mlp['bf'],
+        bb=int(os.environ.get('AEQT_ATTN_BB', '8')),
+        ring=int(os.environ.get('AEQT_BLOCK_RING', '8')),
+        interpret=jax.default_backend() != 'tpu')
+    # Residual stream + attention context to their graph tensors.
+    env[fusion['x_ffn_out']] = x_ffn.astype(self._act_dtype).reshape(
+        sg.tensors[fusion['x_ffn_out']].shape)
+    out_op = ir.Op(opcode='BATCH_MATMUL', inputs=[],
+                   outputs=[fusion['ctx_out']])
+    self._store_outputs(
+        sg, out_op, (ctx.reshape(sg.tensors[fusion['ctx_out']].shape),),
+        env)
+    # Cache writes in XLA, off the attention critical path (stale mode).
+    for side, new in (('k', k_new), ('v', v_new)):
+      info = wb[side]
+      operand = env[info['operand']]
+      starts = env[info['starts']]
+      upd = new.reshape(b, 1, 1, h).astype(operand.dtype)
+      env[info['out']] = jax.lax.dynamic_update_slice(
+          operand, upd,
+          tuple(starts[i].astype(jnp.int32) for i in range(operand.ndim)))
 
   def set_mesh(self, mesh) -> None:
     """Enable expert-parallel dispatch of MoE FFN groups over `mesh`.
@@ -1200,6 +1425,12 @@ class GraphExecutor:
       # capture_all keeps every intermediate visible (fusions unrolled)
       # unless serving_fastpaths pins the production kernels.
       if not capture_all or serving_fastpaths:
+        block = self._block_fusions.get((sg_idx, op_idx))
+        if block is not None:
+          self._eval_fused_block(sg_idx, sg, block, env)
+          continue
+        if (sg_idx, op_idx) in self._block_skip:
+          continue
         fusion = self._attn_fusions.get((sg_idx, op_idx))
         if fusion is not None:
           self._eval_fused_attention(sg_idx, sg, fusion, env)

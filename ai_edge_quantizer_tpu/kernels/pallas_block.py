@@ -301,10 +301,11 @@ def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
     v_cur = qkv[:, (nq + 1) * h:(nq + 2) * h]
     kq_s = scales_ref[0, 4]
     vq_s = scales_ref[0, 5]
+    # Narrow-range symmetric int8, matching quant_arith.quantize.
     k_q = jnp.clip(jnp.round(k_rot * pl.reciprocal(kq_s, approx=False)),
-                   -128, 127).astype(jnp.int8)
+                   -127, 127).astype(jnp.int8)
     v_q = jnp.clip(jnp.round(v_cur * pl.reciprocal(vq_s, approx=False)),
-                   -128, 127).astype(jnp.int8)
+                   -127, 127).astype(jnp.int8)
     kn_scr[:] = k_q
     vn_scr[:] = v_q
     knew_ref[:] = k_q

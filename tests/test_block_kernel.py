@@ -84,9 +84,9 @@ def _reference(ms):
 
   q = np.stack([rope(qkv[:, n * H:(n + 1) * H]) for n in range(NQ)], 1)
   k_new = np.clip(np.round(rope(qkv[:, NQ * H:(NQ + 1) * H]) / KQS),
-                  -128, 127).astype(np.int8)
+                  -127, 127).astype(np.int8)
   v_new = np.clip(np.round(qkv[:, (NQ + 1) * H:] / VQS),
-                  -128, 127).astype(np.int8)
+                  -127, 127).astype(np.int8)
   # Attention oracle: the shipped stale-cache kernel in interpret mode.
   ctx = pallas_attention.decode_attention_int8_lengths_stale(
       jnp.asarray(q[:, None]).reshape(B, 1, NQ, H),
