@@ -143,7 +143,8 @@ def fused_mlp_qkv_attention(
   scales = jnp.stack([
       jnp.float32(k_scale_eff), jnp.float32(v_scale),
       jnp.float32(k_zero_point), jnp.float32(v_zero_point),
-      jnp.float32(kq_scale), jnp.float32(vq_scale)]).reshape(1, 6)
+      jnp.float32(1.0 / kq_scale), jnp.float32(1.0 / vq_scale)]
+      ).reshape(1, 6)
   lens = lengths.astype(jnp.int32)
 
   grid = (n_f + n_attn,)
@@ -299,13 +300,11 @@ def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
       q_scr[:, n] = _rope_rotate(qkv[:, n * h:(n + 1) * h], cos, sin, h)
     k_rot = _rope_rotate(qkv[:, nq * h:(nq + 1) * h], cos, sin, h)
     v_cur = qkv[:, (nq + 1) * h:(nq + 2) * h]
-    kq_s = scales_ref[0, 4]
-    vq_s = scales_ref[0, 5]
+    kq_inv = scales_ref[0, 4]  # 1/kq_scale (host-side inverse: Mosaic
+    vq_inv = scales_ref[0, 5]  # has no scalar reciprocal lowering)
     # Narrow-range symmetric int8, matching quant_arith.quantize.
-    k_q = jnp.clip(jnp.round(k_rot * pl.reciprocal(kq_s, approx=False)),
-                   -127, 127).astype(jnp.int8)
-    v_q = jnp.clip(jnp.round(v_cur * pl.reciprocal(vq_s, approx=False)),
-                   -127, 127).astype(jnp.int8)
+    k_q = jnp.clip(jnp.round(k_rot * kq_inv), -127, 127).astype(jnp.int8)
+    v_q = jnp.clip(jnp.round(v_cur * vq_inv), -127, 127).astype(jnp.int8)
     kn_scr[:] = k_q
     vn_scr[:] = v_q
     knew_ref[:] = k_q
@@ -321,10 +320,15 @@ def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
     dma(slot, j, k_hbm, kbuf, 0).wait()
     dma(slot, j, v_hbm, vbuf, ring).wait()
     row0 = j * bb
+    # Block loads at j*bb (provably 8-aligned for Mosaic); rows then
+    # index statically.
+    q_blk = q_scr[pl.ds(row0, bb)]
+    kn_blk = kn_scr[pl.ds(row0, bb)]
+    vn_blk = vn_scr[pl.ds(row0, bb)]
     for r in range(bb):
       ctx = _ctx_prefix_len_cur(
-          compute, q_scr[row0 + r], kbuf[slot, r], vbuf[slot, r],
-          kn_scr[row0 + r][None, :], vn_scr[row0 + r][None, :],
+          compute, q_blk[r], kbuf[slot, r], vbuf[slot, r],
+          kn_blk[r][None, :], vn_blk[r][None, :],
           lens_ref[row0 + r] - 1, scales_ref)
       ctx_ref[r] = ctx.astype(ctx_ref.dtype)
     nxt = j + ring
