@@ -451,7 +451,17 @@ def main():
   # chained-scan sweep) requires the scoped-VMEM limit raised past the
   # 16 MiB default; the tunnel forwards `compiler_options` per compile.
   os.environ.setdefault('AEQT_MLP_BF', '2048')
-  os.environ.setdefault('AEQT_VMEM_LIMIT_KIB', '65536')
+  os.environ.setdefault('AEQT_VMEM_LIMIT_KIB', '98304')
+  # Fused decode-block megakernel (kernels/pallas_block.py): MLP(l-1)+
+  # QKV(l)+RoPE+attention(l) per layer with the cache DMA ring-buffered
+  # under the MLP MXU phase. End-to-end A/B (same phase, 2026-08-20):
+  # 32,675 -> 34,684 tok/s; ring=8 best (12/16 regress — deep rings
+  # crowd XLA's own VMEM staging). AEQT_DECODE_BLOCK=0 reverts.
+  os.environ.setdefault('AEQT_DECODE_BLOCK', '1')
+  os.environ.setdefault('AEQT_ATTN_WRITEBACK', '1')
+  os.environ.setdefault('AEQT_ATTN_WRITEBACK_MODE', 'stale')
+  os.environ.setdefault('AEQT_BLOCK_RING', '8')
+  os.environ.setdefault('AEQT_ATTN_BB', '8')
   import numpy as np
 
   from ai_edge_quantizer_tpu import Quantizer

@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 os.environ.setdefault('AEQT_INT4_DRQ', '1')
 os.environ.setdefault('AEQT_ATTN_LENGTHS', '1')
+if os.environ.get('AEQT_TRACE_BLOCK') == '1':
+  os.environ.setdefault('AEQT_MLP_BF', '2048')
+  os.environ.setdefault('AEQT_DECODE_BLOCK', '1')
+  os.environ.setdefault('AEQT_ATTN_WRITEBACK', '1')
+  os.environ.setdefault('AEQT_ATTN_WRITEBACK_MODE', 'stale')
+  os.environ.setdefault('AEQT_BLOCK_RING', '8')
+  os.environ.setdefault('AEQT_ATTN_BB', '8')
 
 import jax
 if os.environ.get('JAX_PLATFORMS'):
@@ -120,7 +127,11 @@ def build_step():
         body, (caches_c, tokens, pos), None, length=inner)
     return caches_c, tokens, pos
 
-  jitted = jax.jit(decode_chunk, donate_argnums=(1,))
+  vmem_kib = int(os.environ.get('AEQT_VMEM_LIMIT_KIB', '0') or 0)
+  jitted = jax.jit(
+      decode_chunk, donate_argnums=(1,),
+      compiler_options=({'xla_tpu_scoped_vmem_limit_kib': vmem_kib}
+                        if vmem_kib else None))
   tokens = jax.device_put(inputs['tokens'])
   pos = jnp.int32(start_pos)
   return jitted, weights, caches, tokens, pos, inner
