@@ -555,27 +555,38 @@ class GraphExecutor:
     k_pool = env[wb['k']['operand']]
     v_pool = env[wb['v']['operand']]
     s = k_pool.shape[2]
-    ctx, x_ffn, k_new, v_new = pallas_block.fused_mlp_qkv_attention(
-        x_res.reshape(b, -1).astype(jnp.float32),
-        self._dequant_view(sg, fusion['g1'], env).reshape(-1),
-        env[mlp['wgu_key'][1]],
-        self._packed_scale[mlp['wgu_key']],
-        env[mlp['wd_grouped_tid']],
-        self._packed_scale[mlp['wd_key']],
-        self._dequant_view(sg, fusion['g2'], env).reshape(-1),
-        env[fusion['wqkv_key'][1]],
-        self._packed_scale[fusion['wqkv_key']],
-        cos, sin,
-        k_pool.reshape(b, s, h), v_pool.reshape(b, s, h), lengths,
-        fusion['k_scale_eff'], fusion['v_scale'],
-        fusion['kq_scale'], fusion['vq_scale'], nq,
-        k_zero_point=fusion['zp_k'], v_zero_point=fusion['zp_v'],
-        act=mlp['act'], eps=fusion['eps'],
-        compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
-        bf=mlp['bf'],
-        bb=int(os.environ.get('AEQT_ATTN_BB', '8')),
-        ring=int(os.environ.get('AEQT_BLOCK_RING', '8')),
-        interpret=jax.default_backend() != 'tpu')
+    starts = env[wb['k']['starts']]
+    pos = starts[2].astype(jnp.int32)
+    # s % 32 == 0: in-kernel dirty-tile writeback (no XLA DUS at all);
+    # otherwise the kernel returns the pools untouched and the DUS runs
+    # here.
+    wb_in_kernel = (s % 32 == 0
+                    and os.environ.get('AEQT_BLOCK_WRITEBACK', '0') == '1'
+                    and jax.default_backend() == 'tpu')
+    ctx, x_ffn, k_new, v_new, k_out, v_out = (
+        pallas_block.fused_mlp_qkv_attention(
+            x_res.reshape(b, -1).astype(jnp.float32),
+            self._dequant_view(sg, fusion['g1'], env).reshape(-1),
+            env[mlp['wgu_key'][1]],
+            self._packed_scale[mlp['wgu_key']],
+            env[mlp['wd_grouped_tid']],
+            self._packed_scale[mlp['wd_key']],
+            self._dequant_view(sg, fusion['g2'], env).reshape(-1),
+            env[fusion['wqkv_key'][1]],
+            self._packed_scale[fusion['wqkv_key']],
+            cos, sin,
+            k_pool.reshape(b, s, h), v_pool.reshape(b, s, h), lengths,
+            pos,
+            fusion['k_scale_eff'], fusion['v_scale'],
+            fusion['kq_scale'], fusion['vq_scale'], nq,
+            k_zero_point=fusion['zp_k'], v_zero_point=fusion['zp_v'],
+            act=mlp['act'], eps=fusion['eps'],
+            compute=os.environ.get('AEQT_ATTN_COMPUTE', 'f32'),
+            bf=mlp['bf'],
+            bb=int(os.environ.get('AEQT_ATTN_BB', '8')),
+            ring=int(os.environ.get('AEQT_BLOCK_RING', '8')),
+            writeback=wb_in_kernel,
+            interpret=jax.default_backend() != 'tpu'))
     # Residual stream + attention context to their graph tensors.
     env[fusion['x_ffn_out']] = x_ffn.astype(self._act_dtype).reshape(
         sg.tensors[fusion['x_ffn_out']].shape)
@@ -584,11 +595,14 @@ class GraphExecutor:
     self._store_outputs(
         sg, out_op, (ctx.reshape(sg.tensors[fusion['ctx_out']].shape),),
         env)
-    # Cache writes in XLA, off the attention critical path (stale mode).
+    if wb_in_kernel:
+      env[wb['k']['out']] = k_out.reshape(k_pool.shape)
+      env[wb['v']['out']] = v_out.reshape(v_pool.shape)
+      return
+    # Fallback: cache writes in XLA (stale-mode contract).
     for side, new in (('k', k_new), ('v', v_new)):
       info = wb[side]
       operand = env[info['operand']]
-      starts = env[info['starts']]
       upd = new.reshape(b, 1, 1, h).astype(operand.dtype)
       env[info['out']] = jax.lax.dynamic_update_slice(
           operand, upd,

@@ -93,7 +93,8 @@ def _rope_rotate(x, cos, sin, h):
     jax.jit,
     static_argnames=('num_q_heads', 'k_scale_eff', 'v_scale', 'kq_scale',
                      'vq_scale', 'k_zero_point', 'v_zero_point', 'act',
-                     'eps', 'compute', 'bf', 'bb', 'ring', 'interpret'))
+                     'eps', 'compute', 'bf', 'bb', 'ring', 'writeback',
+                     'interpret'))
 def fused_mlp_qkv_attention(
     x_res: jax.Array,        # [B, D] residual entering the FFN of l-1
     gamma_ffn: jax.Array,    # [D]
@@ -109,6 +110,7 @@ def fused_mlp_qkv_attention(
     k_cache: jax.Array,      # [B, S, H] int8 (PRE-write, NK == 1)
     v_cache: jax.Array,      # [B, S, H] int8
     lengths: jax.Array,      # [B] int32, counting the current token
+    pos: jax.Array,          # [] int32 shared write position (= len-1)
     k_scale_eff: float,      # score-side K scale (x graph scale factor)
     v_scale: float,
     kq_scale: float,         # new-row quantization scales (cache params)
@@ -122,10 +124,17 @@ def fused_mlp_qkv_attention(
     bf: int = 2048,
     bb: int = 8,
     ring: int = 8,
+    writeback: bool = True,
     interpret: bool = False,
 ):
   """Returns (ctx [B, NQ, H] f32, x_ffn [B, D], k_new [B, H] i8,
-  v_new [B, H] i8)."""
+  v_new [B, H] i8, k_pool, v_pool).
+
+  writeback=True: the cache pools come back as ALIASED outputs with row
+  `pos` updated in-kernel — the spliced 32-row dirty tile DMAs back to
+  HBM from the ring buffer during the attention sweep, so no XLA DUS
+  (and none of its VMEM staging) remains in the step. writeback=False
+  returns the pools untouched (caller performs the DUS)."""
   b, d = x_res.shape
   two_f = wgu_packed.shape[0]
   f = two_f // 2
@@ -146,6 +155,7 @@ def fused_mlp_qkv_attention(
       jnp.float32(1.0 / kq_scale), jnp.float32(1.0 / vq_scale)]
       ).reshape(1, 6)
   lens = lengths.astype(jnp.int32)
+  pos_arr = jnp.clip(jnp.asarray(pos, jnp.int32).reshape(1), 0, s - 1)
 
   grid = (n_f + n_attn,)
 
@@ -154,54 +164,56 @@ def fused_mlp_qkv_attention(
 
   kernel = functools.partial(
       _kernel_impl, n_f, bf, n_attn, bb, ring, s, h, nq, act, eps,
-      compute)
+      compute, writeback)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
+      num_scalar_prefetch=2,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((b, d), lambda t, L: (0, 0),
+          pl.BlockSpec((b, d), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # x
-          pl.BlockSpec((1, d), lambda t, L: (0, 0),
+          pl.BlockSpec((1, d), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # g1
-          pl.BlockSpec((bf, d // 2), lambda t, L: (clip_f(t), 0),
+          pl.BlockSpec((bf, d // 2), lambda t, L, P: (clip_f(t), 0),
                        memory_space=pltpu.VMEM),                  # w gate
           pl.BlockSpec((bf, d // 2),
-                       lambda t, L: (n_f + clip_f(t), 0),
+                       lambda t, L, P: (n_f + clip_f(t), 0),
                        memory_space=pltpu.VMEM),                  # w up
-          pl.BlockSpec((1, bf), lambda t, L: (0, clip_f(t)),
+          pl.BlockSpec((1, bf), lambda t, L, P: (0, clip_f(t)),
                        memory_space=pltpu.VMEM),                  # s gate
-          pl.BlockSpec((1, bf), lambda t, L: (0, n_f + clip_f(t)),
+          pl.BlockSpec((1, bf), lambda t, L, P: (0, n_f + clip_f(t)),
                        memory_space=pltpu.VMEM),                  # s up
-          pl.BlockSpec((d, bf // 2), lambda t, L: (0, clip_f(t)),
+          pl.BlockSpec((d, bf // 2), lambda t, L, P: (0, clip_f(t)),
                        memory_space=pltpu.VMEM),                  # w down
-          pl.BlockSpec((1, d), lambda t, L: (0, 0),
+          pl.BlockSpec((1, d), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # s down
-          pl.BlockSpec((1, d), lambda t, L: (0, 0),
+          pl.BlockSpec((1, d), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # g2
-          pl.BlockSpec(((nq + 2) * h, d // 2), lambda t, L: (0, 0),
+          pl.BlockSpec(((nq + 2) * h, d // 2), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # wqkv
-          pl.BlockSpec((1, (nq + 2) * h), lambda t, L: (0, 0),
+          pl.BlockSpec((1, (nq + 2) * h), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # sqkv
-          pl.BlockSpec((b, h // 2), lambda t, L: (0, 0),
+          pl.BlockSpec((b, h // 2), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # cos
-          pl.BlockSpec((b, h // 2), lambda t, L: (0, 0),
+          pl.BlockSpec((b, h // 2), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # sin
-          pl.BlockSpec((1, 6), lambda t, L: (0, 0),
+          pl.BlockSpec((1, 6), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # scales
           pl.BlockSpec(memory_space=pl.ANY),                   # k_hbm
           pl.BlockSpec(memory_space=pl.ANY),                   # v_hbm
       ],
       out_specs=[
           pl.BlockSpec((bb, nq, h),
-                       lambda t, L: (jnp.maximum(t - n_f, 0), 0, 0),
+                       lambda t, L, P: (jnp.maximum(t - n_f, 0), 0, 0),
                        memory_space=pltpu.VMEM),                  # ctx
-          pl.BlockSpec((b, d), lambda t, L: (0, 0),
+          pl.BlockSpec((b, d), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # x_ffn
-          pl.BlockSpec((b, h), lambda t, L: (0, 0),
+          pl.BlockSpec((b, h), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # k_new
-          pl.BlockSpec((b, h), lambda t, L: (0, 0),
+          pl.BlockSpec((b, h), lambda t, L, P: (0, 0),
                        memory_space=pltpu.VMEM),                  # v_new
+          pl.BlockSpec(memory_space=pl.ANY),                     # k_pool
+          pl.BlockSpec(memory_space=pl.ANY),                     # v_pool
       ],
       scratch_shapes=[
           pltpu.VMEM((b, d), jnp.float32),       # acc
@@ -212,10 +224,13 @@ def fused_mlp_qkv_attention(
           pltpu.VMEM((b, h), jnp.int8),          # v_new scratch
           pltpu.VMEM((ring, bb, s, h), jnp.int8),  # k ring
           pltpu.VMEM((ring, bb, s, h), jnp.int8),  # v ring
+          pltpu.VMEM((2, bb, 32, h), jnp.int8),  # k write tiles
+          pltpu.VMEM((2, bb, 32, h), jnp.int8),  # v write tiles
           pltpu.SemaphoreType.DMA((2 * ring,)),
+          pltpu.SemaphoreType.DMA((4,)),         # write sems (2 par x 2)
       ],
   )
-  ctx, x_ffn, k_new, v_new = pl.pallas_call(
+  outs = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
       out_shape=[
@@ -223,7 +238,12 @@ def fused_mlp_qkv_attention(
           jax.ShapeDtypeStruct((b, d), x_res.dtype),
           jax.ShapeDtypeStruct((b, h), jnp.int8),
           jax.ShapeDtypeStruct((b, h), jnp.int8),
+          jax.ShapeDtypeStruct((b, s, h), jnp.int8),
+          jax.ShapeDtypeStruct((b, s, h), jnp.int8),
       ],
+      # Operand indices count the 2 scalar-prefetch refs: k_cache is 16,
+      # v_cache is 17; the pools alias in-place (their only consumer).
+      input_output_aliases={16: 4, 17: 5},
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=('arbitrary',)),
       cost_estimate=pl.CostEstimate(
@@ -232,7 +252,8 @@ def fused_mlp_qkv_attention(
           bytes_accessed=2 * b * s * h + two_f * d // 2 + d * f // 2,
           transcendentals=b * (f + nq * s)),
       interpret=interpret,
-  )(lens, x_res, gamma_ffn.reshape(1, d), wgu_packed, wgu_packed,
+  )(lens, pos_arr, x_res, gamma_ffn.reshape(1, d), wgu_packed,
+    wgu_packed,
     s_gu.astype(jnp.float32).reshape(1, two_f),
     s_gu.astype(jnp.float32).reshape(1, two_f), wd_grouped,
     s_d.astype(jnp.float32).reshape(1, d), gamma_attn.reshape(1, d),
@@ -240,16 +261,18 @@ def fused_mlp_qkv_attention(
     s_qkv.astype(jnp.float32).reshape(1, (nq + 2) * h),
     rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32), scales,
     k_cache, v_cache)
-  return ctx, x_ffn, k_new, v_new
+  return outs
 
 
 def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
-                 lens_ref, x_ref, g1_ref, wg_ref, wu_ref, sg_ref, su_ref,
-                 wd_ref, sd_ref, g2_ref, wqkv_ref, sqkv_ref, cos_ref,
-                 sin_ref, scales_ref, k_hbm, v_hbm,
-                 ctx_ref, xffn_ref, knew_ref, vnew_ref,
+                 writeback,
+                 lens_ref, pos_ref, x_ref, g1_ref, wg_ref, wu_ref, sg_ref,
+                 su_ref, wd_ref, sd_ref, g2_ref, wqkv_ref, sqkv_ref,
+                 cos_ref, sin_ref, scales_ref, k_hbm, v_hbm,
+                 ctx_ref, xffn_ref, knew_ref, vnew_ref, kpool_ref,
+                 vpool_ref,
                  acc_ref, xq_ref, xs_ref, q_scr, kn_scr, vn_scr,
-                 kbuf, vbuf, sems):
+                 kbuf, vbuf, kw_scr, vw_scr, sems, wsems):
   t = pl.program_id(0)
   act_f = _act_fn(act)
 
@@ -257,6 +280,12 @@ def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
     return pltpu.make_async_copy(
         hbm.at[pl.ds(blk * bb, bb)], buf.at[slot],
         sems.at[slot + sem_off])
+
+  def wdma(par, blk, t0, scr, pool_ref, sem_off):
+    return pltpu.make_async_copy(
+        scr.at[par],
+        pool_ref.at[pl.ds(blk * bb, bb), pl.ds(t0, 32)],
+        wsems.at[par + sem_off])
 
   @pl.when(t == 0)
   def _():
@@ -337,3 +366,33 @@ def _kernel_impl(n_f, bf, n_attn, bb, ring, s, h, nq, act, eps, compute,
     def _():
       dma(slot, nxt, k_hbm, kbuf, 0).start()
       dma(slot, nxt, v_hbm, vbuf, ring).start()
+
+    if writeback:
+      # Persist the dirty 32-row tile of this block's rows from the ring
+      # buffer with row `pos` spliced in: the cache write rides the
+      # attention sweep's DMA engine — no XLA DUS (or staging) remains.
+      p = pos_ref[0]
+      t0 = (p // 32) * 32
+      rel = p - t0
+      par = jax.lax.rem(j, 2)
+
+      @pl.when(j >= 2)
+      def _():
+        wdma(par, j - 2, t0, kw_scr, kpool_ref, 0).wait()
+        wdma(par, j - 2, t0, vw_scr, vpool_ref, 2).wait()
+
+      rowi = jax.lax.broadcasted_iota(jnp.int32, (bb, 32, h), 1)
+      k_tile = kbuf[slot, :, pl.ds(t0, 32)]
+      v_tile = vbuf[slot, :, pl.ds(t0, 32)]
+      kw_scr[par] = jnp.where(rowi == rel, kn_blk[:, None, :], k_tile)
+      vw_scr[par] = jnp.where(rowi == rel, vn_blk[:, None, :], v_tile)
+      wdma(par, j, t0, kw_scr, kpool_ref, 0).start()
+      wdma(par, j, t0, vw_scr, vpool_ref, 2).start()
+
+      @pl.when(j == n_attn - 1)
+      def _():
+        wdma(par, j, t0, kw_scr, kpool_ref, 0).wait()
+        wdma(par, j, t0, vw_scr, vpool_ref, 2).wait()
+        if n_attn >= 2:
+          wdma(1 - par, j - 1, t0, kw_scr, kpool_ref, 0).wait()
+          wdma(1 - par, j - 1, t0, vw_scr, vpool_ref, 2).wait()

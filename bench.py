@@ -171,7 +171,7 @@ def bench_server():
   Measures what the static-batch decode number cannot (VERDICT round-2
   item 3): sustained continuous-batching tokens/s including admission +
   host control-plane overhead, and TTFT p50/p99 under queue pressure.
-  Writes SERVER_BENCH_r04.json next to this file.
+  Writes SERVER_BENCH_r05.json next to this file.
   """
   import jax
   if os.environ.get('JAX_PLATFORMS'):
@@ -397,7 +397,7 @@ def bench_server():
   }
   try:
     out_path = os.environ.get('AEQT_BENCH_SERVER_OUT') or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), 'SERVER_BENCH_r04.json')
+        os.path.dirname(os.path.abspath(__file__)), 'SERVER_BENCH_r05.json')
     with open(out_path, 'w') as f:
       json.dump(artifact, f, indent=1)
     log(f'artifact written: {out_path}')

@@ -104,7 +104,7 @@ def test_fused_block_matches_composition():
   (x, g1, g2, wgu, sgu, wd, sd, wqkv, sqkv, pos, kc, vc, lengths,
    cos, sin) = ms
   want_xffn, want_k, want_v, want_ctx = _reference(ms)
-  ctx, x_ffn, k_new, v_new = pallas_block.fused_mlp_qkv_attention(
+  ctx, x_ffn, k_new, v_new, _, _ = pallas_block.fused_mlp_qkv_attention(
       jnp.asarray(x), jnp.asarray(g1),
       pallas_qmatmul.pack_int4_split(jnp.asarray(wgu)), jnp.asarray(sgu),
       pallas_mlp.pack_int4_split_grouped(jnp.asarray(wd), BF),
@@ -112,8 +112,9 @@ def test_fused_block_matches_composition():
       pallas_qmatmul.pack_int4_split(jnp.asarray(wqkv)),
       jnp.asarray(sqkv), jnp.asarray(cos), jnp.asarray(sin),
       jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lengths),
+      jnp.int32(pos),
       KS, VS, KQS, VQS, NQ, act='gelu', eps=EPS, bf=BF, bb=BB, ring=RING,
-      interpret=True)
+      writeback=False, interpret=True)
   np.testing.assert_allclose(np.asarray(x_ffn), want_xffn, rtol=2e-5,
                              atol=2e-5)
   np.testing.assert_array_equal(np.asarray(k_new), want_k)
