@@ -561,7 +561,7 @@ class GraphExecutor:
     # otherwise the kernel returns the pools untouched and the DUS runs
     # here.
     wb_in_kernel = (s % 32 == 0
-                    and os.environ.get('AEQT_BLOCK_WRITEBACK', '0') == '1'
+                    and os.environ.get('AEQT_BLOCK_WRITEBACK', '1') == '1'
                     and jax.default_backend() == 'tpu')
     ctx, x_ffn, k_new, v_new, k_out, v_out = (
         pallas_block.fused_mlp_qkv_attention(

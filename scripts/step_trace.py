@@ -219,6 +219,28 @@ def main():
   for k, v in buckets.most_common():
     print(f'  {k:24s} {v/inner:8.3f}')
 
+  out_path = os.environ.get('AEQT_TRACE_OUT')
+  if out_path:
+    art = {
+        'preset': os.environ.get('AEQT_TRACE_PRESET', 'gemma2b'),
+        'mode': ('decode_block'
+                 if os.environ.get('AEQT_DECODE_BLOCK') == '1'
+                 else 'separate_kernels'),
+        'ms_per_step_device_total': round(per_step, 3),
+        'by_op_prefix_ms': {
+            name: round(ms / inner, 4)
+            for name, ms in pagg.most_common(24) if name != 'while'},
+        'by_op_count': {name: pcnt[name] // inner
+                        for name, _ in pagg.most_common(24)
+                        if name != 'while'},
+        'note': ('per-op TPU device events from jax.profiler over one '
+                 'traced decode chunk; ground-truth attribution (the '
+                 'r04 segment-timing profile mixed bandwidth phases)'),
+    }
+    with open(out_path, 'w') as f:
+      json.dump(art, f, indent=1)
+    log(f'artifact written: {out_path}')
+
 
 if __name__ == '__main__':
   main()
