@@ -776,7 +776,10 @@ def _supervise() -> int:
   deadline = int(os.environ.get('AEQT_BENCH_DEADLINE_S', '2100'))
   attempts = [
       ({}, deadline),
-      ({'AEQT_ATTN_LENGTHS': '0'}, deadline),         # lengths-kernel trouble
+      ({'AEQT_DECODE_BLOCK': '0'}, deadline),         # block-megakernel trouble
+      ({'AEQT_ATTN_LENGTHS': '0',
+        'AEQT_DECODE_BLOCK': '0',
+        'AEQT_ATTN_WRITEBACK': '0'}, deadline),       # lengths-kernel trouble
       ({'AEQT_BENCH_GREEDY_HEAD': '0'}, deadline),    # head-fusion trouble
       ({'AEQT_BENCH_PRESET': 'gemma2b_lite'}, 1500),  # full-vocab trouble
       ({'AEQT_BENCH_KV': 'float32'}, 1200),           # skip fused attention
